@@ -1,0 +1,403 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+The reference has no hash-join/agg engine — its joins are request-time
+HTTP lookups (SURVEY.md §2.3) and its aggregations are Python loops
+(§2.4). This module expresses the same dataflow shapes (equi-join,
+semi-join, windowed agg, conditional agg, top-k, set ops) as declarative
+Spark plans and lets Catalyst pick physical strategies:
+
+* dimension joins (region/nation/customer/supplier) carry explicit
+  ``broadcast()`` hints — at 100 TB the fact side never shuffles for them;
+* every SUM/AVG over doubles is integer-scaled (exact, order-independent)
+  so results hash-match the DuckDB oracle bit-for-bit;
+* every LIMIT sits under a total ordering (tie-broken by keys) so top-k
+  selection is deterministic across engines.
+
+Reference parity notes per query are in each docstring; oracles live in
+the ORACLES dict at the bottom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _scaled(col: Column | str, decimals: int) -> Column:
+    """Integer-scale a double column for exact, order-independent sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**decimals)).cast("long")
+
+
+def _ts_str(col: str) -> Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss").alias(col)
+
+
+# ---------------------------------------------------------------------------
+# A-series: aggregation shapes (SURVEY §2.4) on lineitem
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: conditional/windowed aggregates
+    A1-A6 generalized to grouped SUM/AVG/COUNT over a date-filtered fact.
+
+    Single scan -> partial agg -> final agg; the shipdate filter pushes
+    down to the parquet scan.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_scaled("l_quantity", 0)).alias("sum_qty"),
+            (F.sum(_scaled("l_extendedprice", 2)) / 100.0).alias("sum_base_price"),
+            (F.sum(_scaled(disc_price, 4)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(_scaled(charge, 6)) / 1000000.0).alias("sum_charge"),
+            (F.sum(_scaled("l_quantity", 0)) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_scaled("l_extendedprice", 2)) / 100.0 / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(_scaled("l_discount", 2)) / 100.0 / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            F.round("sum_base_price", 2).alias("sum_base_price"),
+            F.round("sum_disc_price", 4).alias("sum_disc_price"),
+            F.round("sum_charge", 6).alias("sum_charge"),
+            F.round("avg_qty", 6).alias("avg_qty"),
+            F.round("avg_price", 6).alias("avg_price"),
+            F.round("avg_disc", 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag, l_linestatus,
+  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+  round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+  round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
+  round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_charge,
+  round(SUM(CAST(round(l_quantity) AS BIGINT)) / (COUNT(*) * 1.0), 6) AS avg_qty,
+  round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_price,
+  round(SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J-series: joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way equi-join + grouped revenue + deterministic
+    top-10. Maps J1/J2 (task x fact lookup join becomes a real join).
+
+    customer is the small side -> broadcast; orders⋈lineitem shuffles on
+    orderkey once.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_scaled(revenue, 4)) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.round("revenue", 4).alias("revenue"),
+            _ts_str("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT
+  l_orderkey,
+  round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def region_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: local-supplier revenue per nation.
+
+    region/nation/customer/supplier broadcast (dims); the single big
+    shuffle is orders⋈lineitem on orderkey. The c_nationkey = s_nationkey
+    predicate is the "local supplier" restriction.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg((F.sum(_scaled(revenue, 4)) / 10000.0).alias("revenue"))
+        .select("r_name", "n_name", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+REGION_VOLUME_SQL = """
+SELECT r_name, n_name,
+  round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join (J4's anti-join mirror): count
+    orders per priority having at least one late-shipped lineitem.
+
+    left_semi join -> no fact-side duplication, single shuffle on orderkey.
+    """
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def customer_supplier_setops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Set operations (SURVEY §2.6 O2): nations with customers vs nations
+    with suppliers — intersect / except, tagged and unioned.
+    """
+    c = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("side"), "nationkey")
+    c_only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "nationkey")
+    s_only = s.exceptAll(c).select(F.lit("supplier_only").alias("side"), "nationkey")
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+SETOPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS side, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'customer_only', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'supplier_only', nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O/P9-series: window functions, top-k per group (SURVEY §2.5/§2.6)
+# ---------------------------------------------------------------------------
+
+
+def topk_lineitems_per_flag(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """P9 generalized: `forecast[:24]`-style head-of-ordered-group via
+    row_number over a total per-group ordering.
+    """
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        lineitem.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "l_returnflag",
+            "rk",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+    )
+
+
+TOPK_LINEITEMS_SQL = """
+SELECT l_returnflag, rk, l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS l_extendedprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+)
+WHERE rk <= 3
+"""
+
+
+def moving_value_avg(events: DataFrame, window_rows: int = 24) -> DataFrame:
+    """Trailing-window aggregate in window-function form (SURVEY §2.5:
+    A1-A6 expressed as `rangeBetween`/`rowsBetween` instead of group-by).
+
+    Per user, ordered by ts: moving sum/avg of `value` over the last
+    `window_rows` rows. Exact via scaled-integer window sums.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    scaled = _scaled("value", 2)
+    return events.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts"),
+        F.round(F.sum(scaled).over(w) / 100.0, 2).alias("mov_sum"),
+        F.round(F.sum(scaled).over(w) / 100.0 / F.count(F.lit(1)).over(w), 6).alias(
+            "mov_avg"
+        ),
+    )
+
+
+MOVING_AVG_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, value FROM events
+)
+SELECT event_id, user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  round(SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0, 2) AS mov_sum,
+  round(SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0
+        / COUNT(*) OVER w, 6) AS mov_avg
+FROM events_us
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (streaming session-window semantics T8 in
+    batch form): a new session starts when the inter-event gap exceeds
+    `gap_minutes`; emit per-session stats.
+
+    lag + running conditional sum — two window passes over the same
+    (user_id, ts) clustering, so one shuffle total.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(by_user)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+            (F.sum(_scaled("value", 2)) / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "duration_s",
+            F.round("session_value", 2).alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, value FROM events
+),
+flagged AS (
+  -- epoch seconds via floor division of µs, matching Spark's CAST(ts AS LONG)
+  SELECT *, epoch_us(ts) // 1000000 AS ep,
+    CASE WHEN (epoch_us(ts) // 1000000) - lag(epoch_us(ts) // 1000000) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events_us
+),
+sid AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MAX(ep) - MIN(ep) AS duration_s,
+  round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS session_value
+FROM sid
+GROUP BY user_id, session_seq
+"""

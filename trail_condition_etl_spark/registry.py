@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .session import ensure_engine_conf
-from .operators import weather
+from .operators import relational, weather
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -54,6 +54,63 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 def q_trail_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return weather.classify_events(events)
+
+
+# ---------------------------------------------------------------------------
+# Relational suite (SURVEY §2.3-§2.6): join/agg/window/set-op shapes
+# ---------------------------------------------------------------------------
+
+
+@query("pricing_summary", oracle=relational.PRICING_SUMMARY_SQL)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return relational.pricing_summary(lineitem)
+
+
+@query("shipping_priority", oracle=relational.SHIPPING_PRIORITY_SQL)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    return relational.shipping_priority(customer, orders, lineitem)
+
+
+@query("region_volume", oracle=relational.REGION_VOLUME_SQL)
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = _tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return relational.region_volume(*dfs)
+
+
+@query("order_priority", oracle=relational.ORDER_PRIORITY_SQL)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
+    return relational.order_priority_check(orders, lineitem)
+
+
+@query("setops_nations", oracle=relational.SETOPS_SQL)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _tables(spark, sf_dir, "customer", "supplier")
+    return relational.customer_supplier_setops(customer, supplier)
+
+
+@query("topk_per_group", oracle=relational.TOPK_LINEITEMS_SQL)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return relational.topk_lineitems_per_flag(lineitem)
+
+
+@query("moving_avg", oracle=relational.MOVING_AVG_SQL)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.moving_value_avg(events)
+
+
+@query("sessionize", oracle=relational.SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.sessionize(events)
 
 
 # ---------------------------------------------------------------------------
