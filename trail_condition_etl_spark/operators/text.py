@@ -1,0 +1,259 @@
+"""[EXT] Text-analysis operators for LLM-data pipelines (SURVEY.md §2.11,
+BASELINE.json north_star): token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All computed with built-in `pyspark.sql.functions` (JVM-side, codegen'd);
+no Python UDFs anywhere. Array work uses higher-order functions
+(transform/filter/aggregate), which run inside WholeStageCodegen.
+
+Scale: every operator here is embarrassingly parallel per-document (narrow
+maps) except the fingerprint vocabulary, which is a distinct + join. The
+oracle-checkable fingerprint uses a sorted-vocabulary id (global
+row_number — fine at test scale, a bottleneck at 100 TB); the production
+path is `xxhash64(token)` (no global sort, no vocab join) — both are
+provided, only the former is oracle-checked since DuckDB's hash differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# small deterministic keyword sets for the language-ID heuristic
+LANG_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("table", "row", "column"),
+    "es": ("data", "value", "stream"),
+    "fr": ("query", "filter", "join"),
+    "zh": ("hash", "merge", "sort"),
+}
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char lengths.
+
+    The BPE-ish regex count approximates subword token counts the way
+    data-pipeline heuristics do (length/4 and word-piece splits).
+    """
+    toks = _toks()
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        # BPE-ish proxy: ~4 chars per subword token, per word
+        F.aggregate(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_bpeish_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id, lang,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  length(text) AS n_chars_actual,
+  list_sum(list_transform(string_split(text, ' '),
+      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_bpeish_tokens
+FROM documents
+"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / distinct-ratio features
+    combined into a deterministic [0,1]-ish score — the standard cheap
+    pre-filter in training-data pipelines.
+    """
+    toks = _toks()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_dist = F.size(F.array_distinct(toks))
+    avg_tok_len = (F.length("text") - (n_tok - 1)) / n_tok
+    stop_ratio = n_stop / n_tok
+    dist_ratio = n_dist / n_tok
+    length_factor = F.least(F.length("text") / 200.0, F.lit(1.0))
+    score = (
+        0.4 * length_factor + 0.3 * dist_ratio + 0.3 * (1.0 - stop_ratio)
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").alias("n_chars"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+QUALITY_SCORE_SQL = """
+WITH feat AS (
+  SELECT doc_id, lang, source, n_chars,
+    len(string_split(text, ' ')) AS n_tok,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('the','a','of','and','to'))) AS n_stop,
+    len(list_distinct(string_split(text, ' '))) AS n_dist,
+    length(text) AS n_len
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+  round((n_len - (n_tok - 1)) / (n_tok * 1.0), 6) AS avg_token_len,
+  round(n_stop / (n_tok * 1.0), 6) AS stopword_ratio,
+  round(n_dist / (n_tok * 1.0), 6) AS distinct_ratio,
+  round(0.4 * least(n_len / 200.0, 1.0)
+      + 0.3 * (n_dist / (n_tok * 1.0))
+      + 0.3 * (1.0 - n_stop / (n_tok * 1.0)), 6) AS quality_score
+FROM feat
+"""
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic: score each candidate language by keyword
+    occurrences; argmax with lexicographic tie-break. (An n-gram
+    frequency heuristic — the standard cheap langid in data pipelines;
+    the synthetic corpus shares one vocabulary so predictions are
+    arbitrary-but-deterministic, which is what the correctness check
+    needs.)
+    """
+    toks = _toks()
+    scores = []
+    for lang, kws in sorted(LANG_KEYWORDS.items()):
+        arr = F.array(*[F.lit(k) for k in kws])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "score"
+                ),
+                # negative-lex trick not needed: array_max picks max struct
+                # by (score, lang); to make ties pick the SMALLEST lang we
+                # order langs descending so later (smaller) wins on equal
+                # score is wrong — instead compare explicitly below.
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # fold for argmax: larger score wins; on tie, lexicographically
+    # smaller lang wins (deterministic in both engines)
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(
+            (s["score"] > best["score"])
+            | ((s["score"] == best["score"]) & (s["lang"] < best["lang"])),
+            s,
+        ).otherwise(best)
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["lang"].alias("predicted_lang"),
+        best["score"].alias("keyword_hits"),
+        (best["lang"] == F.col("lang")).alias("agrees"),
+    )
+
+
+_LANGID_SCORE = (
+    "len(list_filter(string_split(text, ' '), t -> t IN ({kws}))) "
+)
+
+
+def _langid_sql() -> str:
+    cases = []
+    for lang, kws in sorted(LANG_KEYWORDS.items()):
+        kwlist = ",".join(f"'{k}'" for k in kws)
+        cases.append(
+            f"STRUCT_PACK(score := {_LANGID_SCORE.format(kws=kwlist)}, lang := '{lang}')"
+        )
+    fold = cases[0]
+    for c in cases[1:]:
+        fold = (
+            f"CASE WHEN ({c}).score > ({fold}).score OR "
+            f"(({c}).score = ({fold}).score AND ({c}).lang < ({fold}).lang) "
+            f"THEN {c} ELSE {fold} END"
+        )
+    return f"""
+WITH best AS (
+  SELECT doc_id, lang AS labeled_lang, {fold} AS b FROM documents
+)
+SELECT doc_id, labeled_lang, b.lang AS predicted_lang,
+       CAST(b.score AS INT) AS keyword_hits,
+       b.lang = labeled_lang AS agrees
+FROM best
+"""
+
+
+LANGUAGE_ID_SQL = _langid_sql()
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting via position-weighted polynomial over
+    vocabulary token-ids, mod a prime — a rolling-hash-style content
+    fingerprint that is oracle-checkable (the vocabulary id is a global
+    sort rank, identical in any engine).
+
+    fp(doc) = sum_i ((pos_i + 1) * token_id_i) mod 1_000_003
+
+    Production variant: replace token_id with xxhash64(token) & mask (no
+    vocab build, no global sort) — see `doc_fingerprint_fast`.
+    """
+    toks = documents.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "token")
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            F.row_number().over(Window.orderBy("token")).alias("token_id"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("pos") + 1) * F.col("token_id")) % 1_000_003).alias(
+                "fingerprint"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS token,
+    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+  FROM documents
+),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS token_id
+  FROM (SELECT DISTINCT token FROM toks)
+)
+SELECT t.doc_id,
+  SUM((t.pos + 1) * v.token_id) % 1000003 AS fingerprint,
+  COUNT(*) AS n_tokens
+FROM toks t JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+def doc_fingerprint_fast(documents: DataFrame) -> DataFrame:
+    """Scale-path fingerprint: xxhash64 of each token, position-weighted,
+    summed — no vocabulary, no global sort, fully map-side until the
+    per-doc aggregation. Not oracle-checkable (DuckDB's hash differs)."""
+    toks = documents.select("doc_id", F.posexplode(_toks()).alias("pos", "token"))
+    return toks.groupBy("doc_id").agg(
+        F.sum(
+            (F.col("pos") + 1) * (F.pmod(F.xxhash64("token"), F.lit(1_000_003)))
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

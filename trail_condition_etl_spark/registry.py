@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .session import ensure_engine_conf
-from .operators import relational, weather
+from .operators import dedup, pipeline, relational, similarity, text, weather
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -111,6 +111,120 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return relational.sessionize(events)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline semantics (SURVEY §2.8/§2.9, EP1): DLQ policy, dedup, scheduler,
+# JSON/scalar kits
+# ---------------------------------------------------------------------------
+
+
+@query("dlq_routing", oracle=pipeline.DLQ_ROUTE_SQL)
+def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return pipeline.dlq_route(events)
+
+
+@query("task_dedup", oracle=pipeline.DEDUP_SQL)
+def q_task_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return pipeline.dedup_first_delivery(events)
+
+
+@query("scheduler_tasks", oracle=pipeline.SCHEDULER_SQL)
+def q_scheduler_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _tables(spark, sf_dir, "customer")
+    return pipeline.scheduler_run(customer)
+
+
+@query("json_props", oracle=pipeline.JSON_PROPS_SQL)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return pipeline.json_props_stats(events)
+
+
+@query("datetime_kit", oracle=pipeline.DATETIME_KIT_SQL)
+def q_datetime_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return pipeline.datetime_kit(events)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] LLM-data-pipeline operators (SURVEY §2.11): text analysis, dedup,
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query("token_stats", oracle=text.TOKEN_STATS_SQL)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.token_stats(documents)
+
+
+@query("quality_score", oracle=text.QUALITY_SCORE_SQL)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.quality_score(documents)
+
+
+@query("language_id", oracle=text.LANGUAGE_ID_SQL)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.language_id(documents)
+
+
+@query("doc_fingerprint", oracle=text.DOC_FINGERPRINT_SQL)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.doc_fingerprint(documents)
+
+
+@query("exact_dedup", oracle=dedup.EXACT_DEDUP_SQL)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.exact_dedup(documents)
+
+
+@query("minhash_near_dup", oracle=dedup.MINHASH_PAIRS_SQL)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(documents)
+
+
+@query("ngram_jaccard", oracle=dedup.NGRAM_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_sample(documents)
+
+
+@query("simhash", oracle=dedup.SIMHASH_SQL)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.simhash(documents)
+
+
+@query("cosine_topk", oracle=similarity.COSINE_TOPK_SQL)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(embeddings)
+
+
+@query("embedding_stats", oracle=similarity.EMBEDDING_STATS_SQL)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.embedding_stats(embeddings)
+
+
+@query("ann_lsh_topk")  # approximate: no SQL oracle; rows-only driver check
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(embeddings)
+
+
+@query("ivf_topk")  # approximate: no SQL oracle; rows-only driver check
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(embeddings)
 
 
 # ---------------------------------------------------------------------------
