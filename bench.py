@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced with a noop-format write (computes the full plan,
+collects nothing to the driver), timed after a warm-up pass of the
+catalog so JVM startup and parquet footer reads don't dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trail_condition_etl_spark.session import get_spark  # noqa: E402
+from trail_condition_etl_spark import registry  # noqa: E402
+
+HEADLINE = [
+    "trail_classifier",
+    "pricing_summary",
+    "shipping_priority",
+    "region_volume",
+    "order_priority",
+    "moving_avg",
+    "sessionize",
+    "task_dedup",
+    "quality_score",
+    "minhash_near_dup",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM codegen + parquet footers, outside the timed region
+    from trail_condition_etl_spark import catalog
+
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        catalog.load_table(spark, sf_dir, t).count()
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

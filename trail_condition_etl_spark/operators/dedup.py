@@ -52,17 +52,23 @@ def _tokens(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per document, built with one
-    higher-order `transform` over the token array (no self-joins)."""
-    toks = F.split("text", " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            "_", *[F.element_at(toks, i + k + 1) for k in range(n)]
-        ),
+    """Distinct token n-gram shingles per document: posexplode the token
+    array once, then `lead()` over (doc_id, pos) stitches the n-gram.
+
+    (A higher-order `transform` with `element_at(split(...), i)` looks
+    cheaper — no shuffle — but re-evaluates the split per element, going
+    O(len²) per document; the lead() form is one sort per doc partition
+    and scales linearly.)"""
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", k).over(w) for k in range(1, n)]
+    last = F.lead("token", n - 1).over(w)
     return (
-        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        toks.select("doc_id", F.concat_ws("_", *parts).alias("shingle"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
         .distinct()
     )
 
@@ -151,7 +157,15 @@ def minhash_pairs(
     filtered at `threshold`. Deterministic: banding is a pure function of
     the signatures, so the oracle finds the identical candidate set.
     """
-    sig = minhash_signatures(documents, use_xxhash)
+    # shingle-ids feed both the signatures and the Jaccard verify: persist
+    # so the shingling (and, on the oracle path, the vocabulary sort+join)
+    # runs once, not twice
+    ids = _shingle_ids(documents, use_xxhash).persist()
+    aggs = [
+        F.min((F.col("sid") * a + b) % PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sig = ids.groupBy("doc_id").agg(*aggs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -181,7 +195,6 @@ def minhash_pairs(
         )
         .distinct()
     )
-    ids = _shingle_ids(documents, use_xxhash)
     counts = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ia = ids.toDF("doc_a", "sid")
     ib = ids.toDF("doc_b", "sid_b")

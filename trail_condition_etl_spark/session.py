@@ -53,4 +53,8 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+    )
     return spark
