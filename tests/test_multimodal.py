@@ -1,0 +1,46 @@
+"""Multimodal plumbing tests: Arrow-batched feature extraction over
+binary payloads, honest stub behavior, frame-sample plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from trail_condition_etl_spark.operators import multimodal
+
+
+def test_feature_extraction_deterministic(spark):
+    media = multimodal.synth_media(spark, n=9)
+    feats = multimodal.extract_features(media, fake_decode=True)
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 9
+    assert rows[0].media_type == "image"
+    assert rows[0].n_bytes > 0
+    assert len(rows[0].checksum) == 16
+    # deterministic: re-run yields identical checksums
+    rows2 = {r.asset_id: r.checksum for r in
+             multimodal.extract_features(media, fake_decode=True).collect()}
+    assert {k: v.checksum for k, v in rows.items()} == rows2
+    # metadata propagates without touching payload decode
+    assert rows[3].width == 67 and rows[3].height == 51
+
+
+def test_honest_stub_raises_without_fake(spark):
+    media = multimodal.synth_media(spark, n=3)
+    with pytest.raises(Exception) as exc:
+        multimodal.extract_features(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    # video assets are ids 2,5,8 with durations 3000/6000/9000 ms
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_ts_ms)
+    assert sorted(by_asset) == [2, 5, 8]
+    assert sorted(by_asset[2]) == [0, 1000, 2000]
+    assert len(by_asset[8]) == 9

@@ -1,0 +1,89 @@
+"""Structured-Streaming pipeline tests: watermark dedup, envelope DLQ
+policy, effectively-once sink across incremental AvailableNow runs, and
+checkpoint-based resume (new files only)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trail_condition_etl_spark.sinks import upsert
+from trail_condition_etl_spark.streaming import pipeline
+
+NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+
+def _tasks(spark, rows):
+    return spark.createDataFrame(rows, pipeline.ENVELOPE)
+
+
+def _run(spark, staging, out, dlq, ckpt):
+    q = pipeline.run_pipeline_available_now(
+        spark, str(staging), str(out), str(dlq), str(ckpt)
+    )
+    q.awaitTermination(120)
+
+
+def test_end_to_end_policy_dedup_and_resume(spark, tmp_path):
+    staging = tmp_path / "staging"
+    out = tmp_path / "facts"
+    dlq = tmp_path / "dlq"
+    ckpt = tmp_path / "ckpt"
+
+    fresh = NOW - dt.timedelta(hours=1)
+    stale = NOW - dt.timedelta(hours=30)  # > 24 h -> dlq_expired
+    batch1 = _tasks(
+        spark,
+        [
+            ("t-1", 1, fresh, 1),
+            ("t-1", 1, fresh, 2),  # duplicate delivery -> deduped (T5)
+            ("t-2", 2, fresh, 7),  # delivery_count > 6 -> dlq_poison (T3)
+            ("t-3", 3, stale, 1),  # expired (T4)
+        ],
+    )
+    batch1.write.mode("append").parquet(str(staging))
+    _run(spark, staging, out, dlq, ckpt)
+
+    facts = upsert.read_upsert_table(spark, str(out))
+    assert sorted(r.task_id for r in facts.collect()) == ["t-1"]
+    dlq_rows = spark.read.parquet(str(dlq))
+    routes = {r.error.exception_type for r in dlq_rows.collect()}
+    assert routes == {"dlq_poison", "dlq_expired"}
+    # expired tasks are retryable (rescheduled daily in the reference),
+    # poison pills are not
+    assert {
+        (r.error.exception_type, r.error.safe_to_retry) for r in dlq_rows.collect()
+    } == {("dlq_poison", False), ("dlq_expired", True)}
+
+    # second incremental run: only NEW files processed (checkpoint resume,
+    # T2); t-1 redelivery across runs is absorbed by the idempotent upsert
+    batch2 = _tasks(spark, [("t-1", 1, fresh, 3), ("t-4", 4, fresh, 1)])
+    batch2.write.mode("append").parquet(str(staging))
+    _run(spark, staging, out, dlq, ckpt)
+
+    facts2 = upsert.read_upsert_table(spark, str(out))
+    assert sorted(r.task_id for r in facts2.collect()) == ["t-1", "t-4"]
+    # DLQ unchanged by the clean second batch
+    assert spark.read.parquet(str(dlq)).count() == 2
+
+
+def test_transform_hook_applies(spark, tmp_path):
+    staging = tmp_path / "staging"
+    fresh = NOW - dt.timedelta(hours=2)
+    _tasks(spark, [("t-9", 9, fresh, 1)]).write.mode("append").parquet(
+        str(staging)
+    )
+    q = pipeline.run_pipeline_available_now(
+        spark,
+        str(staging),
+        str(tmp_path / "out"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+        transform=lambda df: df.withColumn(
+            "city_sq", F.col("city_id") * F.col("city_id")
+        ),
+    )
+    q.awaitTermination(120)
+    rows = upsert.read_upsert_table(spark, str(tmp_path / "out")).collect()
+    assert rows[0].city_sq == 81

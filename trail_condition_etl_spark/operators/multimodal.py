@@ -1,0 +1,153 @@
+"""[EXT] Multimodal columns: image/audio/video as opaque binary payloads
+with typed metadata (SURVEY.md §2.11).
+
+Design: media BYTES ride in a `payload` BinaryType column next to a
+`meta` struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched `mapInPandas` stages so bytes never round-trip through
+Python row-at-a-time.
+
+The actual codec work is STUBBED (image/audio libraries are not in this
+container): `decode_stub` raises NotImplementedError unless
+`fake=True`, in which case it produces a deterministic fake decode
+(dimensions from the metadata, checksum features from the bytes) so the
+Spark-side plumbing — schema, batch iteration, partition-preserving
+shape — is real and tested end-to-end.
+
+Scale notes: mapInPandas streams Arrow batches (no full-partition
+materialization); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds
+peak memory per batch — for ~MB-sized media set it low (e.g. 32). Media
+tables should be written with small row groups and the metadata struct in
+a separate column chunk so metadata-only queries never read the bytes
+(columnar pruning does this for free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", LongType()),
+                    StructField("codec", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def decode_stub(payload: bytes, media_type: str, fake: bool) -> dict[str, Any]:
+    """The codec seam. Real implementation would dispatch to PIL/ffmpeg;
+    here either raises (honest stub) or derives deterministic fake
+    features from the bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic test decode"
+        )
+    return {
+        "checksum": hashlib.sha256(payload).hexdigest()[:16],
+        "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
+    }
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column. The
+    mapInPandas generator preserves partitioning (no shuffle); output
+    schema is fixed so downstream plans are stable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                d = decode_stub(payload, row["media_type"], fake_decode)
+                meta = row["meta"]
+                feats.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": len(payload),
+                        "checksum": d["checksum"],
+                        "width": None if meta is None else meta["width"],
+                        "height": None if meta is None else meta["height"],
+                        "mean_byte": d["mean_byte"],
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURES_SCHEMA])
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: computes the frame
+    timestamps to extract (pure column math — the decode itself is the
+    stubbed seam). Demonstrates explode over a computed sequence."""
+    video = media.filter(F.col("media_type") == "video")
+    n_frames = F.floor(F.col("meta.duration_ms") / every_ms).cast("int")
+    return video.select(
+        "asset_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: (i * every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synth_media(spark, n: int = 20) -> DataFrame:
+    """Deterministic synthetic media table for tests: payload bytes are
+    zlib-compressed repeats keyed by asset_id."""
+    rows = []
+    types = ["image", "audio", "video"]
+    for i in range(n):
+        mt = types[i % 3]
+        payload = zlib.compress((f"asset-{i}-" * (i + 1)).encode())
+        rows.append(
+            (
+                i,
+                mt,
+                bytearray(payload),
+                (64 + i, 48 + i, 1000 * (i + 1), "fake") if mt != "audio" else (None, None, 1000 * (i + 1), "pcm"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,138 @@
+"""Structured Streaming form of the reference pipeline (SURVEY.md §2.8).
+
+The reference glues its three stages with Redis Streams consumer groups +
+PEL crash recovery + a SQLite outbox + Redis dedup/DLQ. Structured
+Streaming absorbs almost all of it (SURVEY.md §4):
+
+| reference mechanism                      | here                         |
+|------------------------------------------|------------------------------|
+| XREADGROUP batches (S5)                   | file-stream source,          |
+|                                           | maxFilesPerTrigger           |
+| outbox + flush loop (S7/S8)               | checkpoint WAL + micro-batch |
+| PEL stuck-task reclaim (T2)               | checkpoint restart replay    |
+| Redis dedup set (T5)                      | dropDuplicatesWithinWatermark|
+| 24 h task expiry (T4)                     | withWatermark(24 h) + filter |
+| max_delivery_count -> DLQ (T3)            | envelope policy in           |
+|                                           | foreachBatch                 |
+| ack-before-persist loss window (R5)       | gone: one atomic lineage     |
+| cron scheduler one-shot (T9)              | Trigger.AvailableNow         |
+
+The task envelope (_enqueued_ts, _delivery_count) is carried as columns;
+`route_envelope` is the same CASE policy as the batch operator
+(operators/pipeline.py), applied inside the stream.
+
+Sinks go through `foreachBatch` -> idempotent upsert (sinks/upsert.py),
+giving end-to-end effectively-once on top of the at-least-once replay of
+a restarted micro-batch (T1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.pipeline import EXPIRED_TASK_SECONDS, MAX_DELIVERY_COUNT
+from ..sinks import upsert as upsert_sink
+
+ENVELOPE = "task_id STRING, city_id INT, _enqueued_ts TIMESTAMP, _delivery_count INT"
+
+
+def read_task_stream(
+    spark: SparkSession,
+    staging_path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = 10,
+) -> DataFrame:
+    """S5: consumer-group dequeue -> file-stream source over a staging
+    directory; `maxFilesPerTrigger` plays the dequeue batch-size role
+    (reference batch 100 / block 1 s, fetch-weather/src/config.py:39-40)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staging_path)
+
+
+def route_envelope(tasks: DataFrame, now_col: str = "_processed_ts") -> DataFrame:
+    """T3/T4 policy columns on a task frame (batch or streaming):
+    route = dlq_poison | dlq_expired | process."""
+    with_now = tasks.withColumn(now_col, F.current_timestamp())
+    age_s = F.col(now_col).cast("long") - F.col("_enqueued_ts").cast("long")
+    return with_now.withColumn(
+        "route",
+        F.when(F.col("_delivery_count") > MAX_DELIVERY_COUNT, "dlq_poison")
+        .when(age_s > EXPIRED_TASK_SECONDS, "dlq_expired")
+        .otherwise("process"),
+    )
+
+
+def deduped_task_stream(stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """T4+T5: event-time watermark bounds the dedup state (the Redis set
+    never expired in the reference — unbounded state; the watermark is
+    the fix Spark's state store forces you to make explicit)."""
+    return stream.withWatermark("_enqueued_ts", watermark).dropDuplicatesWithinWatermark(
+        ["task_id"]
+    )
+
+
+def run_pipeline_available_now(
+    spark: SparkSession,
+    staging_path: str,
+    out_table: str,
+    dlq_path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    upsert_keys: list[str] | None = None,
+) -> StreamingQuery:
+    """EP2/EP3 skeleton as one incremental pass (T9 Trigger.AvailableNow):
+    staged tasks -> watermark dedup -> envelope routing -> foreachBatch
+    {DLQ append, idempotent upsert of processed rows}.
+
+    Restarting with the same checkpoint resumes from the last committed
+    epoch (T1/T2); a crashed micro-batch replays and the idempotent
+    upsert absorbs the duplicates.
+    """
+    keys = upsert_keys or ["task_id"]
+    stream = deduped_task_stream(
+        read_task_stream(spark, staging_path, ENVELOPE)
+    )
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        routed = route_envelope(batch).persist()
+        try:
+            rejects = routed.filter(F.col("route") != "process").select(
+                "task_id",
+                "city_id",
+                F.to_json(
+                    F.struct("_enqueued_ts", "_delivery_count", "route")
+                ).alias("raw_payload"),
+                F.struct(
+                    F.col("route").alias("exception_type"),
+                    F.lit("envelope policy").alias("message"),
+                    F.lit(None).cast("string").alias("traceback"),
+                    (F.col("route") == "dlq_expired").alias("safe_to_retry"),
+                ).alias("error"),
+            )
+            if rejects.limit(1).count() > 0:
+                upsert_sink.append_dlq(batch.sparkSession, dlq_path, rejects)
+            good = routed.filter(F.col("route") == "process").drop(
+                "route", "_processed_ts"
+            )
+            if transform is not None:
+                good = transform(good)
+            if good.limit(1).count() > 0:
+                upsert_sink.upsert_parquet(
+                    batch.sparkSession, out_table, good, keys
+                )
+        finally:
+            routed.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
