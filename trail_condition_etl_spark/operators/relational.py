@@ -401,3 +401,88 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
 FROM sid
 GROUP BY user_id, session_seq
 """
+
+
+def rollup_volume(
+    region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Hierarchical ROLLUP totals (region -> nation -> grand total):
+    multi-level aggregation the reference would hand-loop; Catalyst
+    expands the grouping sets in one pass. Null group keys are labeled
+    '(all)' so the label is explicit rather than engine-dependent."""
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_scaled("o_totalprice", 2)) / 100.0).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "n_orders",
+            F.round("total_price", 2).alias("total_price"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT
+  COALESCE(r_name, '(all)') AS r_name,
+  COALESCE(n_name, '(all)') AS n_name,
+  COUNT(*) AS n_orders,
+  round(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def string_kit(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """§2.7 string-function kit in one pass: lower/upper (tag compares,
+    client.py:48-50), format_string (URL building, api.py:95-101),
+    sorted-set array_join (label serialization, tasks.py:76), substring
+    and replace."""
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.lower("c_mktsegment").alias("segment_lower"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_set(F.upper("n_name"))), ",").alias(
+                "nations_csv"
+            ),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        F.format_string("cust-%05d", F.col("c_custkey") % 7)
+                    )
+                ),
+                "|",
+            ).alias("bucket_tags"),
+            F.min(F.regexp_replace(F.substring("c_name", 1, 12), "[0-9]+", "#")).alias(
+                "name_pattern"
+            ),
+        )
+    )
+
+
+STRING_KIT_SQL = """
+SELECT
+  lower(c_mktsegment) AS segment_lower,
+  COUNT(*) AS n_customers,
+  list_aggregate(list_sort(list(DISTINCT upper(n_name))), 'string_agg', ',')
+      AS nations_csv,
+  list_aggregate(list_sort(list(DISTINCT printf('cust-%05d', c_custkey % 7))),
+      'string_agg', '|') AS bucket_tags,
+  MIN(regexp_replace(substring(c_name, 1, 12), '[0-9]+', '#', 'g'))
+      AS name_pattern
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY lower(c_mktsegment)
+"""

@@ -322,3 +322,102 @@ SELECT
   concat_ws(',', mud_rule, heat_rule, snowpack_rule, precip_rule) AS labels
 FROM rules
 """
+
+
+def window_readback(events: DataFrame, n_cities: int = 10) -> DataFrame:
+    """J1+J3 in explicit join form: a categorization-task stream (one task
+    per city) equi-joined to the weather facts with interval predicates —
+    historical side restricted to the trailing 2-day window, forecast side
+    to the next 24 h BY EVENT TIME (the range-join reading of
+    `forecast[:24]`; the positional reading lives in the classifier).
+
+    Mirrors categorize-trail-conditions/src/tasks.py:66-73 +
+    client.py:31-56: the per-task HTTP window fetch becomes one join.
+    Catalyst plans it as an equi-join on city_id with the range bounds as
+    residual filters; the task side is tiny -> broadcast.
+    """
+    weather = derive_weather_from_events(events, n_cities)
+    tasks = (
+        weather.select("city_id", "anchor_ts")
+        .distinct()
+        .select(
+            "city_id",
+            "anchor_ts",
+            F.concat(F.lit("task-"), F.col("city_id")).alias("task_id"),
+        )
+    )
+    w = weather.select(
+        F.col("city_id").alias("w_city_id"),
+        "timestamp_utc",
+        "temperature_deg_c",
+        "rain_fall_total_mm",
+        "data_source",
+    )
+    joined = F.broadcast(tasks).join(w, F.col("city_id") == F.col("w_city_id"))
+    hist_start = F.col("anchor_ts") - F.expr("INTERVAL 2 DAYS")
+    fcst_end = F.col("anchor_ts") + F.expr("INTERVAL 24 HOURS")
+    in_hist = (
+        (F.col("data_source") == "HISTORICAL")
+        & (F.col("timestamp_utc") >= hist_start)
+    )
+    in_fcst = (
+        (F.col("data_source") == "FORECAST")
+        & (F.col("timestamp_utc") < fcst_end)
+    )
+    return (
+        joined.filter(in_hist | in_fcst)
+        .groupBy("task_id", "city_id")
+        .agg(
+            F.count(F.when(F.col("data_source") == "HISTORICAL", 1)).alias(
+                "n_hist_2d"
+            ),
+            F.count(F.when(F.col("data_source") == "FORECAST", 1)).alias(
+                "n_fcst_24h"
+            ),
+            F.date_format(F.min("timestamp_utc"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format(F.max("timestamp_utc"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            (_scaled_sum(F.col("data_source") == "FORECAST",
+                         F.col("rain_fall_total_mm")) / SCALE).alias("_r"),
+        )
+        .select(
+            "task_id",
+            "city_id",
+            "n_hist_2d",
+            "n_fcst_24h",
+            "window_start",
+            "window_end",
+            F.round("_r", 4).alias("fcst_rain_24h_mm"),
+        )
+    )
+
+
+WINDOW_READBACK_SQL = f"""
+WITH {WEATHER_CTE},
+tasks AS (
+  SELECT DISTINCT city_id, anchor_ts, 'task-' || city_id AS task_id
+  FROM weather
+),
+joined AS (
+  SELECT t.task_id, t.city_id, t.anchor_ts, w.timestamp_utc,
+         w.rain_fall_total_mm, w.data_source
+  FROM tasks t JOIN weather w ON w.city_id = t.city_id
+  WHERE (w.data_source = 'HISTORICAL'
+         AND w.timestamp_utc >= t.anchor_ts - INTERVAL 2 DAY)
+     OR (w.data_source = 'FORECAST'
+         AND w.timestamp_utc < t.anchor_ts + INTERVAL 24 HOUR)
+)
+SELECT task_id, city_id,
+  COUNT(CASE WHEN data_source = 'HISTORICAL' THEN 1 END) AS n_hist_2d,
+  COUNT(CASE WHEN data_source = 'FORECAST' THEN 1 END) AS n_fcst_24h,
+  strftime(MIN(timestamp_utc), '%Y-%m-%d %H:%M:%S') AS window_start,
+  strftime(MAX(timestamp_utc), '%Y-%m-%d %H:%M:%S') AS window_end,
+  round(COALESCE(SUM(CASE WHEN data_source = 'FORECAST'
+      THEN CAST(round(rain_fall_total_mm * 1000000) AS BIGINT) ELSE 0 END), 0)
+      / 1000000.0, 4) AS fcst_rain_24h_mm
+FROM joined
+GROUP BY task_id, city_id
+"""

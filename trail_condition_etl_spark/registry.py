@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .session import ensure_engine_conf
-from .operators import dedup, pipeline, relational, similarity, text, weather
+from .operators import (
+    asof,
+    dedup,
+    pipeline,
+    relational,
+    similarity,
+    text,
+    weather,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -54,6 +62,12 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 def q_trail_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return weather.classify_events(events)
+
+
+@query("window_readback", oracle=weather.WINDOW_READBACK_SQL)
+def q_window_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return weather.window_readback(events)
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +125,26 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return relational.sessionize(events)
+
+
+@query("rollup_volume", oracle=relational.ROLLUP_SQL)
+def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders = _tables(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    return relational.rollup_volume(region, nation, customer, orders)
+
+
+@query("string_kit", oracle=relational.STRING_KIT_SQL)
+def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation = _tables(spark, sf_dir, "customer", "nation")
+    return relational.string_kit(customer, nation)
+
+
+@query("asof_join", oracle=asof.ASOF_SQL)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return asof.last_purchase_before_error(events)
 
 
 # ---------------------------------------------------------------------------
