@@ -1,0 +1,64 @@
+"""Physical-plan shape tests: the scale-safety assertions behind the
+headline queries. A correctness-preserving change that breaks one of
+these (drops a pushdown, un-broadcasts a dim, adds a Python row UDF)
+is a performance regression at 100 TB even though rows still match.
+"""
+
+from __future__ import annotations
+
+from trail_condition_etl_spark import plans
+from trail_condition_etl_spark import registry
+from conftest import SF_DIR
+
+
+def _q(spark, name):
+    return registry.queries()[name](spark, SF_DIR)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = _q(spark, "pricing_summary")
+    assert plans.has_pushed_filters(df), "shipdate filter must reach the scan"
+    schemas = plans.scan_read_schemas(df)
+    # column pruning: the 11-column lineitem scan must read only the 7 used
+    assert all("l_orderkey" not in s for s in schemas)
+    assert all("l_partkey" not in s for s in schemas)
+
+
+def test_region_volume_broadcasts_dims(spark):
+    df = _q(spark, "region_volume")
+    # customer, supplier, nation, region all broadcast
+    assert plans.count_broadcasts(df) >= 4
+    # the only shuffles: lineitem<->orders join + final small agg
+    assert plans.count_exchanges(df) <= 4
+
+
+def test_shipping_priority_broadcasts_customer(spark):
+    df = _q(spark, "shipping_priority")
+    assert plans.count_broadcasts(df) >= 1
+    assert plans.has_pushed_filters(df)
+
+
+def test_classifier_single_fact_shuffle(spark):
+    df = _q(spark, "trail_classifier")
+    # window exchange + tiny post-agg exchange + 1-row anchor agg exchange;
+    # anything more means the fact table is being reshuffled needlessly
+    assert plans.count_exchanges(df) <= 3
+    assert not plans.uses_python_row_udf(df)
+
+
+def test_no_python_row_udfs_anywhere(spark):
+    for name, fn in registry.queries().items():
+        df = fn(spark, SF_DIR)
+        assert not plans.uses_python_row_udf(df), (
+            f"{name} evaluates a row-at-a-time Python UDF"
+        )
+
+
+def test_headline_plans_use_codegen_capable_aggregates(spark):
+    # HashAggregate participates in WholeStageCodegen; SortAggregate /
+    # ObjectHashAggregate fall out of it. (Direct codegen-subtree counting
+    # is unavailable pre-execution under AQE.)
+    for name in ["pricing_summary", "trail_classifier", "moving_avg"]:
+        df = _q(spark, name)
+        assert "HashAggregate" in plans.simple_plan(df) or "Window" in plans.simple_plan(df), name
+        assert "SortAggregate" not in plans.simple_plan(df), name

@@ -1,0 +1,68 @@
+"""Plan-inspection utilities: assert that a DataFrame's physical plan has
+the shape the engine intends (pushdown reached the scan, dims broadcast,
+no Python row-at-a-time evaluation, bounded exchange count).
+
+These exist because "the query returns the right rows" does not prove
+"the plan survives 100×the data". The test suite runs these assertions on
+the headline queries so a regression that silently turns a broadcast join
+into a shuffled SMJ, or drops a filter below the scan, fails CI — not the
+cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (broadcast exchanges excluded)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def count_broadcasts(df: DataFrame) -> int:
+    plan = formatted_plan(df)
+    return len(re.findall(r"BroadcastExchange", plan))
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if at least one parquet scan carries pushed filters."""
+    plan = formatted_plan(df)
+    return bool(re.search(r"PushedFilters: \[(?!\])", plan))
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every parquet scan — verifies column pruning."""
+    plan = formatted_plan(df)
+    return re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
+
+
+def uses_python_row_udf(df: DataFrame) -> bool:
+    """True if the plan contains row-at-a-time Python evaluation
+    (BatchEvalPython). Arrow-batched eval (ArrowEvalPython / mapInPandas)
+    is allowed; plain UDFs in a hot path are not."""
+    return "BatchEvalPython" in simple_plan(df)
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees (explain mode 'codegen' —
+    the AQE formatted plan hides the spans before execution)."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0
