@@ -196,6 +196,171 @@ def combine_window(historical: DataFrame, forecast: DataFrame) -> DataFrame:
     return historical.unionByName(forecast)
 
 
+def _prop_k() -> Column:
+    return F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+
+
+def synth_daily_raw(events: DataFrame) -> DataFrame:
+    """Deterministic OWM day_summary payloads derived from the events
+    table, so the P1/P7/S14 path is exercisable against a SQL oracle:
+
+    * ``error`` events -> unparseable payload (P7 corrupt branch);
+    * ``view`` events  -> missing ``temperature.max`` (required-field DLQ);
+    * ``purchase``     -> precipitation present, else absent (default 0.0);
+    * even ``props.k`` -> wind present, else absent (default 0.0).
+
+    ``to_json`` drops null struct fields (ignoreNullFields), which is
+    exactly the absent-key shape the reference's ``.get`` chains guard
+    against (fetch-weather/src/api.py:58-59)."""
+    k = _prop_k()
+    body = F.to_json(
+        F.struct(
+            F.lit(10.0).alias("lat"),
+            F.lit(20.0).alias("lon"),
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            F.when(
+                F.col("event_type") != "view",
+                F.struct(F.col("value").alias("max")),
+            ).alias("temperature"),
+            F.when(
+                k % 2 == 0,
+                F.struct(
+                    F.struct((F.col("value") / 2).alias("speed")).alias("max")
+                ),
+            ).alias("wind"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct((F.col("value") / 4).alias("total")),
+            ).alias("precipitation"),
+        )
+    )
+    payload = (
+        F.when(F.col("event_type") == "error", F.lit("{not json"))
+        .otherwise(body)
+    )
+    return events.select(
+        F.col("user_id").alias("city_id"), payload.alias("payload")
+    )
+
+
+def ingest_flatten_query(events: DataFrame) -> DataFrame:
+    """P1 end-to-end: synthesize raw JSON -> parse (PERMISSIVE) -> validate
+    -> flatten with coalesce defaults. Narrow pipeline, no shuffle."""
+    flat = flatten_daily(parse_daily(synth_daily_raw(events)))
+    return flat.select(
+        "city_id",
+        F.date_format("timestamp_utc", "yyyy-MM-dd").alias("day"),
+        "temperature_deg_c",
+        "rain_fall_total_mm",
+        "wind_speed_mps",
+        "data_source",
+    )
+
+
+INGEST_FLATTEN_SQL = """
+SELECT user_id AS city_id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       value AS temperature_deg_c,
+       CASE WHEN event_type = 'purchase' THEN value / 4 ELSE 0.0 END
+           AS rain_fall_total_mm,
+       CASE WHEN COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+                 % 2 = 0 THEN value / 2 ELSE 0.0 END AS wind_speed_mps,
+       'HISTORICAL' AS data_source
+FROM events
+WHERE event_type NOT IN ('view', 'error')
+"""
+
+
+def ingest_rejects_query(events: DataFrame) -> DataFrame:
+    """P7/S14 end-to-end: the DLQ split of the same synthetic payloads,
+    aggregated per (city, exception_type) for a stable parity shape."""
+    rej = daily_rejects(parse_daily(synth_daily_raw(events)))
+    return rej.groupBy(
+        "city_id", F.col("error.exception_type").alias("exception_type")
+    ).agg(F.count(F.lit(1)).alias("n_rejected"))
+
+
+INGEST_REJECTS_SQL = """
+SELECT user_id AS city_id,
+       CASE WHEN event_type = 'error' THEN 'MalformedPayloadError'
+            ELSE 'MissingRequiredFieldError' END AS exception_type,
+       COUNT(*) AS n_rejected
+FROM events
+WHERE event_type IN ('error', 'view')
+GROUP BY 1, 2
+"""
+
+
+def synth_onecall_raw(events: DataFrame) -> DataFrame:
+    """Deterministic OWM onecall payloads: one document per city whose
+    ``hourly[]`` array carries that city's events (epoch seconds, temp =
+    value; rain struct only for even ``props.k`` — the null-dict guard;
+    wind_speed only for ``props.k % 3 == 0``; ``error`` events get a null
+    temp so the required-field filter bites)."""
+    k = _prop_k()
+    item = F.struct(
+        F.unix_timestamp("ts").alias("dt"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("temp"),
+        F.when(k % 3 == 0, F.col("value") / 2).alias("wind_speed"),
+        F.when(k % 2 == 0, F.struct((F.col("value") / 4).alias("1h"))).alias(
+            "rain"
+        ),
+    )
+    return events.groupBy(F.col("user_id").alias("city_id")).agg(
+        F.to_json(
+            F.struct(
+                F.lit(10.0).alias("lat"),
+                F.lit(20.0).alias("lon"),
+                F.collect_list(item).alias("hourly"),
+            )
+        ).alias("payload")
+    )
+
+
+def ingest_explode_query(events: DataFrame) -> DataFrame:
+    """P2+P3+S4 end-to-end: onecall JSON -> explode(hourly) -> epoch->ts,
+    coalesce defaults, and the [first-hour, +48h) range filter. Epoch
+    seconds in the output keep the parity timezone-free."""
+    flat = flatten_hourly(parse_onecall(synth_onecall_raw(events)))
+    return flat.select(
+        "city_id",
+        F.unix_timestamp("timestamp_utc").alias("ts_epoch_s"),
+        "temperature_deg_c",
+        "rain_fall_total_mm",
+        "wind_speed_mps",
+        "data_source",
+    )
+
+
+INGEST_EXPLODE_SQL = """
+WITH h AS (
+  SELECT user_id AS city_id,
+         epoch_us(ts) // 1000000 AS es,
+         CASE WHEN event_type <> 'error' THEN value END AS temp,
+         CASE WHEN COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                            0) % 2 = 0 THEN value / 4 ELSE 0.0 END AS rain,
+         CASE WHEN COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                            0) % 3 = 0 THEN value / 2 ELSE 0.0 END AS wind
+  FROM events
+),
+v AS (SELECT * FROM h WHERE temp IS NOT NULL),
+s AS (
+  SELECT *, MIN(es // 3600 * 3600) OVER (PARTITION BY city_id) AS start_s
+  FROM v
+)
+SELECT city_id,
+       es AS ts_epoch_s,
+       temp AS temperature_deg_c,
+       rain AS rain_fall_total_mm,
+       wind AS wind_speed_mps,
+       'FORECAST' AS data_source
+FROM s
+WHERE es >= start_s AND es < start_s + 172800
+"""
+
+
 def derive_categorization_tasks(
     ingestion_tasks: DataFrame, now: Column
 ) -> DataFrame:

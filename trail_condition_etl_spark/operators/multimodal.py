@@ -134,6 +134,46 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media table over the driver's documents table:
+    payload = UTF-8 bytes of the text, media_type cycles by doc_id, meta
+    synthesized from n_chars. Gives the multimodal path a real
+    sf-scaled input instead of only the tiny synthetic fixture."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def media_features_query(documents: DataFrame) -> DataFrame:
+    """Registered-query form: binary payloads -> Arrow-batched
+    mapInPandas feature extraction -> SQL-checkable projection (byte
+    length + sha256 prefix; the decode itself is the stubbed seam)."""
+    feats = extract_features(media_from_documents(documents), fake_decode=True)
+    return feats.select("asset_id", "media_type", "n_bytes", "checksum")
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS checksum
+FROM documents
+"""
+
+
 def synth_media(spark, n: int = 20) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes are
     zlib-compressed repeats keyed by asset_id."""

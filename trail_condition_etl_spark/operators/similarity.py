@@ -146,6 +146,56 @@ FROM base GROUP BY label
 """
 
 
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.42
+) -> DataFrame:
+    """[EXT] Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    entry in SURVEY.md §2.11): all (a, b) with a.vec_id < b.vec_id and
+    round(cosine, 6) >= threshold.
+
+    This is the EXACT O(n^2) form — right as the oracle-checkable
+    baseline and for per-bucket use. At 100 TB you never run it on the
+    full corpus: pre-bucket with the random-hyperplane signature
+    (`_hyperplane_signature`, as in `ann_lsh_topk`) and run this exact
+    pairing within buckets only, which is the same candidate-pair
+    structure MinHash-LSH uses in operators/dedup.py."""
+    base = with_norm(embeddings)
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb_d").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb_d").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.42
+"""
+
+
 def _hyperplane_signature(emb_d: Column) -> Column:
     """16-bit random-hyperplane signature without any stored planes:
     pseudo-random ±1 plane coefficients are derived per (bit, dim) from a

@@ -22,6 +22,8 @@ from .session import ensure_engine_conf
 from .operators import (
     asof,
     dedup,
+    ingestion,
+    multimodal,
     pipeline,
     relational,
     similarity,
@@ -148,6 +150,30 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EP2 ingestion transform (SURVEY §2.1/§2.2): JSON parse -> flatten ->
+# explode -> range filter, with the P7/S14 DLQ split
+# ---------------------------------------------------------------------------
+
+
+@query("ingest_flatten", oracle=ingestion.INGEST_FLATTEN_SQL)
+def q_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return ingestion.ingest_flatten_query(events)
+
+
+@query("ingest_rejects", oracle=ingestion.INGEST_REJECTS_SQL)
+def q_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return ingestion.ingest_rejects_query(events)
+
+
+@query("ingest_explode", oracle=ingestion.INGEST_EXPLODE_SQL)
+def q_ingest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return ingestion.ingest_explode_query(events)
+
+
+# ---------------------------------------------------------------------------
 # Pipeline semantics (SURVEY §2.8/§2.9, EP1): DLQ policy, dedup, scheduler,
 # JSON/scalar kits
 # ---------------------------------------------------------------------------
@@ -247,6 +273,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.embedding_stats(embeddings)
+
+
+@query("embedding_near_dup", oracle=similarity.EMBEDDING_NEAR_DUP_SQL)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(embeddings)
+
+
+@query("media_features", oracle=multimodal.MEDIA_FEATURES_SQL)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.media_features_query(documents)
 
 
 @query("ann_lsh_topk")  # approximate: no SQL oracle; rows-only driver check
