@@ -50,6 +50,39 @@ def _norm(v):
     return v
 
 
+def _arrow_type_name(t) -> str:
+    """Normalized arrow type label: width-sensitive (int32 != int64 !=
+    decimal128) so DuckDB's HUGEINT widening of integer SUMs is caught
+    locally, the way the driver's value-hash catches it."""
+    s = str(t)
+    if s == "large_string":
+        return "string"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    # int width (32 vs 64) is tolerated by the driver's hash (round-1
+    # cosine_topk passed with Spark int32 rk vs DuckDB int64); what fails
+    # it is HUGEINT -> decimal128/float coercion, which stays distinct.
+    if s in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"):
+        return "int"
+    if s.startswith("large_list<") or s.startswith("list<"):
+        inner = s.split("<", 1)[1].rsplit(">", 1)[0]
+        if ":" in inner:
+            inner = inner.split(":", 1)[1].strip()
+        return f"list<{_arrow_type_name(inner)}>"
+    return s
+
+
+def assert_arrow_types_match(spark_df, ddb_arrow):
+    """Compare physical (arrow) column types between engines by name."""
+    s_fields = {f.name: _arrow_type_name(f.type) for f in spark_df.toArrow().schema}
+    d_fields = {f.name: _arrow_type_name(f.type) for f in ddb_arrow.schema}
+    for name in sorted(d_fields):
+        assert s_fields.get(name) == d_fields[name], (
+            f"column `{name}` type width mismatch: "
+            f"spark={s_fields.get(name)} duckdb={d_fields[name]}"
+        )
+
+
 def assert_frames_match(spark_df, ddb_rows, ddb_cols):
     """Order-insensitive comparison of a Spark DataFrame vs DuckDB result."""
     s_cols = spark_df.columns

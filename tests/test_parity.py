@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_DIR, assert_frames_match
+from conftest import SF_DIR, assert_arrow_types_match, assert_frames_match
 
 import __spark_entry__ as entrymod
 
@@ -22,9 +22,13 @@ def _oracle_cases():
 def test_oracle_parity(name, spark, ddb):
     qfn = entrymod.queries()[name]
     sdf = qfn(spark, SF_DIR)
-    res = ddb.execute(entrymod.oracle_sql()[name])
-    ddb_cols = [d[0] for d in res.description]
-    assert_frames_match(sdf, res.fetchall(), ddb_cols)
+    d_arrow = ddb.execute(entrymod.oracle_sql()[name]).arrow()
+    # physical type widths must match (DuckDB HUGEINT-widening of integer
+    # SUMs fails the driver's value-hash even when values are identical)
+    assert_arrow_types_match(sdf, d_arrow)
+    ddb_cols = d_arrow.schema.names
+    ddb_rows = [tuple(d.values()) for d in d_arrow.to_pylist()]
+    assert_frames_match(sdf, ddb_rows, ddb_cols)
 
 
 def test_entry_smoke(spark):

@@ -231,7 +231,7 @@ def json_props_stats(events: DataFrame) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-  SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS sum_k,
+  CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
   MIN(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS min_k,
   MAX(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS max_k
 FROM events

@@ -82,7 +82,7 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
 PRICING_SUMMARY_SQL = """
 SELECT
   l_returnflag, l_linestatus,
-  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
   round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
   round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
   round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_charge,
@@ -391,8 +391,9 @@ flagged AS (
   FROM events_us
 ),
 sid AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  -- CAST: DuckDB widens integer SUM to HUGEINT; Spark emits BIGINT
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

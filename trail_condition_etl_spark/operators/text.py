@@ -45,9 +45,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         # BPE-ish proxy: ~4 chars per subword token, per word
         F.aggregate(
             F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
@@ -62,8 +62,8 @@ SELECT doc_id, lang,
   len(string_split(text, ' ')) AS n_tokens,
   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
   length(text) AS n_chars_actual,
-  list_sum(list_transform(string_split(text, ' '),
-      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_bpeish_tokens
+  CAST(list_sum(list_transform(string_split(text, ' '),
+      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens
 FROM documents
 """
 
@@ -239,7 +239,7 @@ vocab AS (
   FROM (SELECT DISTINCT token FROM toks)
 )
 SELECT t.doc_id,
-  SUM((t.pos + 1) * v.token_id) % 1000003 AS fingerprint,
+  CAST(SUM((t.pos + 1) * v.token_id) % 1000003 AS BIGINT) AS fingerprint,
   COUNT(*) AS n_tokens
 FROM toks t JOIN vocab v USING (token)
 GROUP BY t.doc_id
