@@ -44,3 +44,21 @@ def test_frame_sample_plan(spark):
     assert sorted(by_asset) == [2, 5, 8]
     assert sorted(by_asset[2]) == [0, 1000, 2000]
     assert len(by_asset[8]) == 9
+
+
+def test_frame_sample_short_video_emits_no_frames(spark):
+    # duration_ms < every_ms must yield ZERO rows, not the bogus
+    # [0, -every_ms] pair that sequence(0, -1)'s default -1 step produces
+    media = multimodal.synth_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=10_000)
+    rows = plan.collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_ts_ms)
+    # durations: asset 2 -> 3000ms, 5 -> 6000ms, 8 -> 9000ms; all < 10s
+    assert by_asset == {}
+    # at a coarser interval only the longest clips survive
+    some = multimodal.frame_sample_plan(media, every_ms=5000).collect()
+    got = {r.asset_id for r in some}
+    assert got == {5, 8}
+    assert all(r.frame_ts_ms >= 0 for r in some)

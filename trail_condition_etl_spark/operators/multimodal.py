@@ -121,13 +121,18 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: computes the frame
     timestamps to extract (pure column math — the decode itself is the
     stubbed seam). Demonstrates explode over a computed sequence."""
-    video = media.filter(F.col("media_type") == "video")
+    # duration < every_ms would make n_frames 0 and sequence(0, -1) count
+    # DOWN (Spark defaults the step to -1), emitting two bogus frames —
+    # so short clips are filtered out before the sequence is built
+    video = media.filter(
+        (F.col("media_type") == "video") & (F.col("meta.duration_ms") >= every_ms)
+    )
     n_frames = F.floor(F.col("meta.duration_ms") / every_ms).cast("int")
     return video.select(
         "asset_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), n_frames - 1),
+                F.sequence(F.lit(0), n_frames - 1, F.lit(1)),
                 lambda i: (i * every_ms).cast("long"),
             )
         ).alias("frame_ts_ms"),

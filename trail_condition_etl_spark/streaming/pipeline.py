@@ -116,14 +116,14 @@ def run_pipeline_available_now(
                     (F.col("route") == "dlq_expired").alias("safe_to_retry"),
                 ).alias("error"),
             )
-            if rejects.limit(1).count() > 0:
+            if not rejects.isEmpty():
                 upsert_sink.append_dlq(batch.sparkSession, dlq_path, rejects)
             good = routed.filter(F.col("route") == "process").drop(
                 "route", "_processed_ts"
             )
             if transform is not None:
                 good = transform(good)
-            if good.limit(1).count() > 0:
+            if not good.isEmpty():
                 upsert_sink.upsert_parquet(
                     batch.sparkSession, out_table, good, keys
                 )
