@@ -1,0 +1,60 @@
+"""Dedup-operator invariants that the SQL oracle can't see: the xxhash64
+production variants must agree with the Horner-hash (oracle-checked)
+variants, since both are id-assignments over the same shingle sets."""
+
+from __future__ import annotations
+
+from trail_condition_etl_spark import catalog
+from trail_condition_etl_spark.operators import dedup, text
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return catalog.load_table(spark, SF_DIR, "documents")
+
+
+def test_minhash_xxhash_agrees_with_horner(spark):
+    """Near-dup PAIR SET equality between hash families. The minhash
+    signatures differ (different hash values) so the LSH candidate sets
+    can differ at the margin — but every true near-dup pair (jaccard >=
+    threshold, and the planted pairs sit at >=0.9 vs 0.03 background)
+    must surface under both."""
+    docs = _docs(spark)
+    horner = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_pairs(docs).collect()
+    }
+    xx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_pairs(docs, use_xxhash=True).collect()
+    }
+    assert horner == xx, (
+        f"pair sets diverge: only-horner={horner - xx} only-xxhash={xx - horner}"
+    )
+    assert len(horner) > 0, "corpus has planted near-dups; none found"
+
+
+def test_doc_fingerprint_fast_shape_and_determinism(spark):
+    docs = _docs(spark)
+    fast = text.doc_fingerprint_fast(docs)
+    rows = {r.doc_id: (r.fingerprint, r.n_tokens) for r in fast.collect()}
+    slow = {
+        r.doc_id: (r.fingerprint, r.n_tokens)
+        for r in text.doc_fingerprint(docs).collect()
+    }
+    # same docs, same token counts; fingerprints differ (different hash)
+    assert rows.keys() == slow.keys()
+    assert all(rows[d][1] == slow[d][1] for d in rows)
+    # deterministic across evaluations
+    again = {r.doc_id: (r.fingerprint, r.n_tokens) for r in fast.collect()}
+    assert rows == again
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    docs = _docs(spark)
+    dups = dedup.exact_dedup(docs).filter("n_copies > 1").collect()
+    total = docs.count()
+    uniq = dedup.exact_dedup(docs).count()
+    assert uniq <= total
+    # every group accounts for its copies
+    assert sum(r.n_copies for r in dedup.exact_dedup(docs).collect()) == total
+    assert all(r.n_copies >= 2 for r in dups)

@@ -54,6 +54,17 @@ def test_no_python_row_udfs_anywhere(spark):
         )
 
 
+def test_no_single_partition_exchange_anywhere(spark):
+    # a partition-less global sort/window funnels the whole input through
+    # ONE task — nothing registered may carry one (the round-1 vocabulary
+    # rank id did; shingle/token ids are now map-side hashes)
+    for name, fn in registry.queries().items():
+        df = fn(spark, SF_DIR)
+        assert not plans.has_single_partition_exchange(df), (
+            f"{name} plans an Exchange SinglePartition (global sort)"
+        )
+
+
 def test_headline_plans_use_codegen_capable_aggregates(spark):
     # HashAggregate participates in WholeStageCodegen; SortAggregate /
     # ObjectHashAggregate fall out of it. (Direct codegen-subtree counting

@@ -4,28 +4,36 @@ exact, MinHash+LSH near-dup, n-gram Jaccard, SimHash.
 Shingling: token 3-grams (discriminative on this corpus: planted near-dup
 pairs sit at Jaccard ≥0.95 vs ≈0.03 background).
 
-Two id assignment strategies for shingles:
-* oracle path — vocabulary rank (row_number over sorted distinct
-  shingles): engine-independent, used by every oracle-checked query here.
-  The global sort is the known scale bottleneck.
-* production path — xxhash64(shingle): no vocabulary, no global sort,
-  pure map-side; `minhash_pairs(..., use_xxhash=True)`. Same algorithm,
-  different hash family; not oracle-checkable because DuckDB's hash
-  differs.
+Shingle ids are `hashing.char_poly_hash` — a Horner character fold that is
+pure map-side arithmetic AND reproducible in DuckDB, so every query here
+is both scale-safe (no vocabulary, no global sort, no driver broadcast)
+and oracle-checked. An xxhash64 variant (`use_xxhash=True`) is kept for
+production corpora that want a 64-bit hash range; it is checked against
+the default path by pair-set equality in tests, not by the SQL oracle.
 
-Scale shape of MinHash LSH: explode to (doc, shingle) [narrow] ->
-per-doc signature [one shuffle on doc_id] -> band explode [narrow] ->
-self-join on (band, key) [shuffle on band-key — the LSH point: joins only
-collide within buckets] -> Jaccard verify restricted to candidates
-[semi-join-sized work, not O(n²)].
+Scale shape of MinHash LSH — deliberately shuffle-free until the LSH
+join:
+* shingling, shingle-id hashing, the 8 minhash mins, and the band keys
+  are all per-row array expressions (zip_with / transform / array_min
+  inside WholeStageCodegen) — NARROW: a 1000-executor scan computes
+  signatures with zero exchanges;
+* the only wide ops are the LSH candidate self-join on (band, key) —
+  the point of LSH: joins collide only within buckets — and the
+  Jaccard verify restricted to candidate pairs (semi-join-sized, not
+  O(n²)).
+Reference behavior replicated: near-duplicate suppression of re-fetched
+content (the reference dedups task_ids via a Redis set,
+categorize-trail-conditions/src/db.py:24-27; these operators are the
+content-level generalization the north-star extension asks for).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-PRIME = 1_000_003
+from .hashing import PRIME, char_poly_hash, char_poly_hash_sql
+
 # (a, b) pairs for the 8 minhash permutations h_i(x) = (a*x + b) mod PRIME.
 # a >> PRIME/max_sid so the product wraps the modulus many times — with
 # small coefficients h_i would be monotone in x and every permutation
@@ -45,35 +53,38 @@ SIMHASH_BITS = 16
 SIMHASH_A, SIMHASH_B = 374_761, 15_485_863
 
 
-def _tokens(documents: DataFrame) -> DataFrame:
+def _sid_array(use_xxhash: bool = False, n: int = 3) -> Column:
+    """Per-row array of shingle ids: token n-gram shingles stitched with
+    zip_with over sliced token arrays (narrow, O(len) per doc — no
+    explode, no window sort), distinct-ed, then hashed.
+
+    Multiset semantics on hash collision (two distinct shingles sharing
+    an id keep both array slots) — mirrored exactly by the oracle CTE.
+    """
+    toks = F.split("text", " ")
+    grams = toks
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+    sh = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+    if use_xxhash:
+        return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(PRIME)))
+    return F.transform(sh, lambda s: char_poly_hash(s))
+
+
+def shingle_ids(documents: DataFrame, use_xxhash: bool = False) -> DataFrame:
+    """(doc_id, sid) exploded form, for set-intersection joins."""
     return documents.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        "doc_id", F.explode(_sid_array(use_xxhash)).alias("sid")
     )
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per document: posexplode the token
-    array once, then `lead()` over (doc_id, pos) stitches the n-gram.
-
-    (A higher-order `transform` with `element_at(split(...), i)` looks
-    cheaper — no shuffle — but re-evaluates the split per element, going
-    O(len²) per document; the lead() form is one sort per doc partition
-    and scales linearly.)"""
-    toks = documents.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("token")] + [F.lead("token", k).over(w) for k in range(1, n)]
-    last = F.lead("token", n - 1).over(w)
-    return (
-        toks.select("doc_id", F.concat_ws("_", *parts).alias("shingle"), last.alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
-
-
-SHINGLES_CTE = """
+# Oracle CTE: same shingle multiset via pos self-joins + the same Horner
+# hash (vocabulary-free — parity with the map-side Spark path).
+SHINGLES_CTE = f"""
 toks AS (
   SELECT doc_id,
     unnest(string_split(text, ' ')) AS token,
@@ -87,30 +98,8 @@ sh_raw AS (
   JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
-vocab AS (
-  SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh)
-),
-ids AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (shingle))
+ids AS (SELECT doc_id, {char_poly_hash_sql('shingle')} AS sid FROM sh)
 """
-
-
-def _shingle_ids(documents: DataFrame, use_xxhash: bool) -> DataFrame:
-    """(doc_id, sid) with sid either vocabulary rank or xxhash64."""
-    sh = shingles(documents)
-    if use_xxhash:
-        return sh.select(
-            "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(PRIME)).alias("sid")
-        )
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .select(
-            "shingle",
-            F.row_number().over(Window.orderBy("shingle")).cast("long").alias("sid"),
-        )
-    )
-    return sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -135,14 +124,25 @@ FROM documents GROUP BY text
 """
 
 
-def minhash_signatures(documents: DataFrame, use_xxhash: bool = False) -> DataFrame:
-    """Per-doc MinHash signature: m_i = min over shingles of (a_i*sid+b_i) mod P."""
-    ids = _shingle_ids(documents, use_xxhash)
-    aggs = [
-        F.min((F.col("sid") * a + b) % PRIME).alias(f"m{i}")
+def _signed(documents: DataFrame, use_xxhash: bool) -> DataFrame:
+    """(doc_id, sids, n, m0..m7) — everything narrow, computed in one
+    projection over the scan; docs with <3 tokens (empty shingle set)
+    are dropped, matching the oracle's join semantics."""
+    docs = documents.select(
+        "doc_id", _sid_array(use_xxhash).alias("sids")
+    ).withColumn("n", F.size("sids"))
+    sig_cols = [
+        F.array_min(
+            F.transform("sids", lambda s: (s * a + b) % PRIME)
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return ids.groupBy("doc_id").agg(*aggs)
+    return docs.filter(F.col("n") >= 1).select("doc_id", "sids", "n", *sig_cols)
+
+
+def minhash_signatures(documents: DataFrame, use_xxhash: bool = False) -> DataFrame:
+    """Per-doc MinHash signature: m_i = min over shingles of (a_i*sid+b_i) mod P."""
+    return _signed(documents, use_xxhash).drop("sids", "n")
 
 
 def minhash_pairs(
@@ -153,20 +153,14 @@ def minhash_pairs(
     """MinHash + LSH near-duplicate pairs, Jaccard-verified.
 
     Band into N_BANDS bands of 2 rows; candidate pairs share any band;
-    true Jaccard (on shingle sets) computed only for candidates and
+    true Jaccard (on shingle-id sets) computed only for candidates and
     filtered at `threshold`. Deterministic: banding is a pure function of
     the signatures, so the oracle finds the identical candidate set.
     """
-    # shingle-ids feed both the signatures and the Jaccard verify: persist
-    # so the shingling (and, on the oracle path, the vocabulary sort+join)
-    # runs once, not twice
-    ids = _shingle_ids(documents, use_xxhash).persist()
-    aggs = [
-        F.min((F.col("sid") * a + b) % PRIME).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    sig = ids.groupBy("doc_id").agg(*aggs)
-    bands = sig.select(
+    # signatures + shingle ids are one narrow projection; persist so the
+    # band branch and the two verify branches scan it once
+    base = _signed(documents, use_xxhash).persist()
+    bands = base.select(
         "doc_id",
         F.explode(
             F.array(
@@ -195,7 +189,8 @@ def minhash_pairs(
         )
         .distinct()
     )
-    counts = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ids = base.select("doc_id", F.explode("sids").alias("sid"))
+    counts = base.select("doc_id", "n")
     ia = ids.toDF("doc_a", "sid")
     ib = ids.toDF("doc_b", "sid_b")
     common = (
@@ -206,8 +201,8 @@ def minhash_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        common.join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -271,7 +266,7 @@ def ngram_jaccard_sample(documents: DataFrame, modulo: int = 2) -> DataFrame:
     Output every pair with jaccard >= 0.05 (background similarity in the
     corpus is ~0.03; planted near-dups are >=0.9)."""
     sample = documents.filter(F.col("doc_id") % modulo == 0)
-    ids = _shingle_ids(sample, use_xxhash=False)
+    ids = shingle_ids(sample)
     counts = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ids.select(F.col("doc_id").alias("doc_a"), "sid")
     b = ids.select(F.col("doc_id").alias("doc_b"), "sid")
@@ -282,8 +277,8 @@ def ngram_jaccard_sample(documents: DataFrame, modulo: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        common.join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -316,23 +311,32 @@ WHERE round(n_common * 1.0 / (na.n + nb.n - n_common), 6) >= 0.05
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """SimHash: 16-bit signature from shingle-id hashes. For each bit j,
-    sum +1/-1 over shingles by bit j of h(sid); signature bit j is 1 when
-    the sum is positive. One aggregation, 16 conditional sums."""
-    ids = _shingle_ids(documents, use_xxhash=False)
-    h = (F.col("sid") * SIMHASH_A + SIMHASH_B) % PRIME
-    bit_sums = [
-        F.sum(
-            F.when(((h / (2**j)).cast("long") % 2) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = ids.groupBy("doc_id").agg(*bit_sums)
+    """SimHash: 16-bit signature from shingle-id hashes, computed per-row
+    with array expressions (narrow — no explode, no shuffle at all). For
+    each bit j, sum +1/-1 over shingles by bit j of h(sid); signature bit
+    j is 1 when the sum is positive. Docs with no shingles are dropped,
+    matching the oracle's group-by-over-ids semantics."""
+    sids = _sid_array(use_xxhash=False)
+    h = lambda s: (s * SIMHASH_A + SIMHASH_B) % PRIME  # noqa: E731
     sig = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, 2**j).otherwise(0)
+        bit_sum = F.aggregate(
+            F.transform(
+                F.col("sids"),
+                lambda s: F.when(
+                    ((h(s) / (2**j)).cast("long") % 2) == 1, 1
+                ).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(bit_sum > 0, 2**j).otherwise(0)
         sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+    return (
+        documents.select("doc_id", sids.alias("sids"))
+        .filter(F.size("sids") >= 1)
+        .select("doc_id", sig.cast("long").alias("simhash"))
+    )
 
 
 def _simhash_sql() -> str:

@@ -6,18 +6,20 @@ All computed with built-in `pyspark.sql.functions` (JVM-side, codegen'd);
 no Python UDFs anywhere. Array work uses higher-order functions
 (transform/filter/aggregate), which run inside WholeStageCodegen.
 
-Scale: every operator here is embarrassingly parallel per-document (narrow
-maps) except the fingerprint vocabulary, which is a distinct + join. The
-oracle-checkable fingerprint uses a sorted-vocabulary id (global
-row_number — fine at test scale, a bottleneck at 100 TB); the production
-path is `xxhash64(token)` (no global sort, no vocab join) — both are
-provided, only the former is oracle-checked since DuckDB's hash differs.
+Scale: every operator here is embarrassingly parallel per-document
+(narrow maps) — including the fingerprint, whose token ids are the
+cross-engine Horner char hash (operators/hashing.py): no vocabulary, no
+global sort, no shuffle before the (optional) per-doc aggregation, and
+still oracle-checked. An xxhash64 variant (`doc_fingerprint_fast`) is
+kept for corpora wanting a 64-bit hash range.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .hashing import char_poly_hash, char_poly_hash_sql
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -195,65 +197,65 @@ LANGUAGE_ID_SQL = _langid_sql()
 
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprinting via position-weighted polynomial over
-    vocabulary token-ids, mod a prime — a rolling-hash-style content
-    fingerprint that is oracle-checkable (the vocabulary id is a global
-    sort rank, identical in any engine).
+    Horner-hashed token ids, mod a prime — a rolling-hash-style content
+    fingerprint.
 
-    fp(doc) = sum_i ((pos_i + 1) * token_id_i) mod 1_000_003
+    fp(doc) = sum_i ((pos_i + 1) * h(token_i)) mod 1_000_003
 
-    Production variant: replace token_id with xxhash64(token) & mask (no
-    vocab build, no global sort) — see `doc_fingerprint_fast`.
+    Entirely per-row (zip_with the token array with its index sequence,
+    fold) — a narrow map over the scan, no explode/shuffle at any scale;
+    the identical arithmetic runs in DuckDB, so it stays oracle-checked.
     """
-    toks = documents.select(
-        "doc_id", F.posexplode(_toks()).alias("pos", "token")
-    )
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .select(
-            "token",
-            F.row_number().over(Window.orderBy("token")).alias("token_id"),
-        )
-    )
-    return (
-        toks.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(
-            (F.sum((F.col("pos") + 1) * F.col("token_id")) % 1_000_003).alias(
-                "fingerprint"
+    toks = _toks()
+    fp = (
+        F.aggregate(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda t, i: i.cast("long") * char_poly_hash(t),
             ),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+        % 1_000_003
+    )
+    return documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
     )
 
 
-DOC_FINGERPRINT_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-    unnest(string_split(text, ' ')) AS token,
-    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
-  FROM documents
-),
-vocab AS (
-  SELECT token, row_number() OVER (ORDER BY token) AS token_id
-  FROM (SELECT DISTINCT token FROM toks)
-)
-SELECT t.doc_id,
-  CAST(SUM((t.pos + 1) * v.token_id) % 1000003 AS BIGINT) AS fingerprint,
-  COUNT(*) AS n_tokens
-FROM toks t JOIN vocab v USING (token)
-GROUP BY t.doc_id
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+      (t, i) -> i * {char_poly_hash_sql('t')})) % 1000003 AS BIGINT) AS fingerprint,
+  len(string_split(text, ' ')) AS n_tokens
+FROM documents
 """
 
 
 def doc_fingerprint_fast(documents: DataFrame) -> DataFrame:
-    """Scale-path fingerprint: xxhash64 of each token, position-weighted,
-    summed — no vocabulary, no global sort, fully map-side until the
-    per-doc aggregation. Not oracle-checkable (DuckDB's hash differs)."""
-    toks = documents.select("doc_id", F.posexplode(_toks()).alias("pos", "token"))
-    return toks.groupBy("doc_id").agg(
-        F.sum(
-            (F.col("pos") + 1) * (F.pmod(F.xxhash64("token"), F.lit(1_000_003)))
-        ).alias("fingerprint"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    """xxhash64 variant of `doc_fingerprint` (64-bit hash range for
+    production corpora). Same narrow per-row shape; not oracle-checkable
+    because DuckDB has no xxhash64 — covered by a consistency test
+    against `doc_fingerprint` instead."""
+    toks = _toks()
+    fp = (
+        F.aggregate(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda t, i: i.cast("long")
+                * F.pmod(F.xxhash64(t), F.lit(1_000_003)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        % 1_000_003
+    )
+    return documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
     )

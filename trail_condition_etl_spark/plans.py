@@ -58,6 +58,13 @@ def uses_python_row_udf(df: DataFrame) -> bool:
     return "BatchEvalPython" in simple_plan(df)
 
 
+def has_single_partition_exchange(df: DataFrame) -> bool:
+    """True if the plan funnels data through ONE partition (global sort /
+    partition-less window) — the canonical 100 TB scale-killer. Registered
+    queries must never carry one."""
+    return "Exchange SinglePartition" in formatted_plan(df)
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (explain mode 'codegen' —
     the AQE formatted plan hides the spans before execution)."""
