@@ -1,30 +1,57 @@
 """[EXT] Similarity search over embedding columns (SURVEY.md §2.11):
-brute-force cosine top-k baseline + LSH-bucketed approximate variant.
+brute-force cosine top-k baseline, banded-LSH approximate variants, and
+an IVF (k-means coarse-quantizer) variant.
 
-All vector math is built-in higher-order functions over
-ArrayType(FloatType) cast to double — `zip_with` dot products and
-`aggregate` folds run JVM-side inside codegen; no Python UDFs.
+Vector math on the exact paths is built-in higher-order functions over
+ArrayType cast to double — `zip_with` dot products and `aggregate` folds
+run JVM-side; no row-at-a-time Python anywhere. The LSH signatures are
+dense linear algebra (128 plane dot products per vector), which
+higher-order functions evaluate interpreted per element — so signatures
+use an Arrow-batched vectorized pandas UDF (one numpy matmul per Arrow
+batch), the sanctioned fast path. The plane matrix is derived
+arithmetically from a fixed integer hash, so the IDENTICAL signature is
+computable in DuckDB SQL: every approximate query here ships with a
+full value oracle that replays the same algorithm (implementation
+parity), plus a pytest recall floor against the exact baseline
+(semantic quality) — an approximate operator is verified on both axes.
 
 Scale shape:
-* brute force — queries broadcast against the corpus: per-partition
-  narrow compute, a single top-k aggregation per query. Right answer for
-  small query sets; O(|Q|·|C|) total work but no shuffle of the corpus.
-* random-hyperplane LSH (`ann_lsh_topk`) — 16-bit signatures bucket the
-  corpus; candidates only within matching buckets (optionally multi-probe
-  by Hamming-1 neighbors). Turns O(|Q|·|C|) into O(|Q|·bucket) at a
-  recall cost; the plan shuffles on (bucket) instead of broadcasting.
-* IVF-style variant (`ivf_topk`) — coarse quantizer = per-label centroid
-  (k-means stand-in); probe the nearest n_probe centroids' cells.
+* brute force (`cosine_topk`, `embedding_near_dup_exact`) — queries
+  broadcast against the corpus / all-pairs within a bounded set. Exact;
+  O(|Q|·|C|) or O(n²); the baselines the approximate paths are measured
+  against, and the correct tool per-bucket or per-sample.
+* banded LSH (`ann_lsh_topk`, `embedding_near_dup`) — per-row signature
+  (narrow, vectorized), explode to (band, key), equi-join on the band
+  key. Work scales with bucket collisions, not |Q|·|C|. NOTE: this
+  corpus is isotropic (no cluster structure — near-dup pairs are the
+  background-similarity tail), which is the worst case for LSH: measured
+  candidate fraction is ~0.65 for 0.84 recall@5. On clustered production
+  embeddings the same plan prunes far harder; the plan SHAPE (no
+  cartesian, no broadcast-of-corpus) is what survives 100 TB.
+* IVF (`ivf_topk`) — deterministic 2-iteration k-means (16 cells, seeds
+  = lowest vec_ids, integer-scaled exact centroid sums so both engines
+  compute bit-identical centroids), queries probe the 4 nearest cells.
+  At scale the corpus would be WRITTEN bucketed by cell id so probes
+  prune files; training would run on a sample, not the corpus.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-HYPERPLANE_BITS = 16
 HP_PRIME = 1_000_003
 HP_A, HP_B = 374_761, 98_491
+
+ANN_BITS, ANN_BAND_BITS = 128, 16  # 8 bands of 16 bits
+ND_BITS, ND_BAND_BITS = 32, 4  # 8 bands of 4 bits
+
+IVF_CELLS, IVF_PROBE, IVF_ITERS = 16, 4, 2
+IVF_SCALE = 1_000_000_000  # integer scaling for exact centroid sums
 
 
 def _as_double(col: str | Column) -> Column:
@@ -47,6 +74,104 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     return embeddings.withColumn("emb_d", e).withColumn(
         "norm", F.sqrt(_dot(F.col("emb_d"), F.col("emb_d")))
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane band keys — the shared LSH signature
+# ---------------------------------------------------------------------------
+
+
+def _plane_matrix(nbits: int, dim: int) -> np.ndarray:
+    """±1 plane coefficients derived per (bit, dim) from a fixed integer
+    hash — the 'random' planes exist only as arithmetic, so DuckDB can
+    rebuild them: coeff_ij = +1 iff ((A*(j*64+i)+B) mod P) is even."""
+    j = np.arange(nbits)[:, None]
+    i = np.arange(dim)[None, :]
+    return np.where(((HP_A * (j * 64 + i) + HP_B) % HP_PRIME) % 2 == 0, 1.0, -1.0)
+
+
+def _band_keys_udf(nbits: int, band_bits: int):
+    """Arrow-batched signature: one numpy matmul per batch. Returns the
+    array of band keys (MSB-first fold of each band's bits)."""
+
+    n_bands = nbits // band_bits
+    weights = 2 ** np.arange(band_bits - 1, -1, -1)
+
+    @pandas_udf("array<long>")
+    def keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        planes = _plane_matrix(nbits, x.shape[1])
+        bits = (x @ planes.T > 0).astype(np.int64)
+        ks = np.stack(
+            [
+                bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(ks))
+
+    return keys
+
+
+def _bit_sql(j: int) -> str:
+    """DuckDB: sign bit j of the plane dot product (1-based list index)."""
+    return (
+        "CASE WHEN list_sum(list_transform(e, (v,i) -> CASE WHEN "
+        f"(({HP_A}*({j}*64+(i-1))+{HP_B})%{HP_PRIME})%2=0 THEN v ELSE -v END)) > 0 "
+        "THEN 1 ELSE 0 END"
+    )
+
+
+def _band_key_sql_cols(nbits: int, band_bits: int) -> list[str]:
+    cols = []
+    for b in range(nbits // band_bits):
+        terms = " + ".join(
+            f"({_bit_sql(b * band_bits + r)}) * {2 ** (band_bits - 1 - r)}"
+            for r in range(band_bits)
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS k{b}")
+    return cols
+
+
+def _bands_cte(nbits: int, band_bits: int) -> str:
+    """CTEs `sigs` + `bands` over a CTE `base(vec_id, e, norm)`."""
+    n_bands = nbits // band_bits
+    key_cols = ",\n    ".join(_band_key_sql_cols(nbits, band_bits))
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+sigs AS (
+  SELECT vec_id, {key_cols}
+  FROM base
+),
+bands AS (
+  {union}
+)"""
+
+
+def _with_bands(embeddings: DataFrame, nbits: int, band_bits: int) -> DataFrame:
+    return with_norm(embeddings).withColumn(
+        "bands", _band_keys_udf(nbits, band_bits)("embedding")
+    )
+
+
+_BASE_CTE = """
+base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)"""
+
+
+# ---------------------------------------------------------------------------
+# exact baselines
+# ---------------------------------------------------------------------------
 
 
 def cosine_topk(
@@ -86,13 +211,8 @@ def cosine_topk(
     )
 
 
-COSINE_TOPK_SQL = """
-WITH base AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS norm
-  FROM embeddings
-),
+COSINE_TOPK_SQL = f"""
+WITH {_BASE_CTE},
 qs AS (
   SELECT vec_id AS q_id, e AS q_e, norm AS q_norm FROM base
   WHERE vec_id % 100 = 0
@@ -146,19 +266,13 @@ FROM base GROUP BY label
 """
 
 
-def embedding_near_dup(
+def embedding_near_dup_exact(
     embeddings: DataFrame, threshold: float = 0.42
 ) -> DataFrame:
-    """[EXT] Embedding-cosine near-duplicate pairs (the dedup-by-embedding
-    entry in SURVEY.md §2.11): all (a, b) with a.vec_id < b.vec_id and
-    round(cosine, 6) >= threshold.
-
-    This is the EXACT O(n^2) form — right as the oracle-checkable
-    baseline and for per-bucket use. At 100 TB you never run it on the
-    full corpus: pre-bucket with the random-hyperplane signature
-    (`_hyperplane_signature`, as in `ann_lsh_topk`) and run this exact
-    pairing within buckets only, which is the same candidate-pair
-    structure MinHash-LSH uses in operators/dedup.py."""
+    """Exact O(n²) near-duplicate pairs: all (a, b) with a.vec_id <
+    b.vec_id and round(cosine, 6) >= threshold. The oracle baseline the
+    LSH path is recall-measured against, and the right tool WITHIN a
+    bucket/sample — never on a 100 TB corpus."""
     base = with_norm(embeddings)
     a = base.select(
         F.col("vec_id").alias("id_a"),
@@ -182,7 +296,7 @@ def embedding_near_dup(
     )
 
 
-EMBEDDING_NEAR_DUP_SQL = """
+EMBEDDING_NEAR_DUP_EXACT_SQL = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -196,60 +310,123 @@ WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.42
 """
 
 
-def _hyperplane_signature(emb_d: Column) -> Column:
-    """16-bit random-hyperplane signature without any stored planes:
-    pseudo-random ±1 plane coefficients are derived per (bit, dim) from a
-    deterministic integer hash, so the 'planes' exist only as arithmetic.
-    sig bit j = [ sum_i sign_ij * v_i > 0 ]."""
-    sig = None
-    for j in range(HYPERPLANE_BITS):
-        # coeff_ij = +1 if ((HP_A*(j*64+i)+HP_B) mod HP_PRIME) is even
-        dot_j = F.aggregate(
-            F.zip_with(
-                emb_d,
-                F.sequence(F.lit(0), F.size(emb_d) - 1),
-                lambda v, i: F.when(
-                    ((F.lit(HP_A) * (F.lit(j) * 64 + i) + HP_B) % HP_PRIME) % 2
-                    == 0,
-                    v,
-                ).otherwise(-v),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+# ---------------------------------------------------------------------------
+# banded-LSH production paths
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.42
+) -> DataFrame:
+    """[EXT] Embedding-cosine near-duplicate pairs, banded-LSH form: the
+    registered production path. Candidate pairs share at least one of 8
+    4-bit signature bands (equi-join on (band, key) — no cartesian, no
+    broadcast of the corpus); exact cosine verifies candidates only.
+
+    Approximate by construction (recall vs the exact baseline is pinned
+    ≥0.85 in tests on this corpus); deterministic, and the oracle
+    replays the identical algorithm in SQL."""
+    base = _with_bands(embeddings, ND_BITS, ND_BAND_BITS).persist()
+    bands = base.select(
+        "vec_id", F.posexplode("bands").alias("band", "key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        term = F.when(dot_j > 0, 2**j).otherwise(0)
-        sig = term if sig is None else sig + term
-    return sig.cast("long")
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb_d").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb_d").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH {_BASE_CTE},
+{_bands_cte(ND_BITS, ND_BAND_BITS)},
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+FROM cand c
+JOIN base a ON a.vec_id = c.id_a
+JOIN base b ON b.vec_id = c.id_b
+WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.42
+"""
 
 
 def ann_lsh_topk(
     embeddings: DataFrame, query_modulo: int = 100, k: int = 5
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join. Candidates
-    are corpus vectors sharing the query's 16-bit signature bucket; exact
-    cosine re-ranks within candidates. Trades recall for replacing the
-    full scan with a bucket equi-join (shuffle on signature)."""
-    base = with_norm(embeddings).withColumn(
-        "sig", _hyperplane_signature(F.col("emb_d"))
-    )
+    """Approximate top-k: banded random-hyperplane LSH. Candidates are
+    corpus vectors sharing ANY of 8 16-bit signature bands with the
+    query (the round-1 single-table 16-bit form had ~0.2 recall on this
+    isotropic corpus; banding a 128-bit signature measures 0.84+);
+    exact cosine re-ranks candidates. Oracle = same algorithm in SQL;
+    recall floor vs cosine_topk pinned in tests."""
+    base = _with_bands(embeddings, ANN_BITS, ANN_BAND_BITS).persist()
     qs = base.filter(F.col("vec_id") % query_modulo == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb_d").alias("q_emb"),
         F.col("norm").alias("q_norm"),
-        F.col("sig").alias("q_sig"),
+        F.col("bands").alias("q_bands"),
     )
-    cand = base.join(
-        F.broadcast(qs),
-        (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("q_id")),
+    corpus_bands = base.select(
+        "vec_id", F.posexplode("bands").alias("band", "key")
     )
-    sim = cand.select(
-        "q_id",
-        "vec_id",
-        "label",
-        F.round(
-            _dot(F.col("emb_d"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")),
-            6,
-        ).alias("cosine"),
+    q_bands = qs.select(
+        "q_id", F.posexplode("q_bands").alias("band", "key")
+    )
+    cand = (
+        corpus_bands.join(
+            F.broadcast(q_bands),
+            ["band", "key"],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    sim = (
+        cand.join(base.select("vec_id", "label", "emb_d", "norm"), "vec_id")
+        .join(F.broadcast(qs.select("q_id", "q_emb", "q_norm")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("emb_d"), F.col("q_emb"))
+                / (F.col("norm") * F.col("q_norm")),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
@@ -259,44 +436,127 @@ def ann_lsh_topk(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame, query_modulo: int = 100, k: int = 5, n_probe: int = 2
-) -> DataFrame:
-    """IVF-style ANN: coarse cells = per-label mean vector (k-means
-    stand-in, one pass), queries probe their n_probe nearest centroids,
-    exact cosine within probed cells only. The centroid table is tiny ->
-    broadcast; corpus is joined on its cell id (label) — at scale the
-    corpus would be WRITTEN bucketed by cell so the probe join prunes
-    files instead of shuffling."""
-    base = with_norm(embeddings)
-    # centroids: element-wise mean per label via posexplode + re-assemble
-    exploded = base.select("label", F.posexplode("emb_d").alias("i", "v"))
-    centroids = (
-        exploded.groupBy("label", "i")
-        .agg(F.avg("v").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("ic", lambda s: s["c"]).alias("centroid"),
+ANN_LSH_TOPK_SQL = f"""
+WITH {_BASE_CTE},
+{_bands_cte(ANN_BITS, ANN_BAND_BITS)},
+qs AS (SELECT vec_id AS q_id, e AS q_e, norm AS q_norm FROM base
+       WHERE vec_id % 100 = 0),
+qbands AS (
+  SELECT q.q_id, b.band, b.key FROM qs q JOIN bands b ON b.vec_id = q.q_id
+),
+cand AS (
+  SELECT DISTINCT qb.q_id, cb.vec_id
+  FROM bands cb JOIN qbands qb ON cb.band = qb.band AND cb.key = qb.key
+  WHERE cb.vec_id <> qb.q_id
+),
+sim AS (
+  SELECT c.q_id, c.vec_id, b.label,
+         round(list_dot_product(b.e, q.q_e) / (b.norm * q.q_norm), 6) AS cosine
+  FROM cand c
+  JOIN base b ON b.vec_id = c.vec_id
+  JOIN qs q ON q.q_id = c.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS rk
+  FROM sim
+)
+SELECT q_id, rk, vec_id, label, cosine FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF: deterministic k-means coarse quantizer + cell probing
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, ties to the smallest
+    cell id. max(struct(sim, -cell)) partial-aggregates map-side, so the
+    shuffle carries one row per vector, not one per (vector, cell)."""
+    sim = F.round(
+        _dot(F.col("emb_d"), F.col("ce")) / (F.col("norm") * F.col("c_norm")),
+        9,
+    )
+    return (
+        base.select("vec_id", "emb_d", "norm")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))
+            ).alias("m")
         )
-        .withColumn(
-            "c_norm", F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+        .select("vec_id", (-F.col("m.nc")).alias("cell"))
+    )
+
+
+def _centroids(base: DataFrame, assign: DataFrame) -> DataFrame:
+    """Per-cell mean vector with EXACT integer-scaled sums, so both
+    engines produce bit-identical centroid doubles regardless of their
+    float accumulation order."""
+    ex = (
+        base.join(assign, "vec_id")
+        .select("cell", F.posexplode("emb_d").alias("i", "v"))
+    )
+    comp = ex.groupBy("cell", "i").agg(
+        F.sum(F.round(F.col("v") * IVF_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        comp.withColumn("c", F.col("s") / IVF_SCALE / F.col("n"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("cell", F.transform("ic", lambda x: x["c"]).alias("ce"))
+        .withColumn("c_norm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_modulo: int = 100,
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF-style ANN with a REAL (if tiny) coarse quantizer: 16 k-means
+    cells seeded from the 16 lowest vec_ids, two unrolled Lloyd
+    iterations with integer-scaled exact centroid sums, queries probe
+    their n_probe nearest cells, exact cosine re-ranks within probed
+    cells only. Fully deterministic -> the oracle replays it in SQL;
+    recall floor vs cosine_topk pinned in tests. (The round-1 form used
+    per-LABEL centroids; labels are random on this corpus, so its cells
+    carried no geometry at all.)
+
+    At scale: train on a SAMPLE (the two Lloyd passes here scan the
+    corpus for determinism); write the corpus bucketed by cell id so
+    probes prune files instead of shuffling; centroids stay broadcast."""
+    base = with_norm(embeddings).persist()
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("emb_d").alias("ce"),
+            F.col("norm").alias("c_norm"),
         )
     )
+    cents = seeds
+    for _ in range(IVF_ITERS):
+        cents = _centroids(base, _assign_cells(base, cents))
+    final_assign = _assign_cells(base, cents)
     qs = base.filter(F.col("vec_id") % query_modulo == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb_d").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    # rank centroids per query, keep n_probe cells
-    qc = (
-        qs.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "c_sim",
-            _dot(F.col("q_emb"), F.col("centroid"))
-            / (F.col("q_norm") * F.col("c_norm")),
-        )
+    c_sim = F.round(
+        _dot(F.col("q_emb"), F.col("ce")) / (F.col("q_norm") * F.col("c_norm")),
+        9,
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_emb", "q_norm", "cell", c_sim.alias("c_sim"))
         .withColumn(
             "c_rk",
             F.row_number().over(
@@ -306,16 +566,18 @@ def ivf_topk(
         .filter(F.col("c_rk") <= n_probe)
         .select("q_id", "q_emb", "q_norm", "cell")
     )
-    cand = base.join(
-        F.broadcast(qc),
-        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")),
+    cand = final_assign.join(F.broadcast(probe), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
     )
-    sim = cand.select(
+    sim = cand.join(
+        base.select("vec_id", "label", "emb_d", "norm"), "vec_id"
+    ).select(
         "q_id",
         "vec_id",
         "label",
         F.round(
-            _dot(F.col("emb_d"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")),
+            _dot(F.col("emb_d"), F.col("q_emb"))
+            / (F.col("norm") * F.col("q_norm")),
             6,
         ).alias("cosine"),
     )
@@ -325,3 +587,70 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "rk", "vec_id", "label", "cosine")
     )
+
+
+def _ivf_sql() -> str:
+    assign = """
+  SELECT vec_id, -((MAX(struct_pack(sim := round(
+           list_dot_product(b.e, c.ce) / (b.norm * c.c_norm), 9),
+           nc := -c.cell))).nc) AS cell
+  FROM base b CROSS JOIN {cents} c
+  GROUP BY vec_id"""
+    cent = f"""
+  SELECT cell, list(c ORDER BY i) AS ce,
+         sqrt(list_dot_product(list(c ORDER BY i), list(c ORDER BY i))) AS c_norm
+  FROM (
+    SELECT cell, i,
+           CAST(SUM(CAST(round(v * {IVF_SCALE}) AS BIGINT)) AS BIGINT)
+             / {IVF_SCALE}.0 / COUNT(*) AS c
+    FROM (
+      SELECT a.cell, unnest(generate_series(1, len(b.e))) AS i, unnest(b.e) AS v
+      FROM {{assign}} a JOIN base b USING (vec_id)
+    )
+    GROUP BY cell, i
+  )
+  GROUP BY cell"""
+    return f"""
+WITH {_BASE_CTE},
+seeds AS (
+  SELECT vec_id AS cell, e AS ce, norm AS c_norm
+  FROM base ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+a0 AS ({assign.format(cents='seeds')}),
+c1 AS ({cent.format(assign='a0')}),
+a1 AS ({assign.format(cents='c1')}),
+c2 AS ({cent.format(assign='a1')}),
+afinal AS ({assign.format(cents='c2')}),
+qs AS (
+  SELECT vec_id AS q_id, e AS q_e, norm AS q_norm FROM base
+  WHERE vec_id % 100 = 0
+),
+probe AS (
+  SELECT q_id, q_e, q_norm, cell FROM (
+    SELECT q.q_id, q.q_e, q.q_norm, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             round(list_dot_product(q.q_e, c.ce) / (q.q_norm * c.c_norm), 9)
+               DESC, c.cell) AS c_rk
+    FROM qs q CROSS JOIN c2 c
+  ) WHERE c_rk <= {IVF_PROBE}
+),
+cand AS (
+  SELECT p.q_id, p.q_e, p.q_norm, a.vec_id
+  FROM afinal a JOIN probe p USING (cell)
+  WHERE a.vec_id <> p.q_id
+),
+sim AS (
+  SELECT c.q_id, c.vec_id, b.label,
+         round(list_dot_product(b.e, c.q_e) / (b.norm * c.q_norm), 6) AS cosine
+  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS rk
+  FROM sim
+)
+SELECT q_id, rk, vec_id, label, cosine FROM ranked WHERE rk <= 5
+"""
+
+
+IVF_TOPK_SQL = _ivf_sql()

@@ -281,19 +281,28 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(embeddings)
 
 
+@query("embedding_near_dup_exact", oracle=similarity.EMBEDDING_NEAR_DUP_EXACT_SQL)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_exact(embeddings)
+
+
 @query("media_features", oracle=multimodal.MEDIA_FEATURES_SQL)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
     return multimodal.media_features_query(documents)
 
 
-@query("ann_lsh_topk")  # approximate: no SQL oracle; rows-only driver check
+# the two approximate-ANN queries are fully oracle-checked: the SQL
+# replays the identical deterministic algorithm (implementation parity);
+# recall floors vs cosine_topk live in tests/test_similarity.py
+@query("ann_lsh_topk", oracle=similarity.ANN_LSH_TOPK_SQL)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(embeddings)
 
 
-@query("ivf_topk")  # approximate: no SQL oracle; rows-only driver check
+@query("ivf_topk", oracle=similarity.IVF_TOPK_SQL)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(embeddings)
