@@ -81,6 +81,74 @@ class TestUpsert:
         assert len(_state(spark, path)) == 1
 
 
+class TestRetry:
+    def test_backoff_schedule_and_success(self):
+        calls, delays = [], []
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise OSError("transient fs error")
+            return "ok"
+        out = upsert.retry_with_backoff(flaky, sleep=delays.append)
+        assert out == "ok"
+        assert len(calls) == 3
+        assert delays == [0.5, 1.0]  # exponential, no sleep after success
+
+    def test_exhausted_reraises(self):
+        delays = []
+        def always():
+            raise OSError("down")
+        try:
+            upsert.retry_with_backoff(always, sleep=delays.append)
+            raise AssertionError("should have raised")
+        except OSError:
+            pass
+        assert delays == [0.5, 1.0]  # no sleep after the final attempt
+
+    def test_transient_commit_failure_leaves_table_consistent(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A merge whose commit step fails twice must (a) retry and land
+        the update, (b) never expose a partial table to readers between
+        attempts (each attempt re-reads the ORIGINAL state because a
+        failed attempt commits nothing)."""
+        path = str(tmp_path / "weather")
+        keys = ["city_id", "timestamp_utc"]
+        upsert.upsert_parquet(
+            spark,
+            path,
+            _facts(spark, [(i, "2024-01-01", float(i)) for i in range(10)]),
+            keys,
+        )
+        before = _state(spark, path)
+        real_write = upsert._write_merged
+        fails = {"n": 0}
+        observed_states = []
+        def flaky_write(merged, table_path):
+            if fails["n"] < 2:
+                fails["n"] += 1
+                # table must still be in its pre-merge state when the
+                # commit attempt starts
+                observed_states.append(_state(spark, path))
+                raise OSError("simulated transient fs failure")
+            real_write(merged, table_path)
+        monkeypatch.setattr(upsert, "_write_merged", flaky_write)
+        orig_retry = upsert.retry_with_backoff
+        monkeypatch.setattr(
+            upsert,
+            "retry_with_backoff",
+            lambda fn, **kw: orig_retry(fn, sleep=lambda _s: None),
+        )
+        upsert.upsert_parquet(
+            spark, path, _facts(spark, [(5, "2024-01-01", -1.0)]), keys
+        )
+        assert fails["n"] == 2
+        assert all(s == before for s in observed_states)
+        state = dict(((c, t), v) for c, t, v in _state(spark, path))
+        assert state[(5, "2024-01-01")] == -1.0
+        assert len(state) == 10
+
+
 class TestDlq:
     def test_append_and_redrive_filter(self, spark, tmp_path):
         path = str(tmp_path / "dlq")
@@ -102,3 +170,40 @@ class TestDlq:
         assert {r.error.exception_type for r in redrive.collect()} == {
             "CircuitBreakerError"
         }
+
+    def _rejects(self, spark, ids, retryable=True):
+        return spark.createDataFrame(
+            [
+                (i, "{}", ("CircuitBreakerError", "open", None, retryable))
+                for i in ids
+            ],
+            "city_id INT, raw_payload STRING, "
+            "error STRUCT<exception_type STRING, message STRING, "
+            "traceback STRING, safe_to_retry BOOLEAN>",
+        )
+
+    def test_trim_caps_rows_and_redrive_survives(self, spark, tmp_path):
+        path = str(tmp_path / "dlq")
+        for batch in range(4):
+            upsert.append_dlq(
+                spark, path, self._rejects(spark, range(batch * 5, batch * 5 + 5))
+            )
+        assert spark.read.parquet(path).count() == 20
+        kept = upsert.trim_dlq(spark, path, max_rows=8)
+        assert kept == 8
+        assert spark.read.parquet(path).count() == 8
+        # redrive-after-compaction: the surviving entries still route
+        assert upsert.redrive_candidates(spark, path).count() == 8
+
+    def test_trim_by_age_drops_expired(self, spark, tmp_path):
+        path = str(tmp_path / "dlq")
+        upsert.append_dlq(spark, path, self._rejects(spark, range(6)))
+        # anchor far in the future: everything is expired
+        kept = upsert.trim_dlq(
+            spark, path, max_age_s=3600, now="2099-01-01 00:00:00"
+        )
+        assert kept == 0
+        assert spark.read.parquet(path).count() == 0
+        # the path still works for future appends after full expiry
+        upsert.append_dlq(spark, path, self._rejects(spark, range(3)))
+        assert spark.read.parquet(path).count() == 3

@@ -378,3 +378,38 @@ def derive_categorization_tasks(
             "forecast_generated_at_timestamp"
         ),
     )
+
+CATEGORIZATION_NOW = "1998-08-15 13:45:17"
+
+
+def categorization_tasks_query(customer: DataFrame) -> DataFrame:
+    """Registered-query form of P10: cities dim -> ingestion tasks ->
+    categorization-task payload with the reference's ISO-8601 string
+    formats (fetch-weather/src/tasks.py:61-62,77-82) at a pinned "now"
+    (the runtime path takes current_timestamp(); a fixed literal keeps
+    the oracle deterministic). task_id is a deterministic surrogate here
+    because uuid() is rightly nondeterministic."""
+    from .pipeline import make_cities, make_ingestion_tasks
+
+    tasks = make_ingestion_tasks(make_cities(customer), with_task_id=False)
+    tasks = tasks.withColumn(
+        "task_id", F.concat(F.lit("ingest-"), F.col("city_id"))
+    )
+    out = derive_categorization_tasks(
+        tasks, F.lit(CATEGORIZATION_NOW).cast("timestamp")
+    )
+    return out
+
+
+CATEGORIZATION_TASKS_SQL = f"""
+WITH cities AS (
+  SELECT CAST(c_custkey AS INT) AS city_id FROM customer
+),
+dedup AS (SELECT DISTINCT city_id FROM cities),
+h AS (SELECT date_trunc('hour', TIMESTAMP '{CATEGORIZATION_NOW}') AS hour)
+SELECT 'ingest-' || city_id AS task_id,
+       city_id,
+       strftime(h.hour - INTERVAL 1 DAY, '%Y-%m-%d') AS last_historical_timestamp,
+       strftime(h.hour, '%Y-%m-%dT%H:%M:%S+00:00') AS forecast_generated_at_timestamp
+FROM dedup, h
+"""

@@ -173,6 +173,12 @@ def q_ingest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingestion.ingest_explode_query(events)
 
 
+@query("categorization_tasks", oracle=ingestion.CATEGORIZATION_TASKS_SQL)
+def q_categorization_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _tables(spark, sf_dir, "customer")
+    return ingestion.categorization_tasks_query(customer)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline semantics (SURVEY §2.8/§2.9, EP1): DLQ policy, dedup, scheduler,
 # JSON/scalar kits

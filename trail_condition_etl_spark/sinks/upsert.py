@@ -23,11 +23,49 @@ effectively-once (T1).
 from __future__ import annotations
 
 import os
+import shutil
+import time
+from collections.abc import Callable
+from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
+
+# R1 retry envelope (reference wraps every external write in tenacity
+# retries: schedule-jobs/scheduler/tasks.py:41-46,
+# categorize-trail-conditions/src/client.py:26-30 — stop_after_attempt(3),
+# exponential backoff). Spark absorbs TASK retries; this covers whole-JOB
+# transient failures (FS hiccup, lost executor storm) at the sink
+# boundary, where the reference's pattern still applies.
+MAX_WRITE_ATTEMPTS = 3
+BACKOFF_BASE_S = 0.5
+
+T = TypeVar("T")
+
+
+def retry_with_backoff(
+    fn: Callable[[], T],
+    max_attempts: int = MAX_WRITE_ATTEMPTS,
+    base_delay_s: float = BACKOFF_BASE_S,
+    sleep: Callable[[float], None] = time.sleep,
+) -> T:
+    """Bounded exponential backoff (0.5s, 1s, ...), re-raising the last
+    error. Safe to wrap the whole read-merge-write closure: Spark's
+    output committer only swaps partition directories at job COMMIT, so
+    a failed attempt leaves the previous table state intact and the
+    retry re-reads it."""
+    last: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — sink boundary
+            last = exc
+            if attempt < max_attempts - 1:
+                sleep(base_delay_s * (2**attempt))
+    assert last is not None
+    raise last
 
 
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -46,22 +84,37 @@ def upsert_parquet(
     """MERGE-style upsert keyed on `keys`: new rows win over existing
     rows with the same key; untouched buckets are not rewritten."""
     new_b = _with_bucket(new_rows, keys, n_buckets)
-    if not os.path.exists(table_path):
-        (
-            new_b.dropDuplicates(keys)
-            .write.partitionBy("pk_bucket")
-            .mode("overwrite")
-            .parquet(table_path)
+
+    def attempt() -> None:
+        if not os.path.exists(table_path):
+            (
+                new_b.dropDuplicates(keys)
+                .write.partitionBy("pk_bucket")
+                .mode("overwrite")
+                .parquet(table_path)
+            )
+            return
+        touched = [
+            r.pk_bucket for r in new_b.select("pk_bucket").distinct().collect()
+        ]
+        existing = spark.read.parquet(table_path).filter(
+            F.col("pk_bucket").isin(touched)
         )
-        return
-    touched = [r.pk_bucket for r in new_b.select("pk_bucket").distinct().collect()]
-    existing = spark.read.parquet(table_path).filter(
-        F.col("pk_bucket").isin(touched)
-    )
-    kept = existing.join(new_b.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.unionByName(new_b.dropDuplicates(keys))
-    # dynamic partition overwrite: only the touched pk_bucket dirs rewrite
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        kept = existing.join(new_b.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(new_b.dropDuplicates(keys))
+        # dynamic partition overwrite: only touched pk_bucket dirs rewrite
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        _write_merged(merged, table_path)
+
+    # the whole read-merge-write closure retries: each attempt re-reads
+    # current table state, and a failed attempt never commits, so the
+    # retry is idempotent (T1 semantics survive the retry loop)
+    retry_with_backoff(attempt)
+
+
+def _write_merged(merged: DataFrame, table_path: str) -> None:
+    """Seam for the commit step (monkeypatched in the transient-failure
+    tests; at a real deployment this is where MERGE INTO would go)."""
     merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(table_path)
 
 
@@ -86,3 +139,45 @@ def append_dlq(
 def redrive_candidates(spark: SparkSession, dlq_path: str) -> DataFrame:
     """Rows eligible for redrive (R4: retryable flag drives redrive)."""
     return spark.read.parquet(dlq_path).filter(F.col("error.safe_to_retry"))
+
+
+def trim_dlq(
+    spark: SparkSession,
+    dlq_path: str,
+    max_rows: int | None = None,
+    max_age_s: int | None = None,
+    now: str | None = None,
+) -> int:
+    """S6 retention: the reference caps its streams at max_stream_length
+    and expires entries after stream_expiry_seconds (fetch-weather/src/
+    config.py:19,38); append-only DLQ/staging parquet otherwise grows
+    unboundedly. Keeps the newest `max_rows` entries (by dlq_ts, entry
+    order tie-break) and/or drops entries older than `max_age_s`.
+
+    Compacts into a sibling directory then atomically swaps, so a crash
+    mid-compaction never loses the live DLQ. Returns rows retained.
+    (On an object store the swap becomes a manifest flip / Delta
+    REPLACE; the call site is the seam.)"""
+    df = spark.read.parquet(dlq_path)
+    if max_age_s is not None:
+        anchor = (
+            F.lit(now).cast("timestamp")
+            if now is not None
+            else F.current_timestamp()
+        )
+        df = df.filter(
+            F.col("dlq_ts").cast("long") >= anchor.cast("long") - max_age_s
+        )
+    if max_rows is not None:
+        df = (
+            df.orderBy(F.desc("dlq_ts"))
+            .limit(max_rows)
+        )
+    tmp = dlq_path.rstrip("/") + ".compact"
+    df.write.mode("overwrite").parquet(tmp)
+    kept = spark.read.parquet(tmp).count()
+    old = dlq_path.rstrip("/") + ".old"
+    shutil.move(dlq_path, old)
+    shutil.move(tmp, dlq_path)
+    shutil.rmtree(old)
+    return kept
