@@ -49,6 +49,35 @@ def test_doc_fingerprint_fast_shape_and_determinism(spark):
     assert rows == again
 
 
+def test_dedup_clusters_converged_and_consistent(spark):
+    docs = _docs(spark)
+    labels = {
+        r.doc_id: r.canonical_doc_id
+        for r in dedup.dedup_clusters(docs).collect()
+    }
+    # CLUSTER_ROUNDS covers the component diameter: one more round is a
+    # fixed point
+    more = {
+        r.doc_id: r.canonical_doc_id
+        for r in dedup.dedup_clusters(
+            docs, rounds=dedup.CLUSTER_ROUNDS + 1
+        ).collect()
+    }
+    assert labels == more, "label propagation had not converged"
+    # every doc labeled; canonical is the component minimum (<= member)
+    assert labels.keys() == {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(c <= d for d, c in labels.items())
+    # each near-dup pair lands in one cluster; clusters exist
+    pairs = dedup.minhash_pairs(docs).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    # docs not in any pair stay their own canonical
+    in_pairs = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    singles = [d for d in labels if d not in in_pairs]
+    assert all(labels[d] == d for d in singles)
+
+
 def test_exact_dedup_finds_planted_copies(spark):
     docs = _docs(spark)
     dups = dedup.exact_dedup(docs).filter("n_copies > 1").collect()

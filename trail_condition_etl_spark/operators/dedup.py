@@ -359,3 +359,88 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM agg
 
 
 SIMHASH_SQL = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+CLUSTER_ROUNDS = 3
+
+
+def dedup_clusters(
+    documents: DataFrame, threshold: float = 0.5, rounds: int = CLUSTER_ROUNDS
+) -> DataFrame:
+    """Near-dup pairs are edges; a training pipeline needs the CLUSTERS
+    (keep one canonical doc per component, drop the rest). Connected
+    components via min-label propagation: each round every doc takes the
+    smallest doc_id among itself and its neighbors' current labels.
+
+    `rounds` bounds the propagated distance, so it must cover the
+    component diameter — near-dup components are overwhelmingly tiny
+    (pairs/triangles; diameter ≤ 2 on this corpus, pinned by the
+    convergence test). At 100 TB this is the standard iterative
+    large-graph CC (alternating large-star/small-star has the same
+    join shape); each round is one shuffle on doc_id.
+    """
+    edges = minhash_pairs(documents, threshold).select("doc_a", "doc_b")
+    adj = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("canonical_doc_id")
+    )
+    for _ in range(rounds):
+        nbr = (
+            adj.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("canonical_doc_id").alias("nbr_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("canonical_doc_id"),
+                F.coalesce("nbr_min", F.col("canonical_doc_id")),
+            ).alias("canonical_doc_id"),
+        )
+    return labels
+
+
+def _dedup_clusters_sql() -> str:
+    minhash = MINHASH_PAIRS_SQL
+    steps = []
+    prev = "l0"
+    for r in range(1, CLUSTER_ROUNDS + 1):
+        steps.append(f"""
+n{r} AS (
+  SELECT a.doc_a AS doc_id, MIN(l.canon) AS nbr
+  FROM adj a JOIN {prev} l ON l.doc_id = a.doc_b
+  GROUP BY a.doc_a
+),
+l{r} AS (
+  SELECT l.doc_id, LEAST(l.canon, COALESCE(n.nbr, l.canon)) AS canon
+  FROM {prev} l LEFT JOIN n{r} n USING (doc_id)
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH pairs AS ({minhash}),
+adj AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+l0 AS (SELECT doc_id, doc_id AS canon FROM documents),
+{','.join(steps)}
+SELECT doc_id, canon AS canonical_doc_id FROM {prev}
+"""
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()

@@ -16,7 +16,7 @@ kept for corpora wanting a 64-bit hash range.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import char_poly_hash, char_poly_hash_sql
@@ -259,3 +259,56 @@ def doc_fingerprint_fast(documents: DataFrame) -> DataFrame:
         fp.alias("fingerprint"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def ngram_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k token bigrams per language by DOCUMENT frequency (distinct
+    docs containing the gram) — the vocabulary profile step of a
+    training-data pipeline. Bigram arrays are built per-row (zip_with a
+    sliced token array — narrow); the only shuffles are the count agg
+    and the tiny per-language top-k window."""
+    toks = _toks()
+    grams = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.size(toks)),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    counts = (
+        documents.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), "gram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("lang", "rk", "gram", "n_docs")
+    )
+
+
+NGRAM_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(string_split(text, ' ')) AS token,
+    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.lang, a.token || ' ' || b.token AS gram
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+counts AS (
+  SELECT lang, gram, COUNT(*) AS n_docs FROM grams GROUP BY lang, gram
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n_docs DESC, gram) AS rk
+  FROM counts
+)
+SELECT lang, rk, gram, n_docs FROM ranked WHERE rk <= 5
+"""

@@ -269,6 +269,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(documents)
 
 
+@query("dedup_clusters", oracle=dedup.DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(documents)
+
+
+@query("ngram_topk", oracle=text.NGRAM_TOPK_SQL)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.ngram_topk(documents)
+
+
 @query("cosine_topk", oracle=similarity.COSINE_TOPK_SQL)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
