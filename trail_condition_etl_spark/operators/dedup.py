@@ -383,7 +383,9 @@ def dedup_clusters(
     large-graph CC (alternating large-star/small-star has the same
     join shape); each round is one shuffle on doc_id.
     """
-    edges = minhash_pairs(documents, threshold).select("doc_a", "doc_b")
+    # the pair computation is the expensive subplan and feeds both adj
+    # directions in every propagation round: materialize it once
+    edges = minhash_pairs(documents, threshold).select("doc_a", "doc_b").persist()
     adj = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

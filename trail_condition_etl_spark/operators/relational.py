@@ -487,3 +487,105 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY lower(c_mktsegment)
 """
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: fact x broadcast part dim,
+    conditional integer-scaled revenue sums per ship month. Covers the
+    J2 enrichment-join shape against the part dimension; the month
+    grouping keeps the output bounded at any fact scale."""
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).alias("_p"),
+            F.sum(rev).alias("_t"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            F.round(F.col("_p") * 100.0 / F.col("_t"), 6).alias("promo_share_pct"),
+            (F.col("_t") / 10000.0).alias("_td"),
+            "n_items",
+        )
+        .select(
+            "ship_month",
+            "promo_share_pct",
+            F.round("_td", 4).alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+  round(CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        ELSE 0 END) AS BIGINT) * 100.0
+      / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT), 6)
+    AS promo_share_pct,
+  round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      / 10000.0, 4) AS total_revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """T8 with Spark's NATIVE session-window operator: one
+    `groupBy(user_id, session_window(ts, gap))` — the same gap-merge
+    semantics `sessionize` builds manually from lag + running sum, but
+    expressed so the engine's streaming state machinery could execute it
+    incrementally (swap groupBy for a watermarked stream and the plan is
+    a streaming session aggregation).
+
+    Window end is Spark's convention (last event + gap); emitted as
+    formatted strings for cross-engine type parity.
+    """
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_scaled("value", 2)) / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            F.round("session_value", 2).alias("session_value"),
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, value FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+       THEN 1 ELSE 0 END AS new_session
+  FROM events_us
+),
+sid AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*) AS n_events,
+  round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS session_value
+FROM sid
+GROUP BY user_id, session_seq
+"""

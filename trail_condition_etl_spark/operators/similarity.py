@@ -654,3 +654,69 @@ SELECT q_id, rk, vec_id, label, cosine FROM ranked WHERE rk <= 5
 
 
 IVF_TOPK_SQL = _ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the storage-shrink step of an embedding pipeline
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127
+
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = round(x_i / scale). Emits the per-vector scale, a checksum of
+    the quantized codes, and the integer-exact reconstruction-error sum
+    — the audit row a pipeline stores next to the quantized shard.
+    Entirely per-row array math (narrow at any scale)."""
+    e = _as_double("embedding")
+    absmax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = absmax / QUANT_LEVELS
+    q = F.transform(e, lambda x: F.round(x / scale).cast("int"))
+    # reconstruction error, integer-scaled (1e9) for exact cross-engine sums
+    err = F.aggregate(
+        F.zip_with(e, q, lambda x, qi: F.round((x - qi * scale) * 1e9).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.abs(x),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        (err / F.lit(1e9)).alias("_abs_err"),
+    ).select(
+        "vec_id",
+        "scale",
+        "q_sum",
+        "q_l1",
+        F.round("_abs_err", 6).alias("abs_err"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / {QUANT_LEVELS} AS scale
+  FROM base
+),
+q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv
+  FROM scaled
+)
+SELECT vec_id,
+  round(scale, 9) AS scale,
+  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS q_l1,
+  round(CAST(list_sum(
+      list_transform(list_zip(e, qv),
+        p -> CAST(abs(CAST(round((p[1] - p[2] * scale) * 1000000000) AS BIGINT)) AS BIGINT))
+    ) AS BIGINT) / 1000000000.0, 6) AS abs_err
+FROM q
+"""

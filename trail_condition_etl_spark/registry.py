@@ -105,6 +105,12 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_check(orders, lineitem)
 
 
+@query("promo_revenue", oracle=relational.PROMO_REVENUE_SQL)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _tables(spark, sf_dir, "lineitem", "part")
+    return relational.promo_revenue(lineitem, part)
+
+
 @query("setops_nations", oracle=relational.SETOPS_SQL)
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, supplier = _tables(spark, sf_dir, "customer", "supplier")
@@ -127,6 +133,12 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return relational.sessionize(events)
+
+
+@query("session_window_agg", oracle=relational.SESSION_WINDOW_SQL)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.session_window_agg(events)
 
 
 @query("rollup_volume", oracle=relational.ROLLUP_SQL)
@@ -291,6 +303,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.embedding_stats(embeddings)
+
+
+@query("embedding_quantize", oracle=similarity.EMBEDDING_QUANTIZE_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.embedding_quantize(embeddings)
 
 
 @query("embedding_near_dup", oracle=similarity.EMBEDDING_NEAR_DUP_SQL)
