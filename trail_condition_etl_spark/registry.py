@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .session import ensure_engine_conf
+from .streaming import pipeline as streaming_pipeline
 from .operators import (
     asof,
     dedup,
@@ -201,6 +202,14 @@ def q_categorization_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return pipeline.dlq_route(events)
+
+
+@query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
+def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end Structured Streaming pass (source -> watermark dedup ->
+    # envelope routing -> DLQ/upsert sinks) summarized per route
+    ensure_engine_conf(spark)
+    return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
 
 
 @query("task_dedup", oracle=pipeline.DEDUP_SQL)

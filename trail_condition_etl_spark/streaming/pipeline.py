@@ -56,10 +56,18 @@ def read_task_stream(
     return reader.parquet(staging_path)
 
 
-def route_envelope(tasks: DataFrame, now_col: str = "_processed_ts") -> DataFrame:
+def route_envelope(
+    tasks: DataFrame,
+    now_col: str = "_processed_ts",
+    now: F.Column | None = None,
+) -> DataFrame:
     """T3/T4 policy columns on a task frame (batch or streaming):
-    route = dlq_poison | dlq_expired | process."""
-    with_now = tasks.withColumn(now_col, F.current_timestamp())
+    route = dlq_poison | dlq_expired | process. `now` pins process time
+    for deterministic replays (the oracle-checked roundtrip passes the
+    data-derived anchor); default is wall clock, as in the reference."""
+    with_now = tasks.withColumn(
+        now_col, now if now is not None else F.current_timestamp()
+    )
     age_s = F.col(now_col).cast("long") - F.col("_enqueued_ts").cast("long")
     return with_now.withColumn(
         "route",
@@ -86,6 +94,8 @@ def run_pipeline_available_now(
     checkpoint: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     upsert_keys: list[str] | None = None,
+    now: F.Column | None = None,
+    max_files_per_trigger: int | None = 10,
 ) -> StreamingQuery:
     """EP2/EP3 skeleton as one incremental pass (T9 Trigger.AvailableNow):
     staged tasks -> watermark dedup -> envelope routing -> foreachBatch
@@ -97,11 +107,11 @@ def run_pipeline_available_now(
     """
     keys = upsert_keys or ["task_id"]
     stream = deduped_task_stream(
-        read_task_stream(spark, staging_path, ENVELOPE)
+        read_task_stream(spark, staging_path, ENVELOPE, max_files_per_trigger)
     )
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
-        routed = route_envelope(batch).persist()
+        routed = route_envelope(batch, now=now).persist()
         try:
             rejects = routed.filter(F.col("route") != "process").select(
                 "task_id",
@@ -136,3 +146,90 @@ def run_pipeline_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked end-to-end roundtrip (the registered-query form)
+# ---------------------------------------------------------------------------
+
+
+def streaming_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the WHOLE streaming pipeline — file-stream source, watermark
+    dedup, envelope routing, foreachBatch {DLQ append, idempotent
+    upsert}, checkpointed AvailableNow trigger — and summarize the
+    resulting table + DLQ state per route so DuckDB can recompute the
+    expected outcome from the raw events.
+
+    Determinism: task ids are unique (no arbitrary dedup winners),
+    process-time is pinned to the data-derived anchor (max event ts),
+    and the run is a SINGLE micro-batch (max_files_per_trigger=None) so
+    the advancing watermark cannot drop late rows in a file-order-
+    dependent way — the multi-batch path stays covered by the streaming
+    unit tests."""
+    import os
+    import tempfile
+
+    from .. import catalog
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("a")).collect()[0]["a"]
+    staged = events.select(
+        F.col("event_id").cast("string").alias("task_id"),
+        F.col("user_id").cast("int").alias("city_id"),
+        F.col("ts").alias("_enqueued_ts"),
+        (1 + F.col("event_id") % 8).cast("int").alias("_delivery_count"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_roundtrip_")
+    staging = os.path.join(root, "staging")
+    out = os.path.join(root, "out")
+    dlq = os.path.join(root, "dlq")
+    ckpt = os.path.join(root, "ckpt")
+    staged.write.mode("overwrite").parquet(staging)
+    q = run_pipeline_available_now(
+        spark,
+        staging,
+        out,
+        dlq,
+        ckpt,
+        now=F.lit(anchor),
+        max_files_per_trigger=None,
+    )
+    q.awaitTermination()
+    processed = spark.read.parquet(out).select(
+        F.lit("process").alias("route"), F.col("task_id").cast("long").alias("tid")
+    )
+    rejected = spark.read.parquet(dlq).select(
+        F.col("error.exception_type").alias("route"),
+        F.col("task_id").cast("long").alias("tid"),
+    )
+    return (
+        processed.unionByName(rejected)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.min("tid").alias("min_task_id"),
+            F.max("tid").alias("max_task_id"),
+        )
+    )
+
+
+STREAMING_ROUNDTRIP_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts FROM events
+),
+anchor AS (SELECT max(ts) AS a FROM events_us),
+env AS (
+  SELECT event_id, CAST(1 + event_id % 8 AS INT) AS dc, ts FROM events_us
+),
+routed AS (
+  SELECT event_id,
+    CASE WHEN dc > 6 THEN 'dlq_poison'
+         WHEN (epoch_us(a) // 1000000) - (epoch_us(ts) // 1000000) > 86400
+           THEN 'dlq_expired'
+         ELSE 'process' END AS route
+  FROM env, anchor
+)
+SELECT route, COUNT(*) AS n_tasks,
+       MIN(event_id) AS min_task_id, MAX(event_id) AS max_task_id
+FROM routed GROUP BY route
+"""
