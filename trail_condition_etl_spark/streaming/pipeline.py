@@ -37,6 +37,7 @@ from pyspark.sql.types import StructType
 
 from ..operators.pipeline import EXPIRED_TASK_SECONDS, MAX_DELIVERY_COUNT
 from ..sinks import upsert as upsert_sink
+from ..sinks.breaker import CircuitBreaker
 
 ENVELOPE = "task_id STRING, city_id INT, _enqueued_ts TIMESTAMP, _delivery_count INT"
 
@@ -96,6 +97,7 @@ def run_pipeline_available_now(
     upsert_keys: list[str] | None = None,
     now: F.Column | None = None,
     max_files_per_trigger: int | None = 10,
+    breaker: CircuitBreaker | None = None,
 ) -> StreamingQuery:
     """EP2/EP3 skeleton as one incremental pass (T9 Trigger.AvailableNow):
     staged tasks -> watermark dedup -> envelope routing -> foreachBatch
@@ -126,16 +128,27 @@ def run_pipeline_available_now(
                     (F.col("route") == "dlq_expired").alias("safe_to_retry"),
                 ).alias("error"),
             )
+            # R2: the breaker (driver-local — exactly one instance per
+            # streaming query) short-circuits sink calls while a
+            # downstream dependency is down, instead of hammering it
+            # every micro-batch; retries inside upsert absorb blips.
+            guard = breaker.call if breaker is not None else (lambda fn: fn())
             if not rejects.isEmpty():
-                upsert_sink.append_dlq(batch.sparkSession, dlq_path, rejects)
+                guard(
+                    lambda: upsert_sink.append_dlq(
+                        batch.sparkSession, dlq_path, rejects
+                    )
+                )
             good = routed.filter(F.col("route") == "process").drop(
                 "route", "_processed_ts"
             )
             if transform is not None:
                 good = transform(good)
             if not good.isEmpty():
-                upsert_sink.upsert_parquet(
-                    batch.sparkSession, out_table, good, keys
+                guard(
+                    lambda: upsert_sink.upsert_parquet(
+                        batch.sparkSession, out_table, good, keys
+                    )
                 )
         finally:
             routed.unpersist()
