@@ -38,6 +38,7 @@ from pyspark.sql.types import StructType
 from ..operators.pipeline import EXPIRED_TASK_SECONDS, MAX_DELIVERY_COUNT
 from ..sinks import upsert as upsert_sink
 from ..sinks.breaker import CircuitBreaker
+from ..sinks.ratelimit import DailyRateLimiter
 
 ENVELOPE = "task_id STRING, city_id INT, _enqueued_ts TIMESTAMP, _delivery_count INT"
 
@@ -87,6 +88,40 @@ def deduped_task_stream(stream: DataFrame, watermark: str = "24 hours") -> DataF
     )
 
 
+def _admit_within_quota(
+    good: DataFrame,
+    keys: list[str],
+    limiter: DailyRateLimiter,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split a micro-batch's processable rows into (admitted, throttled)
+    under the day's remaining quota. The admitted prefix is the k
+    smallest rows by key — `orderBy().limit()` compiles to a distributed
+    TakeOrdered (no global sort), and the overflow anti-join broadcasts
+    only the admitted keys (bounded by the daily quota, e.g. 500)."""
+    n = good.count()
+    granted = limiter.acquire(n)
+    if granted >= n:
+        return good, None
+    admitted = good.orderBy(*keys).limit(granted)
+    throttled = (
+        good.join(F.broadcast(admitted.select(*keys)), keys, "left_anti")
+        .select(
+            "task_id",
+            "city_id",
+            F.to_json(F.struct("_enqueued_ts", "_delivery_count")).alias(
+                "raw_payload"
+            ),
+            F.struct(
+                F.lit("rate_limited").alias("exception_type"),
+                F.lit("daily task quota exhausted").alias("message"),
+                F.lit(None).cast("string").alias("traceback"),
+                F.lit(True).alias("safe_to_retry"),
+            ).alias("error"),
+        )
+    )
+    return admitted, throttled
+
+
 def run_pipeline_available_now(
     spark: SparkSession,
     staging_path: str,
@@ -98,6 +133,7 @@ def run_pipeline_available_now(
     now: F.Column | None = None,
     max_files_per_trigger: int | None = 10,
     breaker: CircuitBreaker | None = None,
+    rate_limiter: DailyRateLimiter | None = None,
 ) -> StreamingQuery:
     """EP2/EP3 skeleton as one incremental pass (T9 Trigger.AvailableNow):
     staged tasks -> watermark dedup -> envelope routing -> foreachBatch
@@ -142,6 +178,19 @@ def run_pipeline_available_now(
             good = routed.filter(F.col("route") == "process").drop(
                 "route", "_processed_ts"
             )
+            # R3: quota check BEFORE the expensive work, as the reference
+            # checks its daily counter before the API fetch. The admitted
+            # prefix is deterministic (ordered by key); overflow rows go
+            # to the DLQ retryable so the redrive path re-stages them
+            # after the quota resets.
+            if rate_limiter is not None:
+                good, throttled = _admit_within_quota(good, keys, rate_limiter)
+                if throttled is not None and not throttled.isEmpty():
+                    guard(
+                        lambda: upsert_sink.append_dlq(
+                            batch.sparkSession, dlq_path, throttled
+                        )
+                    )
             if transform is not None:
                 good = transform(good)
             if not good.isEmpty():
