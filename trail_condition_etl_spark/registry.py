@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import catalog
 from .session import ensure_engine_conf
 from .streaming import pipeline as streaming_pipeline
+from .streaming import stateful as stateful_streaming
 from .operators import (
     asof,
     dedup,
@@ -210,6 +211,15 @@ def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # envelope routing -> DLQ/upsert sinks) summarized per route
     ensure_engine_conf(spark)
     return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
+
+
+@query("stateful_sessions", oracle=stateful_streaming.STATEFUL_SESSIONS_SQL)
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T8 streaming form: applyInPandasWithState session state machine,
+    # driven end-to-end under Trigger.AvailableNow; emits every CLOSED
+    # session (oracle: batch sessions minus each user's trailing one)
+    ensure_engine_conf(spark)
+    return stateful_streaming.stateful_sessions_query(spark, sf_dir)
 
 
 @query("task_dedup", oracle=pipeline.DEDUP_SQL)
