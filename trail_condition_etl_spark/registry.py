@@ -23,12 +23,14 @@ from .streaming import pipeline as streaming_pipeline
 from .streaming import stateful as stateful_streaming
 from .operators import (
     asof,
+    bucketing,
     dedup,
     ingestion,
     multimodal,
     pipeline,
     relational,
     similarity,
+    skew,
     text,
     weather,
 )
@@ -211,6 +213,22 @@ def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # envelope routing -> DLQ/upsert sinks) summarized per route
     ensure_engine_conf(spark)
     return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
+
+
+@query("skew_join", oracle=skew.SKEW_JOIN_SQL)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # salted join over the 10-hot-key events table: hot keys spread over
+    # n_salts partitions; output identical to the unsalted join
+    (events,) = _tables(spark, sf_dir, "events")
+    return skew.skewed_user_enrichment(events)
+
+
+@query("bucketed_join", oracle=bucketing.BUCKETED_JOIN_SQL)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # co-located fact⋈fact: both sides bucketed by order key, sort-merge
+    # join with zero Exchange under it (pinned by tests/test_plans.py)
+    ensure_engine_conf(spark)
+    return bucketing.bucketed_join_query(spark, sf_dir)
 
 
 @query("stateful_sessions", oracle=stateful_streaming.STATEFUL_SESSIONS_SQL)
