@@ -62,3 +62,29 @@ def test_frame_sample_short_video_emits_no_frames(spark):
     got = {r.asset_id for r in some}
     assert got == {5, 8}
     assert all(r.frame_ts_ms >= 0 for r in some)
+
+
+def test_resize_clamps_dims_and_slices_payload(spark):
+    media = multimodal.synth_media(spark, n=9)
+    resized = {
+        r.asset_id: r
+        for r in multimodal.resize_media(media, 66, 50).collect()
+    }
+    # audio rows (null dims) are dropped before the codec stage
+    assert set(resized) == {0, 2, 3, 5, 6, 8}
+    src = {r.asset_id: r for r in media.collect()}
+    for aid, r in resized.items():
+        w, h = src[aid].meta.width, src[aid].meta.height
+        assert r.new_width == min(w, 66) and r.new_height == min(h, 50)
+        expect = len(bytes(src[aid].payload)) * (r.new_width * r.new_height) // (w * h)
+        assert r.n_bytes_out == expect
+        assert bytes(r.payload) == bytes(src[aid].payload)[:expect]
+
+
+def test_resize_honest_stub_raises_without_fake(spark):
+    media = multimodal.synth_media(spark, n=3)
+    with pytest.raises(Exception) as exc:
+        multimodal.resize_media(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )

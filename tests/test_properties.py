@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): invariants the golden-output
+oracle can't express — they must hold for EVERY input, not just the
+driver's parquet. Each example batches its generated rows into a single
+Spark job so the suite stays fast."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from trail_condition_etl_spark.operators.pipeline import (
+    EXPIRED_TASK_SECONDS,
+    MAX_DELIVERY_COUNT,
+)
+from trail_condition_etl_spark.operators import relational
+from trail_condition_etl_spark.sinks import upsert
+from trail_condition_etl_spark.streaming import pipeline as streaming_pipeline
+
+T0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+GAP_S = 1800
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# offsets in seconds over a 2-day span; duplicates allowed
+offsets = st.lists(
+    st.integers(min_value=0, max_value=2 * 86400), min_size=1, max_size=60
+)
+
+
+@given(offs=offsets)
+@SETTINGS
+def test_sessionize_partitions_events_and_respects_gap(spark, offs):
+    rows = [
+        (i, T0 + dt.timedelta(seconds=s), 1, 1.0)
+        for i, s in enumerate(sorted(offs))
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    sessions = relational.sessionize(events, gap_minutes=30).collect()
+    # partition: every event is in exactly one session
+    assert sum(s.n_events for s in sessions) == len(rows)
+    # per-session duration is consistent with the gap bound
+    for s in sessions:
+        assert s.duration_s <= (s.n_events - 1) * GAP_S
+    # consecutive sessions are separated by > gap: reconstruct boundaries
+    secs = sorted(set(offs))
+    n_expected = 1 + sum(
+        1 for a, b in zip(secs, secs[1:]) if b - a > GAP_S
+    )
+    assert len(sessions) == n_expected
+
+
+@given(
+    dcs=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    ages=st.lists(
+        st.integers(min_value=0, max_value=3 * 86400), min_size=1, max_size=40
+    ),
+)
+@SETTINGS
+def test_envelope_routing_policy_total_and_exclusive(spark, dcs, ages):
+    n = min(len(dcs), len(ages))
+    now = T0 + dt.timedelta(days=4)
+    rows = [
+        (f"t-{i}", i, now - dt.timedelta(seconds=ages[i]), dcs[i])
+        for i in range(n)
+    ]
+    tasks = spark.createDataFrame(
+        rows, "task_id string, city_id int, _enqueued_ts timestamp, _delivery_count int"
+    )
+    routed = streaming_pipeline.route_envelope(tasks, now=F.lit(now)).collect()
+    assert len(routed) == n  # total: every task gets exactly one route
+    for r in routed:
+        i = int(r.task_id.split("-")[1])
+        if dcs[i] > MAX_DELIVERY_COUNT:
+            assert r.route == "dlq_poison"  # poison wins over expiry
+        elif ages[i] > EXPIRED_TASK_SECONDS:
+            assert r.route == "dlq_expired"
+        else:
+            assert r.route == "process"
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=20
+    ),
+)
+@SETTINGS
+def test_upsert_is_idempotent_and_last_writer_wins(spark, tmp_path_factory, keys):
+    table = str(tmp_path_factory.mktemp("prop_upsert") / "t")
+    base = spark.createDataFrame(
+        [(k, f"v0-{k}") for k in set(keys)], "id int, val string"
+    )
+    upsert.upsert_parquet(spark, table, base, ["id"])
+    update = spark.createDataFrame(
+        [(k, f"v1-{k}") for k in keys], "id int, val string"
+    ).dropDuplicates(["id"])
+    upsert.upsert_parquet(spark, table, update, ["id"])
+    once = sorted(map(tuple, upsert.read_upsert_table(spark, table).collect()))
+    # replaying the SAME batch (crash-recovery redelivery) changes nothing
+    upsert.upsert_parquet(spark, table, update, ["id"])
+    twice = sorted(map(tuple, upsert.read_upsert_table(spark, table).collect()))
+    assert once == twice
+    assert once == sorted((k, f"v1-{k}") for k in set(keys))

@@ -139,6 +139,91 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = 320,
+    target_h: int = 240,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Resize stage: clamp dimensions to the target box and re-encode the
+    payload. The codec is the same stubbed seam as `decode_stub` — the
+    fake "resample" keeps the leading `len * (new_w*new_h) // (w*h)`
+    bytes (exact integer math, so the DuckDB oracle reproduces the output
+    size) — while the Spark-side plumbing is real: Arrow-batched
+    mapInPandas, fixed output schema, binary in/binary out, rows with no
+    decodable dimensions (audio) dropped before the batch loop so the
+    stage never branches per-row on nulls."""
+    sized = media.filter(
+        F.col("meta.width").isNotNull() & F.col("meta.height").isNotNull()
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [f.name for f in RESIZED_SCHEMA]
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                if not fake_decode:
+                    decode_stub(b"", row["media_type"], fake=False)
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                w, h = row["meta"]["width"], row["meta"]["height"]
+                nw, nh = min(w, target_w), min(h, target_h)
+                out_len = len(payload) * (nw * nh) // (w * h)
+                resized = payload[:out_len]
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "media_type": row["media_type"],
+                        "new_width": nw,
+                        "new_height": nh,
+                        "payload": resized,
+                        "n_bytes_out": len(resized),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return sized.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def media_resize_query(documents: DataFrame) -> DataFrame:
+    """Registered-query form of the resize stage over the documents-
+    derived media table (numeric projection — the payload bytes stay
+    executor-side)."""
+    resized = resize_media(media_from_documents(documents))
+    return resized.select(
+        "asset_id", "media_type", "new_width", "new_height", "n_bytes_out"
+    )
+
+
+MEDIA_RESIZE_SQL = """
+WITH media AS (
+  SELECT doc_id AS asset_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    octet_length(encode(text)) AS n_bytes,
+    CAST(n_chars % 640 + 1 AS INTEGER) AS w,
+    CAST(n_chars % 480 + 1 AS INTEGER) AS h
+  FROM documents
+)
+SELECT asset_id, media_type,
+  LEAST(w, 320) AS new_width,
+  LEAST(h, 240) AS new_height,
+  n_bytes * (LEAST(w, 320) * LEAST(h, 240)) // (w * h) AS n_bytes_out
+FROM media
+"""
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Deterministic media table over the driver's documents table:
     payload = UTF-8 bytes of the text, media_type cycles by doc_id, meta

@@ -215,6 +215,14 @@ def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
 
 
+@query("media_resize", oracle=multimodal.MEDIA_RESIZE_SQL)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal resize stage: Arrow-batched mapInPandas over binary
+    # payloads, stubbed codec with exact-integer fake resample
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.media_resize_query(documents)
+
+
 @query("skew_join", oracle=skew.SKEW_JOIN_SQL)
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salted join over the 10-hot-key events table: hot keys spread over
