@@ -1,0 +1,314 @@
+"""[EXT] Corpus-curation operators for LLM-training-data pipelines
+(SURVEY.md §2.11, BASELINE.json north_star): benchmark decontamination,
+repetition scoring, and deterministic stratified sampling.
+
+These extend the text-analysis family (operators/text.py) with the three
+curation steps a pretraining pipeline runs between dedup and tokenize:
+
+* ``decontaminate`` — flag training documents sharing word n-grams with a
+  held-out benchmark/eval set (the standard n-gram-overlap decontamination
+  used for pretraining corpora).
+* ``repetition_score`` — Gopher-style within-document repetition signals
+  (duplicate-token fraction, most-frequent-bigram mass) used as a quality
+  pre-filter.
+* ``stratified_sample`` — deterministic per-source hash sampling (keep a
+  configurable per-mille of each source), the reproducible alternative to
+  ``DataFrame.sample`` whose output is stable across runs, partitionings
+  and engines.
+
+Scale notes (100 TB):
+* decontamination joins EXPLODED train grams against the DISTINCT gram ids
+  of the benchmark side only. Benchmark/eval sets are tiny relative to the
+  corpus, so the gram-id set is explicitly ``broadcast()`` — the corpus
+  side never shuffles; the per-doc overlap agg is keyed by ``doc_id``
+  (no skew: a document only meets its own grams).
+* gram ids are the cross-engine Horner char hash (operators/hashing.py) —
+  pure map-side arithmetic, an 8-byte join key instead of a
+  40-byte string, and DuckDB-reproducible so the query stays
+  oracle-checked. Production corpora wanting a 64-bit range swap in
+  ``F.xxhash64`` at the one call site (same seam as dedup.py).
+* repetition scoring's only shuffle is the per-(doc_id, bigram) count —
+  keyed by doc_id, embarrassingly parallel, no skew.
+* stratified sampling is a pure narrow filter (no shuffle, no sort, no
+  driver state); the hash-bucket predicate pushes the kept fraction's
+  row-group pruning to nothing but stays a scan-side filter.
+
+Reference parity: the reference has no corpus-curation surface (it is a
+weather ETL); these operators implement the [EXT] LLM-data mandate of
+SURVEY.md §2.11 with the same oracle discipline as the §2 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import char_poly_hash, char_poly_hash_sql
+
+# ---------------------------------------------------------------------------
+# shared: word n-grams as a per-row array (narrow, codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(n: int, col: str = "text") -> Column:
+    """Array of space-joined word n-grams; empty when the doc has fewer
+    than n tokens (guarded: sequence(1, k) with k < 1 would step -1)."""
+    toks = F.split(F.col(col), " ")
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(1), nt - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(nt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_sql(n: int) -> str:
+    """The identical n-gram list in DuckDB (range is end-exclusive; list
+    slicing is 1-based end-inclusive; range(1, k) with k <= 1 is [])."""
+    return (
+        f"list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = 5,
+    benchmark_mod: int = 20,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: every training document is scored by the
+    fraction of its distinct word n-grams that also occur in the held-out
+    benchmark set (here: doc_id % benchmark_mod == 0, standing in for an
+    eval suite), and flagged when the fraction reaches ``threshold``.
+
+    Plan shape: per-row gram arrays (narrow) -> distinct benchmark gram
+    ids, broadcast -> explode train grams, hash-join on the 8-byte gram id
+    -> per-doc distinct-overlap count -> left join back to the per-doc
+    gram totals. The corpus never shuffles; only its exploded gram ids
+    flow into a broadcast join keyed by doc_id afterwards.
+    """
+    grams = F.array_distinct(_word_ngrams(n))
+    with_g = documents.select("doc_id", grams.alias("grams"))
+    is_bench = (F.col("doc_id") % benchmark_mod) == 0
+
+    bench_ids = (
+        with_g.filter(is_bench)
+        .select(F.explode("grams").alias("gram"))
+        .select(char_poly_hash("gram").alias("gid"))
+        .distinct()
+    )
+    train = with_g.filter(~is_bench)
+    train_docs = train.select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
+    )
+    overlap = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", char_poly_hash("gram").alias("gid"))
+        .join(F.broadcast(bench_ids), "gid")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gid").cast("long").alias("n_overlap"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    ratio = n_overlap / F.greatest(F.col("n_grams"), F.lit(1).cast("long"))
+    return (
+        train_docs.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_overlap.alias("n_overlap"),
+            F.round(ratio, 6).alias("contamination_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_distinct({_ngrams_sql(5)}) AS grams
+  FROM w
+),
+ids AS (
+  SELECT doc_id, len(grams) AS n_grams,
+    list_transform(grams, gram -> {char_poly_hash_sql('gram')}) AS gids
+  FROM g
+),
+bench AS (
+  SELECT DISTINCT unnest(gids) AS gid FROM ids WHERE doc_id % 20 = 0
+),
+train AS (
+  SELECT doc_id, n_grams, gids FROM ids WHERE doc_id % 20 <> 0
+),
+ov AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.gid) AS n_overlap
+  FROM (SELECT doc_id, unnest(gids) AS gid FROM train) t
+  JOIN bench USING (gid)
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_grams AS BIGINT) AS n_grams,
+  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+  round(COALESCE(ov.n_overlap, 0) / (GREATEST(t.n_grams, 1) * 1.0), 6)
+    AS contamination_ratio,
+  COALESCE(ov.n_overlap, 0) / (GREATEST(t.n_grams, 1) * 1.0) >= 0.05
+    AS contaminated
+FROM train t LEFT JOIN ov ON ov.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition scoring (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_score(
+    documents: DataFrame,
+    dup_threshold: float = 0.8,
+    bigram_threshold: float = 0.08,
+) -> DataFrame:
+    """Within-document repetition signals: duplicate-token fraction
+    (1 - distinct/total) and the mass of the single most frequent bigram —
+    the cheap repetition filters applied to pretraining corpora.
+
+    The bigram mode requires a per-(doc, gram) count: explode + two aggs
+    keyed by doc_id (each document meets only its own grams, so the
+    shuffle is skew-free and the combine is map-side partial).
+    """
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    per_gram = (
+        documents.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_bigrams"))
+    )
+    per_doc = documents.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    dup_ratio = 1.0 - F.col("n_distinct") / F.col("n_tokens")
+    big_frac = F.coalesce(
+        F.col("max_c") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    # a bigram seen once is not repetition: the mass test only applies
+    # when the top bigram actually repeats (matters for short docs, where
+    # 1/n_bigrams alone can clear the threshold)
+    repeats = F.coalesce(F.col("max_c"), F.lit(0)) >= 2
+    return per_doc.join(per_gram, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_ratio, 6).alias("dup_token_ratio"),
+        F.round(big_frac, 6).alias("top_bigram_frac"),
+        (
+            (dup_ratio >= dup_threshold)
+            | (repeats & (big_frac >= bigram_threshold))
+        ).alias("repetitive"),
+    )
+
+
+REPETITION_SCORE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM w
+),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+      AS gram
+  FROM w
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+modes AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_bigrams
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(d.n_tokens AS BIGINT) AS n_tokens,
+  round(1.0 - d.n_distinct / (d.n_tokens * 1.0), 6) AS dup_token_ratio,
+  round(COALESCE(m.max_c / (m.n_bigrams * 1.0), 0.0), 6) AS top_bigram_frac,
+  (1.0 - d.n_distinct / (d.n_tokens * 1.0)) >= 0.8
+    OR (COALESCE(m.max_c, 0) >= 2
+        AND COALESCE(m.max_c / (m.n_bigrams * 1.0), 0.0) >= 0.08) AS repetitive
+FROM per_doc d LEFT JOIN modes m ON m.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+DEFAULT_SAMPLE_RATES: dict[str, int] = {"src0": 500, "src1": 250}
+DEFAULT_SAMPLE_PERMILLE = 100
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_permille: int = DEFAULT_SAMPLE_PERMILLE,
+) -> DataFrame:
+    """Deterministic per-source sampling: keep a document iff its hash
+    bucket (Horner hash of ``doc_id:source``, mod 1000) falls below the
+    source's per-mille rate. Unlike ``DataFrame.sample`` the kept set is a
+    pure function of the row — stable across runs, partitionings, engines
+    and (crucially for incremental pipelines) across corpus growth.
+    """
+    rates = DEFAULT_SAMPLE_RATES if rates is None else rates
+    bucket = char_poly_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    ) % 1000
+    rate: Column = F.lit(default_permille)
+    for src, permille in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(permille)).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            "lang",
+            bucket.alias("bucket"),
+            rate.cast("int").alias("rate_permille"),
+        )
+        .filter(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+def _sample_rate_case(rates: dict[str, int], default_permille: int) -> str:
+    whens = " ".join(
+        f"WHEN '{src}' THEN {permille}" for src, permille in sorted(rates.items())
+    )
+    return f"CASE source {whens} ELSE {default_permille} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source, lang,
+    {char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000
+      AS bucket,
+    CAST({_sample_rate_case(DEFAULT_SAMPLE_RATES, DEFAULT_SAMPLE_PERMILLE)}
+      AS INTEGER) AS rate_permille
+  FROM documents
+)
+SELECT doc_id, source, lang, bucket, rate_permille
+FROM b WHERE bucket < rate_permille
+"""

@@ -24,6 +24,7 @@ from .streaming import stateful as stateful_streaming
 from .operators import (
     asof,
     bucketing,
+    curation,
     dedup,
     ingestion,
     multimodal,
@@ -372,6 +373,28 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
     return multimodal.media_features_query(documents)
+
+
+@query("decontaminate", oracle=curation.DECONTAMINATE_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: distinct held-out gram ids broadcast,
+    # corpus-side grams hash-join on the 8-byte Horner gram id
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.decontaminate(documents)
+
+
+@query("repetition_score", oracle=curation.REPETITION_SCORE_SQL)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals: dup-token fraction + top-bigram mass
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.repetition_score(documents)
+
+
+@query("stratified_sample", oracle=curation.STRATIFIED_SAMPLE_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-source hash sampling (pure narrow filter)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.stratified_sample(documents)
 
 
 # the two approximate-ANN queries are fully oracle-checked: the SQL
