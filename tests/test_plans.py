@@ -65,6 +65,24 @@ def test_no_single_partition_exchange_anywhere(spark):
         )
 
 
+def test_partition_pruning_reaches_the_scan(spark):
+    df = _q(spark, "partition_pruning")
+    assert plans.has_partition_filters(df), (
+        "the date BETWEEN must land in PartitionFilters, not a post-scan "
+        "filter — otherwise the read lists every day of the table"
+    )
+    # the corpus-side week scan prunes columns to the 4 projected
+    schemas = plans.scan_read_schemas(df)
+    assert all("props" not in s for s in schemas)
+
+
+def test_decontaminate_corpus_side_never_shuffles_before_join(spark):
+    df = _q(spark, "decontaminate")
+    # benchmark gram ids broadcast; train grams hash-join without a
+    # corpus-wide exchange (per-doc aggs afterwards are keyed by doc_id)
+    assert plans.count_broadcasts(df) >= 1
+
+
 def test_headline_plans_use_codegen_capable_aggregates(spark):
     # HashAggregate participates in WholeStageCodegen; SortAggregate /
     # ObjectHashAggregate fall out of it. (Direct codegen-subtree counting

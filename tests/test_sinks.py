@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trail_condition_etl_spark.sinks import upsert
+import os
+
+from trail_condition_etl_spark import plans
+from trail_condition_etl_spark.sinks import partitioned, upsert
 
 
 def _facts(spark, rows):
@@ -207,3 +210,85 @@ class TestDlq:
         # the path still works for future appends after full expiry
         upsert.append_dlq(spark, path, self._rejects(spark, range(3)))
         assert spark.read.parquet(path).count() == 3
+
+
+class TestDayPartitioned:
+    def _days(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_date STRING, event_type STRING, user_id LONG, value DOUBLE"
+        )
+
+    def _state(self, spark, path):
+        # the partition column round-trips as DATE (partition-value
+        # type inference); normalize to the string form for comparison
+        return sorted(
+            (str(r.event_date), r.event_type, r.user_id, r.value)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    def test_backfill_overwrites_only_carried_days(self, spark, tmp_path):
+        path = str(tmp_path / "by_day")
+        full = self._days(
+            spark,
+            [
+                ("2024-01-01", "view", 1, 1.0),
+                ("2024-01-02", "view", 2, 2.0),
+                ("2024-01-03", "view", 3, 3.0),
+            ],
+        )
+        partitioned.write_day_partitioned(full, path)
+        before = self._state(spark, path)
+        # re-backfill ONLY day 2 with corrected rows: days 1/3 untouched
+        fix = self._days(spark, [("2024-01-02", "purchase", 9, 9.0)])
+        partitioned.write_day_partitioned(fix, path)
+        after = self._state(spark, path)
+        assert ("2024-01-02", "purchase", 9, 9.0) in after
+        assert ("2024-01-02", "view", 2, 2.0) not in after
+        assert [r for r in before if r[0] != "2024-01-02"] == [
+            r for r in after if r[0] != "2024-01-02"
+        ]
+        # idempotent: the same backfill twice is byte-identical state
+        partitioned.write_day_partitioned(fix, path)
+        assert self._state(spark, path) == after
+
+    def test_day_range_read_prunes_and_filters(self, spark, tmp_path):
+        path = str(tmp_path / "by_day")
+        partitioned.write_day_partitioned(
+            self._days(
+                spark,
+                [(f"2024-01-{d:02d}", "view", d, float(d)) for d in range(1, 11)],
+            ),
+            path,
+        )
+        week = partitioned.read_day_range(spark, path, "2024-01-03", "2024-01-05")
+        assert plans.has_partition_filters(week)
+        assert sorted(str(r.event_date) for r in week.collect()) == [
+            "2024-01-03",
+            "2024-01-04",
+            "2024-01-05",
+        ]
+
+    def test_compaction_shrinks_files_and_preserves_content(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "by_day")
+        frag = self._days(
+            spark,
+            [
+                (f"2024-01-{d:02d}", "view", u, float(u))
+                for d in (1, 2)
+                for u in range(40)
+            ],
+        ).repartition(8)
+        partitioned.write_day_partitioned(frag, path)
+        n_before = sum(
+            1
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        before = self._state(spark, path)
+        n_after = partitioned.compact_day_partitions(spark, path)
+        assert n_after < n_before
+        assert n_after == 2  # one file per day
+        assert self._state(spark, path) == before

@@ -51,6 +51,13 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
 
 
+def has_partition_filters(df: DataFrame) -> bool:
+    """True if at least one scan prunes directories via a non-empty
+    PartitionFilters list (date/bucket-partitioned layouts)."""
+    plan = formatted_plan(df)
+    return bool(re.search(r"PartitionFilters: \[(?!\])", plan))
+
+
 def uses_python_row_udf(df: DataFrame) -> bool:
     """True if the plan contains row-at-a-time Python evaluation
     (BatchEvalPython). Arrow-batched eval (ArrowEvalPython / mapInPandas)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .session import ensure_engine_conf
+from .sinks import partitioned
 from .streaming import pipeline as streaming_pipeline
 from .streaming import stateful as stateful_streaming
 from .operators import (
@@ -238,6 +239,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join with zero Exchange under it (pinned by tests/test_plans.py)
     ensure_engine_conf(spark)
     return bucketing.bucketed_join_query(spark, sf_dir)
+
+
+@query("partition_pruning", oracle=partitioned.PARTITION_PRUNING_SQL)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # date-partitioned layout: dynamic-partition-overwrite backfill, then
+    # a partition-pruned one-week readback (PartitionFilters pinned by
+    # tests/test_plans.py)
+    ensure_engine_conf(spark)
+    return partitioned.partition_pruning_query(spark, sf_dir)
 
 
 @query("stateful_sessions", oracle=stateful_streaming.STATEFUL_SESSIONS_SQL)
