@@ -83,6 +83,16 @@ def test_decontaminate_corpus_side_never_shuffles_before_join(spark):
     assert plans.count_broadcasts(df) >= 1
 
 
+def test_sketch_aggregates_are_single_shuffle(spark):
+    # HLL/quantile sketches are mergeable: map-side partials combine, so
+    # the plan is partial agg -> ONE exchange on the group key -> final.
+    # count_distinct alongside adds its expand/distinct shuffle; more than
+    # 2 means the sketch stopped combining map-side.
+    for name in ["approx_distinct", "approx_quantiles"]:
+        df = _q(spark, name)
+        assert plans.count_exchanges(df) <= 2, name
+
+
 def test_headline_plans_use_codegen_capable_aggregates(spark):
     # HashAggregate participates in WholeStageCodegen; SortAggregate /
     # ObjectHashAggregate fall out of it. (Direct codegen-subtree counting

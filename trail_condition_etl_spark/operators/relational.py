@@ -332,6 +332,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def window_kit(events: DataFrame, max_user: int = 20) -> DataFrame:
+    """§2.5 breadth: the remaining analytic window functions in one
+    shape — lag delta, lead lookahead, ntile bucketing, percent_rank /
+    cume_dist — per user over event time plus a per-type value ranking.
+    Both windows are partitioned (user_id / event_type): no global sort,
+    no single-partition exchange at any scale.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return events.filter(F.col("user_id") < max_user).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 6).alias(
+            "delta_prev"
+        ),
+        F.coalesce(F.lead("event_type", 1).over(w), F.lit("none")).alias(
+            "next_type"
+        ),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+    )
+
+
+WINDOW_KIT_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type,
+         value
+  FROM events WHERE user_id < 20
+)
+SELECT event_id, user_id, event_type,
+  row_number() OVER w AS rn,
+  round(value - lag(value, 1, 0.0) OVER w, 6) AS delta_prev,
+  COALESCE(lead(event_type, 1) OVER w, 'none') AS next_type,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER wv, 6) AS value_pct_rank,
+  round(cume_dist() OVER wv, 6) AS value_cume_dist
+FROM events_us
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wv AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+"""
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (streaming session-window semantics T8 in
     batch form): a new session starts when the inter-event gap exceeds

@@ -32,6 +32,7 @@ from .operators import (
     pipeline,
     relational,
     similarity,
+    sketches,
     skew,
     text,
     weather,
@@ -145,6 +146,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return relational.session_window_agg(events)
+
+
+@query("window_kit", oracle=relational.WINDOW_KIT_SQL)
+def q_window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.5 breadth: lag/lead/ntile/percent_rank/cume_dist, both windows
+    # partitioned (no global sort)
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.window_kit(events)
+
+
+@query("approx_distinct", oracle=sketches.APPROX_DISTINCT_SQL)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketch distinct counts with an in-plan tolerance assertion the
+    # oracle pins to TRUE (sketch value itself is engine-specific)
+    (events,) = _tables(spark, sf_dir, "events")
+    return sketches.approx_distinct_check(events)
+
+
+@query("approx_quantiles", oracle=sketches.APPROX_QUANTILE_SQL)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable quantile sketch vs exact percentile_cont, same pattern
+    (events,) = _tables(spark, sf_dir, "events")
+    return sketches.approx_quantile_check(events)
 
 
 @query("rollup_volume", oracle=relational.ROLLUP_SQL)
