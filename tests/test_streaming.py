@@ -9,7 +9,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from trail_condition_etl_spark.sinks import upsert
-from trail_condition_etl_spark.streaming import pipeline
+from trail_condition_etl_spark.streaming import joins, pipeline
 
 NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
@@ -87,3 +87,53 @@ def test_transform_hook_applies(spark, tmp_path):
     q.awaitTermination(120)
     rows = upsert.read_upsert_table(spark, str(tmp_path / "out")).collect()
     assert rows[0].city_sq == 81
+
+
+def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
+    """Clicks and purchases staged as SEPARATE files, consumed one file
+    per micro-batch: the purchase arrives in a later batch than its
+    click, so the match can only come from the join's state store."""
+    staging = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    clicks = spark.createDataFrame(
+        [
+            (1, base, 7, "click", 0.0),
+            (2, base + dt.timedelta(minutes=10), 7, "click", 0.0),
+            (3, base, 8, "click", 0.0),  # different user: must not match
+        ],
+        schema,
+    )
+    purchases = spark.createDataFrame(
+        [
+            # in-window matches for clicks 1 and 2
+            (10, base + dt.timedelta(minutes=30), 7, "purchase", 20.0),
+            # out-of-window: 2h after the clicks
+            (11, base + dt.timedelta(hours=2), 7, "purchase", 5.0),
+        ],
+        schema,
+    )
+    clicks.coalesce(1).write.mode("append").parquet(str(staging))
+    purchases.coalesce(1).write.mode("append").parquet(str(staging))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staging))
+    )
+    q = (
+        joins.attribution_join(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {(10, 1), (10, 2)}

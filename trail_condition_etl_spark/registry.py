@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import catalog
 from .session import ensure_engine_conf
 from .sinks import partitioned
+from .streaming import joins as streaming_joins
 from .streaming import pipeline as streaming_pipeline
 from .streaming import stateful as stateful_streaming
 from .operators import (
@@ -281,6 +282,14 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (oracle: batch sessions minus each user's trailing one)
     ensure_engine_conf(spark)
     return stateful_streaming.stateful_sessions_query(spark, sf_dir)
+
+
+@query("stream_attribution", oracle=streaming_joins.ATTRIBUTION_SQL)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermarked stream-stream interval join (purchase <- prior clicks
+    # within 1h) under Trigger.AvailableNow; state bounded by watermarks
+    ensure_engine_conf(spark)
+    return streaming_joins.attribution_query(spark, sf_dir)
 
 
 @query("task_dedup", oracle=pipeline.DEDUP_SQL)
