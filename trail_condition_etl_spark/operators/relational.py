@@ -634,3 +634,143 @@ SELECT user_id,
 FROM sid
 GROUP BY user_id, session_seq
 """
+
+
+def cube_volume(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """CUBE over (nation, order priority) with an explicit grouping id —
+    the full §2.6 grouping-sets surface next to `rollup_volume`. One
+    pass: Catalyst expands the 4 grouping sets map-side; nulls from
+    rolled-up dimensions are labeled '(all)' so the output is
+    engine-stable."""
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.cube("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_scaled("o_totalprice", 2)) / 100.0).alias("tp"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            F.round("tp", 2).alias("total_price"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(n_name, '(all)') AS n_name,
+  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+  CAST(GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+  COUNT(*) AS n_orders,
+  round(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+    AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, o_orderpriority)
+"""
+
+
+LINESTATUS_VALUES = ("F", "O")
+
+
+def pivot_lineitem(lineitem: DataFrame) -> DataFrame:
+    """PIVOT: quantity totals per return flag spread across line-status
+    columns. The pivot value list is EXPLICIT (open-ended pivots need a
+    distinct-values job first — at 100 TB always pin the list)."""
+    out = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", list(LINESTATUS_VALUES))
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("qty_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("qty_o"),
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+      THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS qty_f,
+  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+      THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def unpivot_part_metrics(part: DataFrame) -> DataFrame:
+    """UNPIVOT/melt: part's numeric attributes to long (key, metric,
+    value) form — narrow per-row expansion, no shuffle at any scale."""
+    return part.unpivot(
+        ["p_partkey"],
+        [
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        ],
+        "metric",
+        "value",
+    ).select("p_partkey", "metric", F.round("value", 2).alias("value"))
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+FROM part
+"""
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#12"
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery: revenue from orders
+    whose quantity is below 20% of that part's average quantity.
+
+    The correlated `(SELECT avg(..) WHERE p_partkey = ..)` becomes a
+    partitioned WINDOW average over the already-joined fact — one shuffle
+    on partkey total, no re-scan and no per-row subquery execution (the
+    de-correlation Catalyst would otherwise have to find on its own).
+    The per-part average is computed as exact integer sum / count so both
+    engines derive the identical double before the 0.2× comparison.
+    """
+    wanted = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(_scaled("l_quantity", 0)).over(w)
+        / F.count(F.lit(1)).over(w)
+    )
+    small = li.withColumn("_avg", avg_qty).filter(
+        F.col("l_quantity") < 0.2 * F.col("_avg")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(
+            (F.sum(_scaled("l_extendedprice", 2)) / 100.0) / 7.0, 4
+        ).alias("avg_yearly"),
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT COUNT(*) AS n_small,
+  round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 4)
+    AS avg_yearly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l1.l_quantity < 0.2 * (
+    SELECT SUM(CAST(round(l2.l_quantity) AS BIGINT)) / (COUNT(*) * 1.0)
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+  )
+"""

@@ -180,6 +180,36 @@ def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.rollup_volume(region, nation, customer, orders)
 
 
+@query("small_qty_revenue", oracle=relational.SMALL_QTY_REVENUE_SQL)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated scalar subquery de-correlated into a partitioned window
+    lineitem, part = _tables(spark, sf_dir, "lineitem", "part")
+    return relational.small_quantity_revenue(lineitem, part)
+
+
+@query("cube_volume", oracle=relational.CUBE_SQL)
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full grouping-sets surface: CUBE + grouping_id next to rollup
+    orders, customer, nation = _tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    return relational.cube_volume(orders, customer, nation)
+
+
+@query("pivot_lineitem", oracle=relational.PIVOT_SQL)
+def q_pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PIVOT with an explicit (pinned) value list
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return relational.pivot_lineitem(lineitem)
+
+
+@query("unpivot_part", oracle=relational.UNPIVOT_SQL)
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNPIVOT/melt to long form (narrow per-row expansion)
+    (part,) = _tables(spark, sf_dir, "part")
+    return relational.unpivot_part_metrics(part)
+
+
 @query("string_kit", oracle=relational.STRING_KIT_SQL)
 def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, nation = _tables(spark, sf_dir, "customer", "nation")
@@ -308,6 +338,14 @@ def q_scheduler_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return pipeline.json_props_stats(events)
+
+
+@query("variant_props", oracle=pipeline.VARIANT_PROPS_SQL)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-4 VariantType: one binary parse per row, typed extraction,
+    # aggregated schema-drift check
+    (events,) = _tables(spark, sf_dir, "events")
+    return pipeline.variant_props_stats(events)
 
 
 @query("datetime_kit", oracle=pipeline.DATETIME_KIT_SQL)
