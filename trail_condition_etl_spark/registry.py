@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import catalog
 from .session import ensure_engine_conf
 from .sinks import partitioned
+from .sources import files as file_sources
 from .streaming import joins as streaming_joins
 from .streaming import pipeline as streaming_pipeline
 from .streaming import stateful as stateful_streaming
@@ -244,6 +245,14 @@ def q_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ingest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return ingestion.ingest_explode_query(events)
+
+
+@query("jsonl_roundtrip", oracle=file_sources.JSONL_ROUNDTRIP_SQL)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-enforced JSONL source: stage as text, read back PERMISSIVE
+    # with corrupt-record routing, aggregate (parity = no typing drift)
+    ensure_engine_conf(spark)
+    return file_sources.jsonl_roundtrip_query(spark, sf_dir)
 
 
 @query("categorization_tasks", oracle=ingestion.CATEGORIZATION_TASKS_SQL)
