@@ -110,3 +110,68 @@ def test_upsert_is_idempotent_and_last_writer_wins(spark, tmp_path_factory, keys
     twice = sorted(map(tuple, upsert.read_upsert_table(spark, table).collect()))
     assert once == twice
     assert once == sorted((k, f"v1-{k}") for k in set(keys))
+
+
+# printable-ASCII token domain — the documented domain of the cross-engine
+# hash (documents are ASCII; ascii()/unicode() parity beyond BMP is not
+# part of the contract)
+ascii_tokens = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(toks=ascii_tokens)
+@SETTINGS
+def test_char_poly_hash_agrees_with_duckdb_for_any_string(spark, toks):
+    """EVERY oracle built on operators/hashing.py rests on this: the
+    Spark Horner fold and the DuckDB SQL fold produce the same id for
+    the same string."""
+    import duckdb
+
+    from trail_condition_etl_spark.operators import hashing
+
+    strings = sorted(set(" ".join(toks).split(" ")))
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", hashing.char_poly_hash("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    expr = hashing.char_poly_hash_sql("s")
+    want = dict(
+        con.execute(
+            f"SELECT s, {expr} AS h FROM (SELECT unnest(?) AS s)", [strings]
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(toks=ascii_tokens)
+@SETTINGS
+def test_word_ngrams_agree_with_duckdb_including_short_docs(spark, toks):
+    """The n-gram builders must agree for every token count — including
+    docs shorter than n, where Spark's sequence(1, k<1) would silently
+    yield [1, 0] without the guard and DuckDB's range() is empty."""
+    import duckdb
+
+    from trail_condition_etl_spark.operators import curation
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(curation._word_ngrams(5).alias("g")).collect()[0].g
+    con = duckdb.connect()
+    sql = curation._ngrams_sql(5)
+    want = con.execute(
+        f"SELECT {sql} FROM (SELECT string_split(?, ' ') AS toks)", [text]
+    ).fetchone()[0]
+    assert list(got) == list(want)
+    if len(toks) < 5:
+        assert got == []
+    else:
+        assert len(got) == len(toks) - 4
