@@ -93,6 +93,47 @@ def test_sketch_aggregates_are_single_shuffle(spark):
         assert plans.count_exchanges(df) <= 2, name
 
 
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """100 TB posture check: with a selective filter on one join side,
+    Catalyst's runtime bloom-filter reduction prunes the big side's
+    shuffle BEFORE the join. Local data is below the 10 GB
+    application-side default, so the threshold is lowered for the
+    assertion (the creation-side logic is what's under test)."""
+    from pyspark.sql import functions as F
+
+    from trail_condition_etl_spark import catalog
+
+    conf = spark.conf
+    old_thresh = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need the bloom
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = catalog.load_table(spark, SF_DIR, "orders")
+        lineitem = catalog.load_table(spark, SF_DIR, "lineitem")
+        j = (
+            lineitem.join(
+                orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert plans.has_runtime_bloom_filter(j)
+    finally:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
 def test_headline_plans_use_codegen_capable_aggregates(spark):
     # HashAggregate participates in WholeStageCodegen; SortAggregate /
     # ObjectHashAggregate fall out of it. (Direct codegen-subtree counting

@@ -51,6 +51,17 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
 
 
+def has_runtime_bloom_filter(df: DataFrame) -> bool:
+    """True if Catalyst injected a runtime bloom-filter join reduction
+    (bloom_filter_agg on the creation side + might_contain on the
+    application side). At production scale this fires under the default
+    thresholds (creation side < 10 MB after filtering, application-side
+    scan > 10 GB); local test data sits below the application-side
+    threshold, so the plan test lowers it to prove the machinery."""
+    plan = formatted_plan(df)
+    return "bloom_filter_agg" in plan and "might_contain" in plan
+
+
 def has_partition_filters(df: DataFrame) -> bool:
     """True if at least one scan prunes directories via a non-empty
     PartitionFilters list (date/bucket-partitioned layouts)."""
