@@ -292,3 +292,31 @@ class TestDayPartitioned:
         assert n_after < n_before
         assert n_after == 2  # one file per day
         assert self._state(spark, path) == before
+
+    def test_incremental_rollup_processes_only_new_days(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        agg = str(tmp_path / "agg")
+        wave1 = self._days(
+            spark,
+            [("2024-01-01", "view", 1, 1.0), ("2024-01-02", "view", 2, 2.0)],
+        )
+        partitioned.write_day_partitioned(wave1, src)
+        assert partitioned.rollup_new_days(spark, src, agg) == 2
+        # nothing new -> no work, table unchanged
+        before = self._rollup_state(spark, agg)
+        assert partitioned.rollup_new_days(spark, src, agg) == 0
+        assert self._rollup_state(spark, agg) == before
+        # a third day arrives -> exactly one day processed, old days kept
+        partitioned.write_day_partitioned(
+            self._days(spark, [("2024-01-03", "purchase", 3, 3.0)]), src
+        )
+        assert partitioned.rollup_new_days(spark, src, agg) == 1
+        after = self._rollup_state(spark, agg)
+        assert [r for r in after if r[0] != "2024-01-03"] == before
+        assert ("2024-01-03", "purchase", 1, 1, 3.0) in after
+
+    def _rollup_state(self, spark, path):
+        return sorted(
+            (str(r.event_date), r.event_type, r.n_events, r.n_users, r.value_sum)
+            for r in spark.read.parquet(path).collect()
+        )

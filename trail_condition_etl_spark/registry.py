@@ -314,6 +314,14 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partitioned.partition_pruning_query(spark, sf_dir)
 
 
+@query("incremental_rollup", oracle=partitioned.INCREMENTAL_ROLLUP_SQL)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental aggregate maintenance: two-wave rollup over the
+    # date-partitioned layout; only new days are read/aggregated per run
+    ensure_engine_conf(spark)
+    return partitioned.incremental_rollup_query(spark, sf_dir)
+
+
 @query("stateful_sessions", oracle=stateful_streaming.STATEFUL_SESSIONS_SQL)
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T8 streaming form: applyInPandasWithState session state machine,
