@@ -312,3 +312,39 @@ WITH b AS (
 SELECT doc_id, source, lang, bucket, rate_permille
 FROM b WHERE bucket < rate_permille
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-per-group sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_k_per_group(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Exactly-k-per-source sampling (vs `stratified_sample`'s
+    rate-based form): rank docs within each source by their hash bucket
+    and keep the first k — a uniform without-replacement draw that is a
+    pure function of the rows. The window is partitioned by source, so
+    no global sort; at 100 TB this is the reproducible replacement for
+    per-group reservoir sampling."""
+    h = char_poly_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        documents.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", "rk")
+    )
+
+
+SAMPLE_K_PER_GROUP_SQL = f"""
+SELECT doc_id, source,
+  CAST(row_number() OVER (PARTITION BY source
+    ORDER BY {char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':' || source")},
+             doc_id) AS INTEGER) AS rk
+FROM documents
+QUALIFY rk <= 3
+"""

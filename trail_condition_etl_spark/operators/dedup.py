@@ -446,3 +446,44 @@ SELECT doc_id, canon AS canonical_doc_id FROM {prev}
 
 
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def fuzzy_pairs(
+    documents: DataFrame, prefix_len: int = 60, max_dist: int = 20
+) -> DataFrame:
+    """Edit-distance verify stage over the LSH candidate pairs: for each
+    MinHash near-dup pair, the Levenshtein distance between the docs'
+    text prefixes — the character-level second opinion that catches
+    shingle-level false positives. The pair set is small (LSH output),
+    so it broadcasts into two keyed joins against the corpus; the O(L²)
+    edit distance runs only on candidates, never all-pairs."""
+    pairs = minhash_pairs(documents)
+    a = documents.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, prefix_len).alias("_ta"),
+    )
+    b = documents.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, prefix_len).alias("_tb"),
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    with_a = a.join(F.broadcast(pairs), "doc_a")  # corpus scan, no shuffle
+    return b.join(F.broadcast(with_a), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        dist.alias("prefix_edit_dist"),
+        (dist <= max_dist).alias("fuzzy_match"),
+    )
+
+
+FUZZY_PAIRS_SQL = f"""
+SELECT p.doc_a, p.doc_b, p.jaccard,
+  levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60))
+    AS prefix_edit_dist,
+  levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) <= 20
+    AS fuzzy_match
+FROM ({MINHASH_PAIRS_SQL}) p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+"""

@@ -425,6 +425,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(documents)
 
 
+@query("fuzzy_pairs", oracle=dedup.FUZZY_PAIRS_SQL)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edit-distance verify stage over LSH candidates (never all-pairs)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.fuzzy_pairs(documents)
+
+
+@query("sample_k_per_group", oracle=curation.SAMPLE_K_PER_GROUP_SQL)
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly-k-per-source deterministic draw (partitioned window rank)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.sample_k_per_group(documents)
+
+
 @query("dedup_clusters", oracle=dedup.DEDUP_CLUSTERS_SQL)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
