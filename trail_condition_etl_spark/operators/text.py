@@ -312,3 +312,72 @@ ranked AS (
 )
 SELECT lang, rk, gram, n_docs FROM ranked WHERE rk <= 5
 """
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf, with a
+    BM25-style RATIONAL idf, (N - df + 0.5) / (df + 0.5), instead of the
+    textbook log form: +,-,*,/ are IEEE-correctly-rounded and therefore
+    bit-identical across engines, while ln() may differ in the last ulp
+    between libms — which would make cross-engine ranking undecidable at
+    the margin. Determinism of the ORDER is what the oracle checks.
+
+    Shuffle budget: tf agg keyed (doc, term); df agg keyed term; the
+    tf⋈df join is term-keyed (stopword skew is modest after the per-doc
+    distinct; AQE skew-split covers the tail); final per-doc top-k is a
+    partitioned window. N arrives via a 1-row broadcast cross-join — no
+    driver-side count() action in the plan.
+    """
+    toks = F.explode(F.split("text", " ")).alias("term")
+    flat = documents.select("doc_id", toks)
+    tf = flat.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_terms")
+    )
+    df_ = flat.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") / F.col("n_terms")) * (
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "term", F.round("score", 6).alias("score"))
+    )
+
+
+TFIDF_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+doc_len AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_terms FROM documents
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    (tf.tf / (doc_len.n_terms * 1.0))
+      * ((nd.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN nd
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+    AS INTEGER) AS rk,
+  term, round(score, 6) AS score
+FROM scored
+QUALIFY rk <= 3
+"""

@@ -445,6 +445,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(documents)
 
 
+@query("tfidf_topk", oracle=text.TFIDF_TOPK_SQL)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25-rational tf-idf top terms per doc (no log(): cross-engine
+    # rank determinism needs correctly-rounded arithmetic only)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.tfidf_topk(documents)
+
+
 @query("ngram_topk", oracle=text.NGRAM_TOPK_SQL)
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
