@@ -348,3 +348,103 @@ SELECT doc_id, source,
 FROM documents
 QUALIFY rk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# the full curation funnel (composition showcase)
+# ---------------------------------------------------------------------------
+
+QUALITY_KEEP_THRESHOLD = 0.75
+
+
+def curation_funnel(
+    documents: DataFrame, quality_threshold: float = QUALITY_KEEP_THRESHOLD
+) -> DataFrame:
+    """The end-to-end corpus-curation pipeline as ONE query — per-stage
+    retention counts for: near-dup clustering (keep canonical docs) ->
+    quality floor -> benchmark decontamination -> repetition filter.
+    This is the composition a pretraining data pipeline actually runs;
+    each stage reuses the registered operator unchanged, so the funnel's
+    oracle doubles as an integration check across dedup.py / text.py /
+    curation.py.
+
+    Scale: each stage yields a doc_id set; stages intersect via inner
+    joins keyed on doc_id (no broadcast needed — both sides are
+    corpus-sized, co-partitioned by the same key after the first
+    shuffle). Counts are 1-row aggregates unioned at the end."""
+    from .dedup import dedup_clusters
+    from .text import quality_score
+
+    total = documents.select("doc_id")
+    canon = (
+        dedup_clusters(documents)
+        .filter(F.col("canonical_doc_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    quality_keep = (
+        quality_score(documents)
+        .filter(F.col("quality_score") >= quality_threshold)
+        .select("doc_id")
+    )
+    s2 = canon.join(quality_keep, "doc_id")
+    # decontaminate() emits train docs only: the benchmark slice leaves
+    # the corpus here too (it is eval data, not training data)
+    decon_keep = (
+        decontaminate(documents)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    s3 = s2.join(decon_keep, "doc_id")
+    rep_keep = (
+        repetition_score(documents)
+        .filter(~F.col("repetitive"))
+        .select("doc_id")
+    )
+    s4 = s3.join(rep_keep, "doc_id")
+
+    out = None
+    for name, frame in [
+        ("0_total", total),
+        ("1_near_dedup", canon),
+        ("2_quality", s2),
+        ("3_decontaminated", s3),
+        ("4_final", s4),
+    ]:
+        c = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def _funnel_sql() -> str:
+    from .dedup import DEDUP_CLUSTERS_SQL
+    from .text import QUALITY_SCORE_SQL
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+quality AS ({QUALITY_SCORE_SQL}),
+decon AS ({DECONTAMINATE_SQL}),
+rep AS ({REPETITION_SCORE_SQL}),
+canon AS (SELECT doc_id FROM clusters WHERE canonical_doc_id = doc_id),
+s2 AS (
+  SELECT c.doc_id FROM canon c
+  JOIN quality q ON q.doc_id = c.doc_id AND q.quality_score >= 0.75
+),
+s3 AS (
+  SELECT s.doc_id FROM s2 s
+  JOIN decon d ON d.doc_id = s.doc_id AND NOT d.contaminated
+),
+s4 AS (
+  SELECT s.doc_id FROM s3 s
+  JOIN rep r ON r.doc_id = s.doc_id AND NOT r.repetitive
+)
+SELECT '0_total' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '1_near_dedup', COUNT(*) FROM canon
+UNION ALL SELECT '2_quality', COUNT(*) FROM s2
+UNION ALL SELECT '3_decontaminated', COUNT(*) FROM s3
+UNION ALL SELECT '4_final', COUNT(*) FROM s4
+"""
+
+
+CURATION_FUNNEL_SQL = _funnel_sql()

@@ -495,6 +495,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features_query(documents)
 
 
+@query("curation_funnel", oracle=curation.CURATION_FUNNEL_SQL)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the whole curation pipeline as one query: near-dedup -> quality ->
+    # decontaminate -> repetition, per-stage retention counts
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.curation_funnel(documents)
+
+
 @query("decontaminate", oracle=curation.DECONTAMINATE_SQL)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination: distinct held-out gram ids broadcast,
