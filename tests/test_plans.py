@@ -134,6 +134,24 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
 
 
+def test_tfidf_bounded_shuffles_and_broadcast_n(spark):
+    df = _q(spark, "tfidf_topk")
+    # tf agg + df agg (+ their distinct/join re-partitions) and the
+    # per-doc window; the 1-row N frame must arrive via broadcast, and
+    # nothing may funnel through a single partition (checked globally too)
+    assert plans.count_broadcasts(df) >= 1
+    assert plans.count_exchanges(df) <= 6
+    assert not plans.has_single_partition_exchange(df)
+
+
+def test_fuzzy_pairs_broadcasts_candidates_not_corpus(spark):
+    df = _q(spark, "fuzzy_pairs")
+    # the LSH pair set broadcasts into both corpus-side prefix joins —
+    # a cartesian or corpus-shuffle here would be the all-pairs regression
+    assert plans.count_broadcasts(df) >= 2
+    assert "CartesianProduct" not in plans.simple_plan(df)
+
+
 def test_headline_plans_use_codegen_capable_aggregates(spark):
     # HashAggregate participates in WholeStageCodegen; SortAggregate /
     # ObjectHashAggregate fall out of it. (Direct codegen-subtree counting
