@@ -40,7 +40,7 @@ SURVEY.md §2.11 with the same oracle discipline as the §2 rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import char_poly_hash, char_poly_hash_sql
@@ -329,8 +329,6 @@ def sample_k_per_group(documents: DataFrame, k: int = 3) -> DataFrame:
     h = char_poly_hash(
         F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
     return (
         documents.select("doc_id", "source", h.alias("h"))
@@ -448,3 +446,105 @@ UNION ALL SELECT '4_final', COUNT(*) FROM s4
 
 
 CURATION_FUNNEL_SQL = _funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# data-mixture weighting + sequence packing (pretraining batch prep)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 512
+
+
+def mixture_weights(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture (alpha = 0.5): weight_s ∝
+    sqrt(n_s), the standard up-weighting of small sources when sampling a
+    pretraining mix. sqrt and / are IEEE-correctly-rounded, so both
+    engines derive identical weights (no log/pow in sight). The total
+    arrives via a 1-row broadcast cross-join — no partition-less window,
+    no driver action."""
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scaled = per_source.withColumn("w", F.sqrt(F.col("n_docs")))
+    total = scaled.agg(F.sum("w").alias("w_total"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("w") / F.col("w_total"), 6).alias("weight"),
+            F.round(F.col("w") / F.col("w_total") * 100000)
+            .cast("long")
+            .alias("per_100k"),
+        )
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+scaled AS (SELECT source, n_docs, sqrt(n_docs) AS w FROM per_source),
+total AS (SELECT SUM(w) AS w_total FROM scaled)
+SELECT source, n_docs,
+  round(w / w_total, 6) AS weight,
+  CAST(round(w / w_total * 100000) AS BIGINT) AS per_100k
+FROM scaled CROSS JOIN total
+"""
+
+
+def pack_sequences(
+    documents: DataFrame, budget_tokens: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each source, documents
+    are laid end-to-end in doc_id order and cut into fixed-token
+    sequences; a doc belongs to the sequence its FIRST token lands in.
+    This is the deterministic packing plan a pretraining tokenizer
+    executes — computed here as a windowed running sum (partitioned by
+    source: no global sort) and an integer bin division.
+    """
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    placed = documents.select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    ).withColumn("seq_id", F.floor(cum_before / budget_tokens).cast("long"))
+    return (
+        placed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .select(
+            "source",
+            "seq_id",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "first_doc_id",
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH placed AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM documents
+)
+SELECT source,
+  cum_before // {PACK_BUDGET_TOKENS} AS seq_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc_id
+FROM placed
+GROUP BY source, cum_before // {PACK_BUDGET_TOKENS}
+"""

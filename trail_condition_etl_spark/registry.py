@@ -495,6 +495,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features_query(documents)
 
 
+@query("mixture_weights", oracle=curation.MIXTURE_WEIGHTS_SQL)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-scaled (alpha=0.5) source mixture for pretraining mixes
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.mixture_weights(documents)
+
+
+@query("pack_sequences", oracle=curation.PACK_SEQUENCES_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-then-chunk sequence packing plan (windowed cumsum, no
+    # global sort — partitioned by source)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.pack_sequences(documents)
+
+
 @query("curation_funnel", oracle=curation.CURATION_FUNNEL_SQL)
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole curation pipeline as one query: near-dedup -> quality ->
