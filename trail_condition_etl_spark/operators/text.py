@@ -381,3 +381,54 @@ SELECT doc_id,
 FROM scored
 QUALIFY rk <= 3
 """
+
+
+QUALITY_MAD_SCHEMA = "source string, n long, median double, mad double"
+
+
+def quality_mad_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source robust quality statistics (exact median + median
+    absolute deviation) via `groupBy().applyInPandas` — the grouped-map
+    Arrow seam, used where the statistic is an exact order statistic
+    that mergeable JVM aggregates can't express. (At 100 TB you would
+    reach for percentile_approx — operators/sketches.py — unless the
+    exact value is contractual; this operator is the seam demo AND the
+    exact fallback.) One shuffle keyed by source; each group's rows
+    arrive as a single Arrow batch.
+
+    pandas' even-n median is the midpoint average — identical to
+    DuckDB's quantile_cont(0.5), so the oracle reproduces it exactly.
+    """
+    q = quality_score(documents).select("source", "quality_score")
+
+    def mad_stats(pdf):
+        import pandas as pd
+
+        med = pdf["quality_score"].median()
+        mad = (pdf["quality_score"] - med).abs().median()
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "n": len(pdf),
+                    "median": round(med, 6),
+                    "mad": round(mad, 6),
+                }
+            ]
+        )
+
+    return q.groupBy("source").applyInPandas(mad_stats, QUALITY_MAD_SCHEMA)
+
+
+QUALITY_MAD_SQL = f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+med AS (
+  SELECT source, COUNT(*) AS n, median(quality_score) AS m
+  FROM q GROUP BY source
+)
+SELECT m.source, m.n,
+  round(m.m, 6) AS median,
+  round(median(abs(q.quality_score - m.m)), 6) AS mad
+FROM q JOIN med m USING (source)
+GROUP BY m.source, m.n, m.m
+"""

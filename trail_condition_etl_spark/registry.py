@@ -445,6 +445,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(documents)
 
 
+@query("quality_mad", oracle=text.QUALITY_MAD_SQL)
+def q_quality_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouped-map applyInPandas seam: exact per-source median + MAD
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.quality_mad_by_source(documents)
+
+
 @query("tfidf_topk", oracle=text.TFIDF_TOPK_SQL)
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25-rational tf-idf top terms per doc (no log(): cross-engine
