@@ -1,0 +1,131 @@
+"""Warehouse data-quality checks (the Great-Expectations-style suite a
+production pipeline runs before publishing a table): referential
+integrity, key uniqueness, null keys, value domains, and business-rule
+violations, emitted as one (check, n_violations, passed) frame.
+
+The reference validates per-ROW at ingest (Pydantic + DLQ, P7/S14 —
+fetch-weather/src/api.py:41-141); this is the complementary per-TABLE
+contract check that batch warehouses need: a row can be locally valid
+while the table breaks an invariant (an orphaned FK, a duplicate key, a
+date inversion) that no single-row validator can see.
+
+Plan shape: each check is one aggregate (anti-join counts for FKs,
+group-HAVING for uniqueness, predicate counts for domains), unioned as
+1-row frames. At 100 TB each check is a scan + one keyed shuffle at
+most; checks share no state so they parallelize as independent jobs —
+and the counts double as freshness/regression metrics run-over-run.
+
+On the driver's synthetic data two checks report real violations
+(duplicate lineitem keys, ship-before-order inversions) — the suite
+measures the data, it does not assume it is clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ORDER_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def _check(name: str, n_violations) -> DataFrame:
+    return n_violations.select(
+        F.lit(name).alias("check"),
+        F.col("n").alias("n_violations"),
+        (F.col("n") == 0).alias("passed"),
+    )
+
+
+def dq_checks(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Run the warehouse contract suite; one row per check."""
+    cnt = F.count(F.lit(1)).alias("n")
+
+    fk_orders = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    ).agg(cnt)
+    fk_lineitem = lineitem.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(cnt)
+    dup_keys = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(cnt)
+    )
+    ship_inversion = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(cnt)
+    )
+    null_keys = events.filter(
+        F.col("event_id").isNull()
+        | F.col("user_id").isNull()
+        | F.col("ts").isNull()
+    ).agg(cnt)
+    qty_range = lineitem.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).agg(cnt)
+    prio_domain = orders.filter(
+        ~F.col("o_orderpriority").isin(*ORDER_PRIORITIES)
+    ).agg(cnt)
+
+    out = _check("1_fk_orders_customer", fk_orders)
+    for name, frame in [
+        ("2_fk_lineitem_orders", fk_lineitem),
+        ("3_unique_lineitem_key", dup_keys),
+        ("4_ship_not_before_order", ship_inversion),
+        ("5_event_keys_not_null", null_keys),
+        ("6_quantity_in_range", qty_range),
+        ("7_priority_in_domain", prio_domain),
+    ]:
+        out = out.unionByName(_check(name, frame))
+    return out
+
+
+DQ_CHECKS_SQL = """
+WITH checks(check_name, n) AS (
+  SELECT '1_fk_orders_customer', (
+    SELECT COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL SELECT '2_fk_lineitem_orders', (
+    SELECT COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL SELECT '3_unique_lineitem_key', (
+    SELECT COUNT(*) FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+  UNION ALL SELECT '4_ship_not_before_order', (
+    SELECT COUNT(*) FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate < o.o_orderdate)
+  UNION ALL SELECT '5_event_keys_not_null', (
+    SELECT COUNT(*) FROM events
+    WHERE event_id IS NULL OR user_id IS NULL OR ts IS NULL)
+  UNION ALL SELECT '6_quantity_in_range', (
+    SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+  UNION ALL SELECT '7_priority_in_domain', (
+    SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN
+      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+)
+SELECT check_name AS "check", CAST(n AS BIGINT) AS n_violations,
+       n = 0 AS passed
+FROM checks
+"""

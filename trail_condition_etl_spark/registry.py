@@ -29,6 +29,7 @@ from .operators import (
     bucketing,
     curation,
     dedup,
+    dq,
     ingestion,
     multimodal,
     pipeline,
@@ -265,6 +266,16 @@ def q_categorization_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pipeline semantics (SURVEY §2.8/§2.9, EP1): DLQ policy, dedup, scheduler,
 # JSON/scalar kits
 # ---------------------------------------------------------------------------
+
+
+@query("dq_checks", oracle=dq.DQ_CHECKS_SQL)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # warehouse contract suite: FK integrity, key uniqueness, null keys,
+    # value domains, business-rule inversions — one row per check
+    customer, orders, lineitem, events = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "events"
+    )
+    return dq.dq_checks(customer, orders, lineitem, events)
 
 
 @query("dlq_routing", oracle=pipeline.DLQ_ROUTE_SQL)
