@@ -720,3 +720,59 @@ SELECT vec_id,
     ) AS BIGINT) / 1000000000.0, 6) AS abs_err
 FROM q
 """
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding space — the per-class mean
+    vector used for nearest-centroid classification and cluster QA.
+    Exact cross-engine arithmetic: components are scaled to integer
+    micro-units and summed as int64 (order-independent), divided once at
+    the end — the same _scaled discipline as every SUM in the engine.
+
+    Plan: posexplode (narrow: one row per (vector, dim)) -> single agg
+    keyed by (label, pos). At 100 TB the shuffle carries one partial sum
+    per (label, dim) per task — mergeable and tiny — NOT the vectors.
+    """
+    flat = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # floor(x + 0.5), not round(): a dyadic float (m/2^k) puts
+            # v*1e6 exactly on .5, where Spark rounds HALF_UP and DuckDB
+            # half-even — floor(x+0.5) is the same half-up in both
+            F.sum(
+                F.floor(F.col("v").cast("double") * 1_000_000 + 0.5).cast("long")
+            ).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            # exact integer micro-units (floor of the rational mean):
+            # round(x, 6) differs between engines by one ulp at half
+            # boundaries; floor(s/n) cannot — a non-integer rational
+            # with n this small sits >= 1e-6 from any integer, far
+            # beyond double rounding error
+            F.floor(F.col("s") / F.col("n")).cast("long").alias(
+                "centroid_micros"
+            ),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label,
+    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+    unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*) AS n,
+  CAST(floor(SUM(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) / (COUNT(*) * 1.0))
+    AS BIGINT) AS centroid_micros
+FROM flat
+GROUP BY label, pos
+"""

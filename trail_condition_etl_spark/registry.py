@@ -489,6 +489,13 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_stats(embeddings)
 
 
+@query("label_centroids", oracle=similarity.LABEL_CENTROIDS_SQL)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-class mean embedding, exact integer-scaled sums
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(embeddings)
+
+
 @query("embedding_quantize", oracle=similarity.EMBEDDING_QUANTIZE_SQL)
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
