@@ -134,6 +134,7 @@ def run_pipeline_available_now(
     max_files_per_trigger: int | None = 10,
     breaker: CircuitBreaker | None = None,
     rate_limiter: DailyRateLimiter | None = None,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
     """EP2/EP3 skeleton as one incremental pass (T9 Trigger.AvailableNow):
     staged tasks -> watermark dedup -> envelope routing -> foreachBatch
@@ -199,6 +200,22 @@ def run_pipeline_available_now(
                         batch.sparkSession, out_table, good, keys
                     )
                 )
+            if metrics_path is not None:
+                # per-epoch observability row (the reference exposes
+                # queue depth / counters via RedisInsights; here the
+                # metrics ARE a table, queryable like everything else).
+                # Written LAST: a metrics row implies its epoch's sink
+                # writes committed, so run-over-run deltas are trustworthy.
+                n_good = good.count()
+                n_rejects = routed.filter(
+                    F.col("route") != "process"
+                ).count()
+                batch.sparkSession.createDataFrame(
+                    [(int(epoch_id), n_good, n_rejects)],
+                    "epoch_id long, n_processed long, n_rejected long",
+                ).withColumn("emitted_ts", F.current_timestamp()).write.mode(
+                    "append"
+                ).parquet(metrics_path)
         finally:
             routed.unpersist()
 
