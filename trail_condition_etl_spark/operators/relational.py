@@ -774,3 +774,36 @@ WHERE p_brand = 'Brand#12'
     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
   )
 """
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-shaped double aggregation: distribution of per-customer
+    order counts INCLUDING zero-order customers — the left outer join is
+    the whole point (an inner join silently drops the empty bucket).
+    Two aggs: per-customer count (keyed by custkey), then the tiny
+    histogram agg; at scale the first is the only real shuffle."""
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("n_orders", "n_customers")
+    )
+
+
+ORDER_COUNT_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""

@@ -115,6 +115,13 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_check(orders, lineitem)
 
 
+@query("order_count_dist", oracle=relational.ORDER_COUNT_DIST_SQL)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q13 shape: LEFT join double aggregation (zero-order bucket kept)
+    customer, orders = _tables(spark, sf_dir, "customer", "orders")
+    return relational.order_count_distribution(customer, orders)
+
+
 @query("promo_revenue", oracle=relational.PROMO_REVENUE_SQL)
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _tables(spark, sf_dir, "lineitem", "part")
