@@ -165,3 +165,59 @@ def test_metrics_sink_emits_per_epoch_counts(spark, tmp_path):
     assert sum(r.n_processed for r in m) == 2
     assert sum(r.n_rejected for r in m) == 1
     assert all(r.emitted_ts is not None for r in m)
+
+
+def test_windowed_agg_drops_late_rows_across_runs(spark, tmp_path):
+    """Two AvailableNow runs sharing a checkpoint: run 1 advances the
+    watermark; in run 2 a row older than the watermark (whose window was
+    already finalized) is DROPPED, an in-delay row is accepted, and the
+    newest window stays withheld in state."""
+    from trail_condition_etl_spark.streaming import windowed
+
+    staging = tmp_path / "staging"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    day = 86400
+
+    def ev(eid, day_n, etype="click", value=1.0):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=day_n, hours=12)
+        return (eid, ts, etype, value)
+
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    # run 1: days 0..9 -> final watermark = day9.5 - 2d; windows for
+    # days 0..6 finalize and emit
+    batch1 = [ev(i, i) for i in range(10)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(staging))
+    q = windowed.run_windowed_agg_available_now(
+        spark, str(staging), str(out), str(ckpt)
+    )
+    q.awaitTermination(120)
+    first = {
+        r.window_start_s: r.n_events
+        for r in spark.read.schema(
+            "window_start_s LONG, event_type STRING, n_events LONG, value_sum DOUBLE"
+        ).parquet(str(out)).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    assert first == {base + i * day: 1 for i in range(7)}
+
+    # run 2: a LATE row for day 3 (behind the persisted watermark ->
+    # dropped), an in-delay row for day 9, and a day-12 row that pushes
+    # the watermark to day 10.5 so windows 7..9 finalize
+    batch2 = [ev(100, 3), ev(101, 9), ev(102, 12)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(staging))
+    q = windowed.run_windowed_agg_available_now(
+        spark, str(staging), str(out), str(ckpt)
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.read.schema(
+        "window_start_s LONG, event_type STRING, n_events LONG, value_sum DOUBLE"
+    ).parquet(str(out)).collect():
+        final[r.window_start_s] = final.get(r.window_start_s, 0) + r.n_events
+    # late day-3 row dropped: count still 1; day-9 window has both rows;
+    # day-12 window withheld (inside the watermark delay)
+    assert final[base + 3 * day] == 1
+    assert final[base + 9 * day] == 2
+    assert base + 12 * day not in final
+    assert set(final) == {base + i * day for i in range(10)}

@@ -807,3 +807,189 @@ WITH per_cust AS (
 SELECT n_orders, COUNT(*) AS n_customers
 FROM per_cust GROUP BY n_orders
 """
+
+
+def large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, threshold: int = 300
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a threshold
+    (`IN (... GROUP BY ... HAVING SUM ...)`), joined back to orders +
+    customer. The IN-subquery de-correlates to one grouped aggregation
+    on the fact's own join key — the heavy groupBy and the subsequent
+    join share the l_orderkey/o_orderkey clustering, so AQE plans a
+    single shuffle of lineitem; customer is broadcast.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_scaled("l_quantity", 0)).alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _ts_str("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def waiting_suppliers(
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame, late_days: int = 90
+) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS / NOT EXISTS chain: suppliers who were the
+    SOLE late shipper on a multi-supplier order (lateness = shipped more
+    than `late_days` after the order date; the testdata lineitem carries
+    no commit/receipt dates).
+
+    Both correlated subqueries de-correlate into ONE grouped aggregation
+    per (order, supplier): EXISTS(another supplier) == n_suppliers >= 2,
+    NOT EXISTS(another late supplier) == n_late_suppliers = 1. One
+    lineitem shuffle on orderkey (shared with the orders join under AQE),
+    supplier dim broadcast at the end.
+    """
+    with_late = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAY")
+        ).cast("int"),
+    )
+    per_supp = with_late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    blamed = (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(25)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INT) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM (
+  SELECT l_orderkey, l_suppkey FROM li
+  GROUP BY l_orderkey, l_suppkey
+  HAVING MAX(is_late) = 1
+) l1
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM li l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM li l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.is_late = 1
+)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 25
+"""
+
+
+BIG_ORDER_PRICE = 300_000.0
+
+
+def dormant_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average (positive) account
+    balance who never placed a big-ticket order (every testdata customer
+    has SOME order, so the NOT EXISTS is over orders above a price bar),
+    aggregated per nation. The scalar AVG subquery becomes a 1-row
+    broadcast cross join; NOT EXISTS becomes a left-anti join against
+    the filtered orders key set (the price filter pushes into the scan,
+    so the anti-join's build side is a small fraction of orders).
+
+    The threshold is computed in exact integer cents then divided once,
+    so the > comparison is the same IEEE double compare in both engines.
+    """
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(_scaled("c_acctbal", 2)) / F.count(F.lit(1))
+            ).alias("thr_cents")
+        )
+    )
+    return (
+        customer.join(F.broadcast(thr))
+        .filter(_scaled("c_acctbal", 2).cast("double") > F.col("thr_cents"))
+        .join(
+            orders.filter(F.col("o_totalprice") > BIG_ORDER_PRICE)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(_scaled("c_acctbal", 2)) / 100.0).alias("totacctbal"),
+        )
+        .select(
+            "c_nationkey",
+            "n_cust",
+            F.round("totacctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+DORMANT_RICH_SQL = """
+WITH thr AS (
+  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / COUNT(*) AS thr_cents
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       round(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+FROM customer, thr
+WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > thr_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+  )
+GROUP BY c_nationkey
+"""

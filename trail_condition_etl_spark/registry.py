@@ -24,6 +24,7 @@ from .sources import files as file_sources
 from .streaming import joins as streaming_joins
 from .streaming import pipeline as streaming_pipeline
 from .streaming import stateful as stateful_streaming
+from .streaming import windowed as streaming_windowed
 from .operators import (
     asof,
     bucketing,
@@ -120,6 +121,34 @@ def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q13 shape: LEFT join double aggregation (zero-order bucket kept)
     customer, orders = _tables(spark, sf_dir, "customer", "orders")
     return relational.order_count_distribution(customer, orders)
+
+
+@query("large_orders", oracle=relational.LARGE_ORDERS_SQL)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q18 shape: IN-subquery over grouped HAVING, de-correlated to one
+    # grouped agg sharing the orderkey clustering with the join
+    customer, orders, lineitem = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    return relational.large_orders(customer, orders, lineitem)
+
+
+@query("waiting_suppliers", oracle=relational.WAITING_SUPPLIERS_SQL)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q21 shape: correlated EXISTS + NOT EXISTS chain de-correlated to
+    # per-(order,supplier) flags + one per-order aggregate
+    supplier, orders, lineitem = _tables(
+        spark, sf_dir, "supplier", "orders", "lineitem"
+    )
+    return relational.waiting_suppliers(supplier, orders, lineitem)
+
+
+@query("dormant_rich", oracle=relational.DORMANT_RICH_SQL)
+def q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q22 shape: scalar AVG subquery (broadcast 1-row) + NOT EXISTS
+    # (left-anti against a pushed-down filtered key set)
+    customer, orders = _tables(spark, sf_dir, "customer", "orders")
+    return relational.dormant_rich_customers(customer, orders)
 
 
 @query("promo_revenue", oracle=relational.PROMO_REVENUE_SQL)
@@ -347,6 +376,15 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (oracle: batch sessions minus each user's trailing one)
     ensure_engine_conf(spark)
     return stateful_streaming.stateful_sessions_query(spark, sf_dir)
+
+
+@query("stream_windowed_agg", oracle=streaming_windowed.STREAM_WINDOWED_AGG_SQL)
+def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermarked tumbling-window aggregation under Trigger.AvailableNow;
+    # append-mode finalization (trailing windows withheld) replayed by
+    # the oracle, cross-batch late-row drops pinned in test_streaming
+    ensure_engine_conf(spark)
+    return streaming_windowed.stream_windowed_agg_query(spark, sf_dir)
 
 
 @query("stream_attribution", oracle=streaming_joins.ATTRIBUTION_SQL)
