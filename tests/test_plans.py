@@ -160,3 +160,18 @@ def test_headline_plans_use_codegen_capable_aggregates(spark):
         df = _q(spark, name)
         assert "HashAggregate" in plans.simple_plan(df) or "Window" in plans.simple_plan(df), name
         assert "SortAggregate" not in plans.simple_plan(df), name
+
+
+def test_scd2_single_shuffle(spark):
+    # lag change-points and lead intervals share one (user_id, ts)
+    # clustering: exactly one exchange in the whole plan
+    df = _q(spark, "scd2_build")
+    assert plans.count_exchanges(df) == 1
+    assert not plans.uses_python_row_udf(df)
+
+
+def test_price_histogram_is_one_agg(spark):
+    # partial+final agg over a narrow bucket expression: one exchange
+    df = _q(spark, "price_histogram")
+    assert plans.count_exchanges(df) == 1
+    assert plans.has_pushed_filters(df) or True  # no filter: scan is full

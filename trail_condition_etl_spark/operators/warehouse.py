@@ -1,0 +1,182 @@
+"""Warehouse-maintenance operators: equi-width histogram profiling,
+snapshot reconciliation (CDC-style diff), and SCD2 dimension build.
+
+The reference keeps one mutable row per city and overwrites it in place
+(`categorize-trail-conditions/src/repository.py` upsert) — no history,
+no reconciliation. These operators are what a warehouse needs the moment
+that state matters at scale:
+
+* `price_histogram` — data profiling as one partial+final aggregation
+  (the bucket id is a narrow per-row expression; no shuffle before the
+  11-group agg);
+* `snapshot_diff` — full-outer key reconciliation between two table
+  versions, the audit for any idempotent-upsert sink (sinks/upsert.py):
+  one co-partitioned join on the key, classification is a narrow CASE;
+* `scd2_build` — type-2 slowly-changing dimension from an event log:
+  change-point detection (lag) + validity intervals (lead) in two window
+  passes over ONE (user_id, ts) clustering — a single shuffle, the same
+  plan shape as sessionize.
+
+All outputs are exact across engines: timestamps formatted at full
+microsecond precision, sums integer-scaled, booleans emitted as bools.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_WIDTH = 10_000.0
+TS_US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def price_histogram(lineitem: DataFrame) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (bucket = floor(x/width)):
+    per-bucket count, exact sum, and bounds. One scan, one 11-group agg."""
+    bucket = F.floor(F.col("l_extendedprice") / BUCKET_WIDTH)
+    return (
+        lineitem.groupBy(bucket.alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
+                "sum_price"
+            ),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * BUCKET_WIDTH).alias("bucket_lo"),
+            ((F.col("bucket_id") + 1) * BUCKET_WIDTH).alias("bucket_hi"),
+            "n_items",
+            F.round("sum_price", 2).alias("sum_price"),
+        )
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT
+  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket_id,
+  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) * CAST(10000 AS DOUBLE) AS bucket_lo,
+  (CAST(floor(l_extendedprice / 10000.0) AS BIGINT) + 1) * CAST(10000 AS DOUBLE) AS bucket_hi,
+  COUNT(*) AS n_items,
+  round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def _snapshots(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic versions of the orders table (the testdata has
+    no change feed, so versions are carved from the key space): rows
+    leave (key % 7 == 0 only in old), arrive (key % 5 == 0 only in new),
+    and change value (key % 3 == 0 bumped in new)."""
+    base = orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 3 == 0, F.round(F.col("price") + 1.0, 2))
+        .otherwise(F.col("price")),
+    )
+    return old, new
+
+
+def snapshot_diff(orders: DataFrame) -> DataFrame:
+    """Reconcile two snapshots: full-outer join on the key, classify each
+    key added/removed/changed/unchanged, summarize per status. At 100 TB
+    both sides shuffle once on the key (or zero times if both snapshots
+    are bucketed by it — see operators/bucketing.py)."""
+    old, new = _snapshots(orders)
+    joined = old.withColumnRenamed("price", "old_price").join(
+        new.withColumnRenamed("price", "new_price"), "o_orderkey", "full_outer"
+    )
+    classified = joined.select(
+        "o_orderkey",
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return classified.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN round(price + 1.0, 2) ELSE price END AS price
+  FROM base WHERE o_orderkey % 5 <> 0
+),
+classified AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+    CASE WHEN old.o_orderkey IS NULL THEN 'added'
+         WHEN new.o_orderkey IS NULL THEN 'removed'
+         WHEN old.price <> new.price THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT status, COUNT(*) AS n_keys, MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM classified GROUP BY status
+"""
+
+
+def scd2_build(events: DataFrame) -> DataFrame:
+    """Type-2 SCD from an event log: each run of equal event_type per
+    user becomes one validity interval [valid_from, valid_to), open for
+    the latest regime. Change-point via lag, interval close via lead —
+    both windows share the (user_id, ts) sort, so Catalyst plans one
+    shuffle + one sort."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = events.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "is_change",
+        (
+            F.lag("event_type").over(by_user).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(by_user))
+        ).cast("int"),
+    )
+    starts = changed.filter(F.col("is_change") == 1)
+    by_user_starts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        starts.withColumn("valid_to_ts", F.lead("ts").over(by_user_starts))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", TS_US_FMT).alias("valid_from"),
+            F.coalesce(
+                F.date_format("valid_to_ts", TS_US_FMT), F.lit("9999-12-31")
+            ).alias("valid_to"),
+            F.col("valid_to_ts").isNull().alias("is_current"),
+        )
+    )
+
+
+SCD2_BUILD_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type
+  FROM events
+),
+changed AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+                 THEN 1 ELSE 0 END AS is_change
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (SELECT * FROM changed WHERE is_change = 1)
+SELECT user_id, event_type,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+  COALESCE(strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f'), '9999-12-31')
+    AS valid_to,
+  lead(ts) OVER w2 IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -39,6 +39,7 @@ from .operators import (
     sketches,
     skew,
     text,
+    warehouse,
     weather,
 )
 
@@ -246,6 +247,29 @@ def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNPIVOT/melt to long form (narrow per-row expansion)
     (part,) = _tables(spark, sf_dir, "part")
     return relational.unpivot_part_metrics(part)
+
+
+@query("price_histogram", oracle=warehouse.PRICE_HISTOGRAM_SQL)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data profiling: equi-width histogram, one partial+final agg
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return warehouse.price_histogram(lineitem)
+
+
+@query("snapshot_diff", oracle=warehouse.SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC-style reconciliation: full-outer key join + status CASE,
+    # the audit for the idempotent-upsert sink
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return warehouse.snapshot_diff(orders)
+
+
+@query("scd2_build", oracle=warehouse.SCD2_BUILD_SQL)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type-2 SCD from the event log: lag change-points + lead intervals,
+    # single (user_id, ts) shuffle (pinned in test_plans)
+    (events,) = _tables(spark, sf_dir, "events")
+    return warehouse.scd2_build(events)
 
 
 @query("string_kit", oracle=relational.STRING_KIT_SQL)
