@@ -75,3 +75,17 @@ def test_ann_results_are_true_cosines(spark):
     }
     for r in similarity.ann_lsh_topk(emb).collect():
         assert abs(base[(r.q_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_pq_recall_floor(spark):
+    emb = _emb(spark)
+    truth = _topk_sets(similarity.cosine_topk(emb))
+    approx = _topk_sets(similarity.pq_topk(emb))
+    assert truth.keys() == approx.keys(), "every query must return results"
+    recalls = [
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    recall = sum(recalls) / len(recalls)
+    # 16 subspaces x 16 codes (64-bit PQ) on an isotropic corpus:
+    # 0.40/0.31 measured at sf0.001/sf0.1 vs ~0.001 for random top-5
+    assert recall >= 0.2, f"pq recall@5 {recall:.2f} < 0.2 floor"

@@ -776,3 +776,212 @@ SELECT label, pos, COUNT(*) AS n,
 FROM flat
 GROUP BY label, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# PQ: product quantization + asymmetric-distance (ADC) top-k — the
+# memory-bound scale path (a 64-dim float vector becomes M=4 byte codes)
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_K, PQ_ITERS = 16, 16, 2
+PQ_SUBDIM = 4  # 64 / PQ_M
+PQ_SCALE = 1_000_000_000
+
+
+def _pq_subvectors(base: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the M disjoint sub-vectors of each embedding.
+    Narrow per-row expression — no shuffle."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("emb_d", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return base.select("vec_id", F.explode(slices).alias("s")).select(
+        "vec_id", "s.m", "s.sv"
+    )
+
+
+def _pq_d2(x: Column, c: Column, cc: Column) -> Column:
+    """Squared L2 distance via the dot identity xx - 2xc + cc, each dot
+    an in-order fold so DuckDB's list_dot_product reproduces it; rounded
+    so argmin ties are impossible to flip across engines."""
+    return F.round(_dot(x, x) - 2 * _dot(x, c) + cc, 9)
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest sub-centroid per subspace. min(struct)
+    partial-aggregates map-side — the shuffle carries one row per
+    (vector, subspace)."""
+    return (
+        sub.join(F.broadcast(cents), "m")
+        .select(
+            "vec_id",
+            "m",
+            _pq_d2(F.col("sv"), F.col("ce"), F.col("cc")).alias("d2"),
+            "cell",
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cell")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.cell").alias("code"))
+    )
+
+
+def _pq_centroids(sub: DataFrame, assign: DataFrame) -> DataFrame:
+    """(m, cell, ce, cc): per-subspace centroids, exact integer-scaled
+    component means (bit-identical across engines and partitionings)."""
+    ex = (
+        sub.join(assign, ["vec_id", "m"])
+        .select("m", F.col("code").alias("cell"), F.posexplode("sv").alias("i", "v"))
+    )
+    comp = ex.groupBy("m", "cell", "i").agg(
+        F.sum(F.round(F.col("v") * PQ_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        comp.withColumn("c", F.col("s") / PQ_SCALE / F.col("n"))
+        .groupBy("m", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("m", "cell", F.transform("ic", lambda x: x["c"]).alias("ce"))
+        .withColumn("cc", _dot(F.col("ce"), F.col("ce")))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, query_modulo: int = 100, k: int = 5
+) -> DataFrame:
+    """Product-quantization ANN: each 64-dim vector is encoded as M=4
+    codebook ids (16 codes per subspace, deterministic k-means: seeds =
+    lowest vec_ids' sub-vectors, 2 integer-scaled Lloyd iterations);
+    queries stay exact and rank the corpus by the ADC approximation
+    sum_m ||q_m - c[m][code_m]||^2 — a lookup-table join, never a full
+    vector scan.
+
+    At 100 TB this is the memory-bound regime's answer: the corpus
+    resides as M small ints per vector (16x smaller than float32), the
+    per-query LUT is M*K rounded distances broadcast to the codes, and
+    the ranking aggregation shuffles (q_id, vec_id, partial-sum) — no
+    embedding arrays move after encode time. Fully deterministic ->
+    full SQL oracle; recall floor vs cosine_topk pinned in tests.
+    """
+    base = with_norm(embeddings).persist()
+    sub = _pq_subvectors(base).persist()
+    seeds = (
+        _pq_subvectors(
+            base.orderBy("vec_id").limit(PQ_K)
+        )
+        .select("m", F.col("vec_id").alias("cell"), F.col("sv").alias("ce"))
+        .withColumn("cc", _dot(F.col("ce"), F.col("ce")))
+    )
+    cents = seeds
+    for _ in range(PQ_ITERS):
+        cents = _pq_centroids(sub, _pq_assign(sub, cents))
+    codes = _pq_assign(sub, cents)
+    qsub = sub.filter(F.col("vec_id") % query_modulo == 0).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qv")
+    )
+    lut = (
+        qsub.join(F.broadcast(cents), "m")
+        .select(
+            "q_id",
+            "m",
+            F.col("cell").alias("code"),
+            F.round(_pq_d2(F.col("qv"), F.col("ce"), F.col("cc")) * PQ_SCALE)
+            .cast("long")
+            .alias("dl"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dl").alias("adc_l"))
+        # every vector has exactly PQ_M joined rows, so adc_l is total
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_l", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .join(base.select("vec_id", "label"), "vec_id")
+        .select(
+            "q_id",
+            "rk",
+            "vec_id",
+            "label",
+            F.round(F.col("adc_l") / PQ_SCALE, 6).alias("adc_d2"),
+        )
+    )
+
+
+def _pq_sql() -> str:
+    sub_expr = f"""
+  SELECT vec_id, m, e[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)"""
+    d2 = (
+        "round(list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c})"
+        " + {cc}, 9)"
+    )
+    assign = f"""
+  SELECT vec_id, m, (MIN(struct_pack(
+           d2 := {d2.format(x='s.sv', c='c.ce', cc='c.cc')},
+           cell := c.cell))).cell AS code
+  FROM sub s JOIN {{cents}} c USING (m)
+  GROUP BY vec_id, m"""
+    cent = f"""
+  SELECT m, cell, list(c ORDER BY i) AS ce,
+         list_dot_product(list(c ORDER BY i), list(c ORDER BY i)) AS cc
+  FROM (
+    SELECT m, cell, i,
+           CAST(SUM(CAST(round(v * {PQ_SCALE}) AS BIGINT)) AS BIGINT)
+             / {PQ_SCALE}.0 / COUNT(*) AS c
+    FROM (
+      SELECT s.m, a.code AS cell,
+             unnest(generate_series(1, len(s.sv))) AS i, unnest(s.sv) AS v
+      FROM sub s JOIN {{assign}} a ON s.vec_id = a.vec_id AND s.m = a.m
+    )
+    GROUP BY m, cell, i
+  )
+  GROUP BY m, cell"""
+    return f"""
+WITH {_BASE_CTE},
+sub AS ({sub_expr}),
+seeds AS (
+  SELECT m, vec_id AS cell, sv AS ce, list_dot_product(sv, sv) AS cc
+  FROM sub WHERE vec_id IN (
+    SELECT vec_id FROM base ORDER BY vec_id LIMIT {PQ_K})
+),
+a0 AS ({assign.format(cents='seeds')}),
+c1 AS ({cent.format(assign='a0')}),
+a1 AS ({assign.format(cents='c1')}),
+c2 AS ({cent.format(assign='a1')}),
+codes AS ({assign.format(cents='c2')}),
+qsub AS (
+  SELECT vec_id AS q_id, m, sv AS qv FROM sub WHERE vec_id % 100 = 0
+),
+lut AS (
+  SELECT q.q_id, q.m, c.cell AS code,
+         CAST(round({d2.format(x='q.qv', c='c.ce', cc='c.cc')} * {PQ_SCALE})
+              AS BIGINT) AS dl
+  FROM qsub q JOIN c2 c USING (m)
+),
+adc AS (
+  SELECT l.q_id, k.vec_id, CAST(SUM(l.dl) AS BIGINT) AS adc_l
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE k.vec_id <> l.q_id
+  GROUP BY l.q_id, k.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_l, vec_id) AS rk
+  FROM adc
+)
+SELECT r.q_id, r.rk, r.vec_id, b.label,
+       round(r.adc_l / {PQ_SCALE}.0, 6) AS adc_d2
+FROM ranked r JOIN base b USING (vec_id)
+WHERE r.rk <= 5
+"""
+
+
+PQ_TOPK_SQL = _pq_sql()

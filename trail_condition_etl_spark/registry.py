@@ -643,6 +643,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(embeddings)
 
 
+@query("pq_topk", oracle=similarity.PQ_TOPK_SQL)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product quantization + ADC: corpus lives as 16 byte-codes per
+    # vector, ranking is a LUT join — the memory-bound scale path
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(embeddings)
+
+
 @query("ivf_topk", oracle=similarity.IVF_TOPK_SQL)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
