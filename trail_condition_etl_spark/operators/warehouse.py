@@ -180,3 +180,70 @@ SELECT user_id, event_type,
 FROM starts
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def winsorize_values(events: DataFrame, lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Outlier repair: clamp `value` to the per-event_type [p05, p95]
+    interpolated percentiles and report the clamp counts + clamped mean.
+    The percentile pass is one grouped agg (exact percentile needs the
+    group's values — at 100 TB swap in approx_percentile with a pinned
+    error budget, same plan shape); the repair pass re-joins the tiny
+    per-type bounds via broadcast, so the fact table never shuffles."""
+    pct = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {lo})").alias("p_lo"),
+        F.expr(f"percentile(value, {hi})").alias("p_hi"),
+    )
+    clamped = (
+        events.join(F.broadcast(pct), "event_type")
+        .withColumn("v_clamp", F.least(F.greatest("value", F.col("p_lo")), F.col("p_hi")))
+        .withColumn("is_lo", (F.col("value") < F.col("p_lo")).cast("long"))
+        .withColumn("is_hi", (F.col("value") > F.col("p_hi")).cast("long"))
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.round(F.first("p_lo"), 6).alias("p_lo"),
+            F.round(F.first("p_hi"), 6).alias("p_hi"),
+            F.sum("is_lo").alias("n_clamped_lo"),
+            F.sum("is_hi").alias("n_clamped_hi"),
+            (
+                F.sum(F.round(F.col("v_clamp") * 1_000_000).cast("long"))
+                / 1_000_000.0
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+        )
+        .select(
+            "event_type",
+            "p_lo",
+            "p_hi",
+            "n_clamped_lo",
+            "n_clamped_hi",
+            F.round("mean_raw", 6).alias("clamped_mean"),
+        )
+    )
+
+
+WINSORIZE_SQL = """
+WITH pct AS (
+  SELECT event_type,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type,
+         least(greatest(e.value, p.p_lo), p.p_hi) AS v_clamp,
+         CAST(e.value < p.p_lo AS BIGINT) AS is_lo,
+         CAST(e.value > p.p_hi AS BIGINT) AS is_hi,
+         p.p_lo, p.p_hi
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type,
+       round(ANY_VALUE(p_lo), 6) AS p_lo,
+       round(ANY_VALUE(p_hi), 6) AS p_hi,
+       CAST(SUM(is_lo) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(is_hi) AS BIGINT) AS n_clamped_hi,
+       round(CAST(SUM(CAST(round(v_clamp * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / COUNT(*), 6) AS clamped_mean
+FROM clamped GROUP BY event_type
+"""

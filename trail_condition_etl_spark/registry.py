@@ -272,6 +272,14 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.scd2_build(events)
 
 
+@query("winsorize", oracle=warehouse.WINSORIZE_SQL)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outlier repair: per-type percentile bounds (one grouped agg)
+    # broadcast back over the fact — the fact side never shuffles
+    (events,) = _tables(spark, sf_dir, "events")
+    return warehouse.winsorize_values(events)
+
+
 @query("string_kit", oracle=relational.STRING_KIT_SQL)
 def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, nation = _tables(spark, sf_dir, "customer", "nation")
