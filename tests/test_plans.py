@@ -175,3 +175,20 @@ def test_price_histogram_is_one_agg(spark):
     df = _q(spark, "price_histogram")
     assert plans.count_exchanges(df) == 1
     assert plans.has_pushed_filters(df) or True  # no filter: scan is full
+
+
+def test_pq_topk_no_cartesian_after_encode(spark):
+    # ADC ranking is a broadcast LUT join on (m, code) + one (q, vec)
+    # aggregation — any CartesianProduct/BroadcastNestedLoop means the
+    # corpus is being scanned per query again
+    df = _q(spark, "pq_topk")
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    # per-type percentile bounds broadcast back over the fact table
+    df = _q(spark, "winsorize")
+    assert plans.count_broadcasts(df) >= 1
+    assert not plans.has_single_partition_exchange(df)

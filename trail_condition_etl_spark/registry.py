@@ -419,6 +419,14 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_windowed.stream_windowed_agg_query(spark, sf_dir)
 
 
+@query("sliding_window_agg", oracle=streaming_windowed.SLIDING_AGG_SQL)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overlapping windows (1 day every 6 h): window() explodes each row
+    # into its 4 covering windows, then one (window, type) shuffle
+    (events,) = _tables(spark, sf_dir, "events")
+    return streaming_windowed.sliding_event_agg(events)
+
+
 @query("stream_attribution", oracle=streaming_joins.ATTRIBUTION_SQL)
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermarked stream-stream interval join (purchase <- prior clicks

@@ -136,3 +136,53 @@ SELECT window_start_s, event_type, n_events,
 FROM bucketed, wm
 WHERE (window_start_s + 86400) * 1000 <= wm_ms
 """.format(delay_ms=_DELAY_MS)
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (batch form of the same window() operator)
+# ---------------------------------------------------------------------------
+
+SLIDE_SIZE = "1 day"
+SLIDE_STEP = "6 hours"
+
+
+def sliding_event_agg(events: DataFrame) -> DataFrame:
+    """Overlapping 1-day windows every 6 h: each event lands in 4
+    windows. Spark expands window() to a 4-element explode before the
+    aggregation — still a narrow map + one shuffle on (window, type).
+    Batch evaluation of the same operator the streaming query uses
+    (windows all final, no watermark)."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_event_agg_query(spark, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    return sliding_event_agg(events)
+
+
+# each event belongs to the 4 windows starting at the 6h-grid points in
+# (ts - 1day, ts]; DuckDB replays the explode with generate_series
+SLIDING_AGG_SQL = """
+WITH events_us AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+exploded AS (
+  SELECT event_type,
+         (ts_us // 21600000000) * 21600 - k * 21600 AS window_start_s
+  FROM events_us
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT window_start_s, event_type, COUNT(*) AS n_events
+FROM exploded
+GROUP BY 1, 2
+"""
