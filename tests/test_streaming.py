@@ -221,3 +221,47 @@ def test_windowed_agg_drops_late_rows_across_runs(spark, tmp_path):
     assert final[base + 9 * day] == 2
     assert base + 12 * day not in final
     assert set(final) == {base + i * day for i in range(10)}
+
+
+def test_scd2_maintenance_merges_across_batches(spark, tmp_path):
+    """Three regimes split across two incremental runs: a regime that
+    CONTINUES across the boundary must not fork a new interval, a regime
+    superseded in run 2 must close at the new type's first event."""
+    from trail_condition_etl_spark.streaming import scd2
+    from trail_condition_etl_spark.sinks import upsert
+
+    staging = tmp_path / "staging"
+    dim = tmp_path / "dim"
+    ckpt = tmp_path / "ckpt"
+
+    def ev(eid, minute, etype):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), 1, etype)
+
+    schema = scd2.EVENT_SCHEMA
+    # run 1: click(0), click(1), view(2) -> [click @0, view @2-open]
+    spark.createDataFrame(
+        [ev(0, 0, "click"), ev(1, 1, "click"), ev(2, 2, "view")], schema
+    ).write.mode("append").parquet(str(staging))
+    scd2.run_scd2_maintenance(
+        spark, str(staging), str(dim), str(ckpt)
+    ).awaitTermination(120)
+    # run 2: view(3) continues; purchase(4) supersedes
+    spark.createDataFrame(
+        [ev(3, 3, "view"), ev(4, 4, "purchase")], schema
+    ).write.mode("append").parquet(str(staging))
+    scd2.run_scd2_maintenance(
+        spark, str(staging), str(dim), str(ckpt)
+    ).awaitTermination(120)
+
+    rows = sorted(
+        (
+            (r.user_id, r.event_type, r.valid_from.minute,
+             None if r.valid_to is None else r.valid_to.minute, r.is_current)
+            for r in upsert.read_upsert_table(spark, str(dim)).collect()
+        )
+    )
+    assert rows == [
+        (1, "click", 0, 2, False),
+        (1, "purchase", 4, None, True),
+        (1, "view", 2, 4, False),  # continued across the boundary, then closed
+    ]

@@ -23,6 +23,7 @@ from .sinks import partitioned
 from .sources import files as file_sources
 from .streaming import joins as streaming_joins
 from .streaming import pipeline as streaming_pipeline
+from .streaming import scd2 as streaming_scd2
 from .streaming import stateful as stateful_streaming
 from .streaming import windowed as streaming_windowed
 from .operators import (
@@ -417,6 +418,14 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle, cross-batch late-row drops pinned in test_streaming
     ensure_engine_conf(spark)
     return streaming_windowed.stream_windowed_agg_query(spark, sf_dir)
+
+
+@query("stream_scd2", oracle=warehouse.SCD2_BUILD_SQL)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental SCD2 maintenance over two AvailableNow runs; oracle is
+    # the one-pass batch build verbatim — merge-equivalence is the check
+    ensure_engine_conf(spark)
+    return streaming_scd2.stream_scd2_query(spark, sf_dir)
 
 
 @query("sliding_window_agg", oracle=streaming_windowed.SLIDING_AGG_SQL)
