@@ -1,0 +1,139 @@
+"""Behavioral analytics over the event log: conversion funnels and
+retention cohorts — the two queries every event pipeline grows within a
+week of existing. The reference's classifier consumes per-city windows
+(SURVEY §2.4); these are the same windowed-consumption shapes turned on
+user behavior.
+
+Scale notes:
+* the funnel is three grouped aggregations on user_id — AQE reuses the
+  user clustering across stages, and each stage's output is one row per
+  user (monotonically shrinking);
+* cohorts are two aggs: per-user first-day (one row per user), then a
+  (cohort_day, offset) rollup whose distinct-user count is exact because
+  the first agg already reduced to one row per (user, active day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+STEP_WINDOW_MINUTES = 60  # each step must follow within the hour
+
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Ordered 3-step funnel per user: first view, first click within
+    an hour of that view, first purchase within an hour of that click;
+    counts per reached stage.
+
+    Each stage is a conditional MIN keyed by user — a cascade of three
+    grouped aggs joined back (the ts comparisons need the previous
+    stage's anchor). Emits one row per funnel depth with user counts.
+    """
+    v, c, p = FUNNEL_STEPS
+    t1 = (
+        events.filter(F.col("event_type") == v)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    step = F.expr(f"INTERVAL {STEP_WINDOW_MINUTES} MINUTE")
+    t2 = (
+        events.filter(F.col("event_type") == c)
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == p)
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("funnel_depth")
+        )
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH events_us AS (
+  SELECT user_id, event_type, make_timestamp(epoch_us(ts)) AS ts FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events_us
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events_us e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events_us e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t2 + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+)
+SELECT 1 + CAST(t2.user_id IS NOT NULL AS INT)
+         + CAST(t3.user_id IS NOT NULL AS INT) AS funnel_depth,
+       COUNT(*) AS n_users
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+GROUP BY 1
+"""
+
+
+def retention_cohorts(events: DataFrame, max_offset_days: int = 14) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active day,
+    counted on each later active day (offset in days, capped). The
+    distinct-user count per cell is exact without a distinct aggregate:
+    the per-(user, day) reduction happens in the first groupBy."""
+    active = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .withColumn("offset_days", F.datediff("day", "cohort_day"))
+        .filter(F.col("offset_days") <= max_offset_days)
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_users",
+        )
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+       offset_days, COUNT(*) AS n_users
+FROM (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS offset_days
+  FROM active a JOIN first f USING (user_id)
+) a
+WHERE offset_days <= 14
+GROUP BY 1, 2
+"""

@@ -28,6 +28,7 @@ from .streaming import stateful as stateful_streaming
 from .streaming import windowed as streaming_windowed
 from .operators import (
     asof,
+    behavior,
     bucketing,
     curation,
     dedup,
@@ -271,6 +272,22 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single (user_id, ts) shuffle (pinned in test_plans)
     (events,) = _tables(spark, sf_dir, "events")
     return warehouse.scd2_build(events)
+
+
+@query("conversion_funnel", oracle=behavior.CONVERSION_FUNNEL_SQL)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered view->click->purchase funnel (1h step windows): cascade of
+    # three user-keyed aggs, AQE reuses the user clustering
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.conversion_funnel(events)
+
+
+@query("retention_cohorts", oracle=behavior.RETENTION_COHORTS_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort retention triangle: exact distinct users per cell without a
+    # distinct agg (per-(user, day) reduction happens first)
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.retention_cohorts(events)
 
 
 @query("winsorize", oracle=warehouse.WINSORIZE_SQL)
