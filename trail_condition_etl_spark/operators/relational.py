@@ -993,3 +993,52 @@ WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > thr_cents
   )
 GROUP BY c_nationkey
 """
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 20_000.0),
+    ("mid", 20_000.0, 60_000.0),
+    ("premium", 60_000.0, 120_000.0),
+]
+
+
+def price_band_join(lineitem: DataFrame) -> DataFrame:
+    """Non-equi range join: classify each lineitem into a price band via
+    a broadcast BETWEEN join against a 3-row bands dim (lo <= x < hi).
+    The classic dimension-interval lookup (tax brackets, rate cards,
+    SLA tiers): with the dim broadcast this is a BroadcastNestedLoopJoin
+    evaluated as a narrow map over the fact — the fact never shuffles,
+    and the 3-band agg after it is one partial+final pass.
+    """
+    spark = lineitem.sparkSession
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_scaled("l_extendedprice", 2)) / 100.0).alias("revenue"),
+        )
+        .select("band", "n_items", F.round("revenue", 2).alias("revenue"))
+    )
+
+
+PRICE_BAND_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 20000.0),
+         ('mid', 20000.0, 60000.0),
+         ('premium', 60000.0, 120000.0)
+)
+SELECT band, COUNT(*) AS n_items,
+       round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""

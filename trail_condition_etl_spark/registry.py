@@ -160,6 +160,14 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.promo_revenue(lineitem, part)
 
 
+@query("price_band_join", oracle=relational.PRICE_BAND_JOIN_SQL)
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-equi range join: broadcast BETWEEN lookup against a 3-row
+    # interval dim — the fact side never shuffles
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return relational.price_band_join(lineitem)
+
+
 @query("setops_nations", oracle=relational.SETOPS_SQL)
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, supplier = _tables(spark, sf_dir, "customer", "supplier")
