@@ -281,3 +281,28 @@ def synth_media(spark, n: int = 20) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def frame_sample_query(documents: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Registered-query form of the frame-sampling plan over the
+    documents-derived media table: one row per (video, frame timestamp).
+    Pure column math (sequence + explode) — the decode of each frame is
+    the stubbed codec seam; clips shorter than the sampling interval
+    emit no rows (pinned by test_multimodal's short-clip case)."""
+    return frame_sample_plan(media_from_documents(documents), every_ms)
+
+
+FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT doc_id AS asset_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CAST(n_chars * 10 AS BIGINT) AS duration_ms
+  FROM documents
+)
+SELECT asset_id,
+       CAST(unnest(generate_series(0, CAST(duration_ms // 1000 AS BIGINT) - 1))
+            * 1000 AS BIGINT) AS frame_ts_ms
+FROM media
+WHERE media_type = 'video' AND duration_ms >= 1000
+"""

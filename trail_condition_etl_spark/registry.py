@@ -394,6 +394,14 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_resize_query(documents)
 
 
+@query("frame_sample", oracle=multimodal.FRAME_SAMPLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video frame-sampling plan: sequence + explode column math; clips
+    # shorter than the interval emit no rows
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.frame_sample_query(documents)
+
+
 @query("skew_join", oracle=skew.SKEW_JOIN_SQL)
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salted join over the 10-hot-key events table: hot keys spread over
