@@ -137,3 +137,62 @@ FROM (
 WHERE offset_days <= 14
 GROUP BY 1, 2
 """
+
+
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """Time-series resampling: per-user daily value totals on a complete
+    date spine (min..max active day per user), gaps forward-filled with
+    the last observed value. The spine is a per-row sequence+explode
+    (narrow); the fill is one `last(ignoreNulls)` window over the same
+    (user, day) clustering the daily agg produced — two shuffles total,
+    both on user_id.
+    """
+    daily = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_v", F.last("v", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("v").isNull().alias("is_filled"),
+            F.round("filled_v", 2).alias("value_sum"),
+        )
+    )
+
+
+GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       d.v IS NULL AS is_filled,
+       round(last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_sum
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""

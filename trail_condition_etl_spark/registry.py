@@ -298,6 +298,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.retention_cohorts(events)
 
 
+@query("gap_fill", oracle=behavior.GAP_FILL_SQL)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-series resample: per-user date spine (sequence+explode) +
+    # forward fill via last(ignoreNulls) — two shuffles, both on user_id
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.gap_fill_daily(events)
+
+
 @query("winsorize", oracle=warehouse.WINSORIZE_SQL)
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outlier repair: per-type percentile bounds (one grouped agg)
