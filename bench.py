@@ -34,6 +34,13 @@ HEADLINE = [
     "quality_score",
     "minhash_near_dup",
     "cosine_topk",
+    # round-2 additions (append-only so per-query numbers stay
+    # comparable across rounds)
+    "pq_topk",
+    "price_histogram",
+    "conversion_funnel",
+    "scd2_build",
+    "gap_fill",
 ]
 
 
