@@ -878,7 +878,15 @@ def pq_topk(
     )
     cents = seeds
     for _ in range(PQ_ITERS):
-        cents = _pq_centroids(sub, _pq_assign(sub, cents))
+        # materialize the M*K-row codebook each round: without this the
+        # Lloyd lineage re-executes every prior round inside the next
+        # one (and again in the LUT and the final encode) — iterative
+        # training must cut lineage at the small artifact
+        prev = cents
+        cents = _pq_centroids(sub, _pq_assign(sub, prev)).persist()
+        cents.count()
+        if prev is not seeds:
+            prev.unpersist()
     codes = _pq_assign(sub, cents)
     qsub = sub.filter(F.col("vec_id") % query_modulo == 0).select(
         F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qv")
