@@ -543,7 +543,14 @@ def ivf_topk(
     )
     cents = seeds
     for _ in range(IVF_ITERS):
-        cents = _centroids(base, _assign_cells(base, cents))
+        # cut the Lloyd lineage at the 16-row centroid artifact (same
+        # rationale as pq_topk: un-materialized iterative training
+        # re-executes all prior rounds in every consumer)
+        prev = cents
+        cents = _centroids(base, _assign_cells(base, prev)).persist()
+        cents.count()
+        if prev is not seeds:
+            prev.unpersist()
     final_assign = _assign_cells(base, cents)
     qs = base.filter(F.col("vec_id") % query_modulo == 0).select(
         F.col("vec_id").alias("q_id"),
