@@ -394,6 +394,7 @@ def dedup_clusters(
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("canonical_doc_id")
     )
+    prev = None
     for _ in range(rounds):
         nbr = (
             adj.join(
@@ -413,6 +414,14 @@ def dedup_clusters(
                 F.coalesce("nbr_min", F.col("canonical_doc_id")),
             ).alias("canonical_doc_id"),
         )
+        # cut the propagation lineage at the one-row-per-doc label frame
+        # (labels feeds BOTH sides of the next round — unmaterialized,
+        # every round re-executes all earlier rounds twice)
+        labels = labels.persist()
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
     return labels
 
 
