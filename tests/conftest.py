@@ -55,6 +55,8 @@ def _arrow_type_name(t) -> str:
     decimal128) so DuckDB's HUGEINT widening of integer SUMs is caught
     locally, the way the driver's value-hash catches it."""
     s = str(t)
+    if s.endswith(" not null"):  # arrow nullability is not a width
+        s = s[: -len(" not null")]
     if s == "large_string":
         return "string"
     if s.startswith("timestamp"):

@@ -37,6 +37,7 @@ from .operators import (
     multimodal,
     pipeline,
     relational,
+    search,
     similarity,
     sketches,
     skew,
@@ -610,6 +611,21 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
     return text.ngram_topk(documents)
+
+
+@query("inverted_index", oracle=search.INVERTED_INDEX_SQL)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retrieval: exact df + capped posting lists (rank-before-collect so
+    # hot tokens never materialize unbounded arrays)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return search.inverted_index(documents)
+
+
+@query("keyword_search", oracle=search.KEYWORD_SEARCH_SQL)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conjunctive AND query ranked by total tf, deterministic top-10
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return search.keyword_search(documents)
 
 
 @query("cosine_topk", oracle=similarity.COSINE_TOPK_SQL)
