@@ -247,3 +247,71 @@ SELECT event_type,
              / 1000000.0 / COUNT(*), 6) AS clamped_mean
 FROM clamped GROUP BY event_type
 """
+
+
+PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def profile_table(orders: DataFrame) -> DataFrame:
+    """ANALYZE-style column profile in ONE scan: per column, null count,
+    exact distinct count, numeric min/max (epoch seconds for timestamps,
+    length bounds for strings). All statistics partial-aggregate
+    map-side, so the scan streams once and the shuffle carries one row.
+    String min/max are reported as lengths, not values — value-level
+    extremes of doubles/strings are formatting traps across engines and
+    belong to the typed queries."""
+    aggs = []
+    for name, kind in PROFILE_COLS:
+        c = F.col(name)
+        num = (
+            c.cast("long").cast("double")
+            if kind == "ts"
+            else c.cast("double")
+            if kind == "num"
+            else F.length(c).cast("double")
+        )
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+            F.count_distinct(c).alias(f"{name}__distinct"),
+            F.min(num).alias(f"{name}__min"),
+            F.max(num).alias(f"{name}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nulls, {name}__distinct, {name}__min, {name}__max"
+        for name, _ in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for name, kind in PROFILE_COLS:
+        if kind == "ts":
+            num = f"CAST(epoch_us({name}) // 1000000 AS DOUBLE)"
+        elif kind == "num":
+            num = f"CAST({name} AS DOUBLE)"
+        else:
+            num = f"CAST(length({name}) AS DOUBLE)"
+        parts.append(
+            f"SELECT '{name}' AS column_name,"
+            f" CAST(SUM(CAST({name} IS NULL AS INT)) AS BIGINT) AS n_nulls,"
+            f" COUNT(DISTINCT {name}) AS n_distinct,"
+            f" MIN({num}) AS min_num, MAX({num}) AS max_num FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_TABLE_SQL = _profile_sql()

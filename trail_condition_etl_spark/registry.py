@@ -299,6 +299,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.retention_cohorts(events)
 
 
+@query("profile_table", oracle=warehouse.PROFILE_TABLE_SQL)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANALYZE-style column profile in one scan: nulls, exact distincts,
+    # numeric/length extremes — all partial-aggregated map-side
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return warehouse.profile_table(orders)
+
+
 @query("gap_fill", oracle=behavior.GAP_FILL_SQL)
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-series resample: per-user date spine (sequence+explode) +
