@@ -478,6 +478,14 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_scd2.stream_scd2_query(spark, sf_dir)
 
 
+@query("stream_windowed_update", oracle=streaming_windowed.STREAM_WINDOWED_UPDATE_SQL)
+def q_stream_windowed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # update-mode running totals through the keyed upsert sink across
+    # two incremental runs; oracle = plain batch GROUP BY (convergence)
+    ensure_engine_conf(spark)
+    return streaming_windowed.stream_windowed_update_query(spark, sf_dir)
+
+
 @query("sliding_window_agg", oracle=streaming_windowed.SLIDING_AGG_SQL)
 def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlapping windows (1 day every 6 h): window() explodes each row

@@ -186,3 +186,88 @@ SELECT window_start_s, event_type, COUNT(*) AS n_events
 FROM exploded
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# update-mode counts maintained through the idempotent upsert sink
+# ---------------------------------------------------------------------------
+
+
+def run_windowed_update_available_now(
+    spark: SparkSession,
+    staging_path: str,
+    table_path: str,
+    checkpoint: str,
+):
+    """Update-mode companion to the append-mode query: every micro-batch
+    re-emits the windows it changed, and foreachBatch upserts them keyed
+    on (window_start_s, event_type) — the running-totals dashboard
+    pattern. The state store carries the running aggregates across
+    batches AND restarts; the upsert sink makes re-emission idempotent,
+    so the table always holds the latest total per window."""
+    from ..sinks import upsert as upsert_sink
+
+    stream = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    agg = (
+        stream.parquet(staging_path)
+        .groupBy(F.window("ts", WINDOW_SIZE), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def upsert_batch(batch, epoch_id):
+        if not batch.isEmpty():
+            upsert_sink.upsert_parquet(
+                batch.sparkSession,
+                table_path,
+                batch,
+                ["window_start_s", "event_type"],
+            )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_update_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query form: maintain running window counts over TWO
+    incremental runs (events split mid-month), then read the table. The
+    oracle is the plain batch GROUP BY — update-mode re-emission through
+    the keyed upsert must converge to exactly the full-data totals."""
+    from .. import catalog
+    from ..sinks import upsert as upsert_sink
+
+    events = catalog.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_windowed_upd_")
+    staging = os.path.join(root, "staging")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    for part in (
+        events.filter(F.col("ts") < split),
+        events.filter(F.col("ts") >= split),
+    ):
+        part.write.mode("append").parquet(staging)
+        q = run_windowed_update_available_now(spark, staging, table, ckpt)
+        q.awaitTermination()
+    return upsert_sink.read_upsert_table(spark, table)
+
+
+STREAM_WINDOWED_UPDATE_SQL = """
+SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start_s,
+       event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
