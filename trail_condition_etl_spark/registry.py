@@ -367,6 +367,14 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_sources.jsonl_roundtrip_query(spark, sf_dir)
 
 
+@query("schema_evolution", oracle=file_sources.SCHEMA_EVOLUTION_SQL)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # additive schema drift: mergeSchema read across file generations,
+    # old rows surface NULLs handled explicitly in the agg
+    ensure_engine_conf(spark)
+    return file_sources.schema_evolution_query(spark, sf_dir)
+
+
 @query("categorization_tasks", oracle=ingestion.CATEGORIZATION_TASKS_SQL)
 def q_categorization_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer,) = _tables(spark, sf_dir, "customer")

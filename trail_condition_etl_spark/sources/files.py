@@ -155,3 +155,71 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: additive columns across file generations
+# ---------------------------------------------------------------------------
+
+
+def schema_evolution_query(spark, sf_dir: str):
+    """Additive schema evolution over a file table: generation 1 files
+    lack a column that generation 2 adds; `mergeSchema` unifies the
+    read schema and old rows surface NULLs, which the aggregation
+    null-handles explicitly. This is the append-only schema-drift path
+    every long-lived parquet table hits (the reject path for
+    non-additive drift is schemas.py's enforced-read).
+
+    Scale note: mergeSchema reconciles footers at planning time — the
+    cost is per-FILE metadata, not per-row; pin the unified schema in
+    the catalog once drift stabilizes so scans skip the reconcile pass.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import catalog
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    path = os.path.join(root, "orders_evolving")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("price")
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit("v2").alias("source_version"),
+    )
+    gen1.write.mode("append").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    unified = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        unified.groupBy(
+            "o_orderpriority",
+            F.coalesce("source_version", F.lit("v1")).alias("source_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.round(F.col("price") * 100).cast("long")) / 100.0).alias("rev"),
+        )
+        .select(
+            "o_orderpriority",
+            "source_version",
+            "n_orders",
+            F.round("rev", 2).alias("revenue"),
+        )
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderpriority,
+       CASE WHEN o_orderkey % 2 = 1 THEN 'v2' ELSE 'v1' END AS source_version,
+       COUNT(*) AS n_orders,
+       round(SUM(CAST(round(round(o_totalprice, 2) * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
