@@ -265,3 +265,77 @@ def test_scd2_maintenance_merges_across_batches(spark, tmp_path):
         (1, "purchase", 4, None, True),
         (1, "view", 2, 4, False),  # continued across the boundary, then closed
     ]
+
+
+def test_scd2_maintenance_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing ALL events against
+    the already-merged dimension (fresh checkpoint, same staging) must
+    leave the table unchanged — the effectively-once contract."""
+    from trail_condition_etl_spark.streaming import scd2
+    from trail_condition_etl_spark.sinks import upsert
+
+    staging = tmp_path / "staging"
+    dim = tmp_path / "dim"
+
+    def ev(eid, minute, etype):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), 1, etype)
+
+    spark.createDataFrame(
+        [ev(0, 0, "click"), ev(1, 2, "view"), ev(2, 4, "purchase")],
+        scd2.EVENT_SCHEMA,
+    ).write.mode("append").parquet(str(staging))
+
+    def snapshot():
+        return sorted(
+            (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+            for r in upsert.read_upsert_table(spark, str(dim)).collect()
+        )
+
+    scd2.run_scd2_maintenance(
+        spark, str(staging), str(dim), str(tmp_path / "ckpt1")
+    ).awaitTermination(120)
+    first = snapshot()
+    assert len(first) == 3
+    # replay EVERYTHING (fresh checkpoint = the whole staging dir is one
+    # "new" batch) against the merged dimension
+    scd2.run_scd2_maintenance(
+        spark, str(staging), str(dim), str(tmp_path / "ckpt2")
+    ).awaitTermination(120)
+    assert snapshot() == first
+
+
+def test_scd2_maintenance_repairs_history_on_late_event(spark, tmp_path):
+    """An out-of-order event older than the open interval must split the
+    correct historical interval, not corrupt the tail."""
+    from trail_condition_etl_spark.streaming import scd2
+    from trail_condition_etl_spark.sinks import upsert
+
+    staging = tmp_path / "staging"
+    dim = tmp_path / "dim"
+
+    def ev(eid, minute, etype):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), 1, etype)
+
+    spark.createDataFrame(
+        [ev(0, 0, "click"), ev(1, 10, "view")], scd2.EVENT_SCHEMA
+    ).write.mode("append").parquet(str(staging))
+    scd2.run_scd2_maintenance(
+        spark, str(staging), str(dim), str(tmp_path / "c1")
+    ).awaitTermination(120)
+    # late arrival at minute 5, inside the click interval [0, 10)
+    spark.createDataFrame(
+        [ev(2, 5, "error")], scd2.EVENT_SCHEMA
+    ).write.mode("append").parquet(str(staging))
+    scd2.run_scd2_maintenance(
+        spark, str(staging), str(dim), str(tmp_path / "c1")
+    ).awaitTermination(120)
+    rows = sorted(
+        (r.event_type, r.valid_from.minute,
+         None if r.valid_to is None else r.valid_to.minute, r.is_current)
+        for r in upsert.read_upsert_table(spark, str(dim)).collect()
+    )
+    assert rows == [
+        ("click", 0, 5, False),
+        ("error", 5, 10, False),
+        ("view", 10, None, True),
+    ]

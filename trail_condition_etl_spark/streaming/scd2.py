@@ -76,9 +76,16 @@ def merge_scd2_batch(
     users = batch.select("user_id").distinct()
     if os.path.exists(dim_path):
         dim = upsert_sink.read_upsert_table(spark, dim_path)
-        open_rows = (
-            dim.filter(F.col("is_current"))
-            .join(F.broadcast(users), "user_id")
+        # ALL of each touched user's intervals become pseudo-rows, not
+        # just the open one: the regimes of the interval set alone are
+        # exactly the current intervals (adjacent intervals differ in
+        # type by construction), so re-merging an already-applied batch
+        # re-derives identical rows — foreachBatch's at-least-once
+        # replay after a mid-epoch crash stays effectively-once — and
+        # an out-of-order event older than the open interval splits the
+        # correct historical interval instead of corrupting the tail.
+        history = (
+            dim.join(F.broadcast(users), "user_id")
             .select(
                 F.lit(-1).cast("long").alias("event_id"),
                 F.col("valid_from").alias("ts"),
@@ -86,7 +93,7 @@ def merge_scd2_batch(
                 "event_type",
             )
         )
-        merged_events = open_rows.unionByName(
+        merged_events = history.unionByName(
             batch.select("event_id", "ts", "user_id", "event_type")
         )
     else:
