@@ -192,3 +192,25 @@ def test_winsorize_broadcasts_bounds(spark):
     df = _q(spark, "winsorize")
     assert plans.count_broadcasts(df) >= 1
     assert not plans.has_single_partition_exchange(df)
+
+
+def test_large_orders_single_lineitem_shuffle(spark):
+    # the IN-subquery de-correlation shares the orderkey clustering with
+    # the join: one exchange total, customer broadcast
+    df = _q(spark, "large_orders")
+    assert plans.count_exchanges(df) == 1
+    assert plans.count_broadcasts(df) >= 1
+
+
+def test_inverted_index_single_shuffle(spark):
+    # rank-cap + collect share the token clustering
+    df = _q(spark, "inverted_index")
+    assert plans.count_exchanges(df) == 1
+
+
+def test_price_band_join_fact_never_shuffles(spark):
+    # broadcast BETWEEN join evaluates as a narrow map over the fact;
+    # the only exchange is the final 3-group agg
+    df = _q(spark, "price_band_join")
+    assert plans.count_exchanges(df) == 1
+    assert plans.count_broadcasts(df) >= 1
