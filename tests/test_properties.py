@@ -175,3 +175,69 @@ def test_word_ngrams_agree_with_duckdb_including_short_docs(spark, toks):
         assert got == []
     else:
         assert len(got) == len(toks) - 4
+
+
+# ---------------------------------------------------------------------------
+# SCD2 invariants: for ANY event sequence the intervals must tile the
+# timeline per user with no overlaps, alternating types, one open tail
+# ---------------------------------------------------------------------------
+
+event_seqs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=86400),      # ts offset seconds
+        st.sampled_from(["a", "b", "c"]),               # event type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(seq=event_seqs)
+@SETTINGS
+def test_scd2_intervals_tile_the_timeline(spark, seq):
+    from trail_condition_etl_spark.operators import warehouse
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=off), 1, etype)
+        for i, (off, etype) in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+    )
+    out = sorted(
+        (r.valid_from, r.valid_to, r.event_type, r.is_current)
+        for r in warehouse.scd2_build(events).collect()
+    )
+    assert out, "at least one interval"
+    # exactly one open interval, and it is the last
+    assert sum(1 for r in out if r[3]) == 1 and out[-1][3]
+    assert out[-1][1] == "9999-12-31"
+    # contiguity + alternation
+    for (vf, vt, et, cur), (vf2, vt2, et2, cur2) in zip(out, out[1:]):
+        assert vt == vf2, "intervals must be contiguous"
+        assert et != et2, "adjacent regimes must differ in type"
+
+
+@given(seq=event_seqs)
+@SETTINGS
+def test_gap_fill_spine_is_complete_and_filled(spark, seq):
+    from trail_condition_etl_spark.operators import behavior
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=off * 30), 1, "click", float(i % 7))
+        for i, (off, _) in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    out = sorted(
+        (r.day, r.is_filled, r.value_sum)
+        for r in behavior.gap_fill_daily(events).collect()
+    )
+    days = [d for d, _, _ in out]
+    assert days == sorted(set(days)), "one row per day, ordered"
+    assert len(days) >= 1
+    # after the first (observed) day, value_sum is never null
+    assert out[0][1] is False
+    assert all(v is not None for _, _, v in out)
