@@ -1042,3 +1042,39 @@ FROM lineitem JOIN bands
   ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY band
 """
+
+
+def stats_kit(events: DataFrame) -> DataFrame:
+    """Statistical aggregate surface per event_type: sample stddev /
+    variance, Pearson correlation of value against event time, and the
+    exact integer-scaled mean. One partial+final aggregation — all of
+    these are mergeable moment sketches, so they scale like any sum.
+
+    Parity note: moment aggregates accumulate doubles in engine- and
+    partition-dependent order, so unlike the integer-scaled sums they
+    are only reproducible to ~1e-12 relative error; rounding to 6
+    decimals absorbs that while still pinning 7 significant digits.
+    """
+    ep = F.col("ts").cast("long").cast("double")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(_scaled("value", 2)) / 100.0 / F.count(F.lit(1)), 6
+        ).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), ep), 6).alias("corr_value_time"),
+    )
+
+
+STATS_KIT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6)
+    AS mean_value,
+  round(stddev_samp(value), 6) AS stddev_value,
+  round(var_samp(value), 6) AS var_value,
+  round(corr(value, CAST(epoch_us(ts) // 1000000 AS DOUBLE)), 6)
+    AS corr_value_time
+FROM events
+GROUP BY event_type
+"""

@@ -199,6 +199,14 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.session_window_agg(events)
 
 
+@query("stats_kit", oracle=relational.STATS_KIT_SQL)
+def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # moment aggregates (stddev/var/corr): mergeable sketches, one
+    # partial+final pass; rounded to absorb accumulation-order noise
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.stats_kit(events)
+
+
 @query("window_kit", oracle=relational.WINDOW_KIT_SQL)
 def q_window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.5 breadth: lag/lead/ntile/percent_rank/cume_dist, both windows
