@@ -886,14 +886,16 @@ def waiting_suppliers(
     per_supp = with_late.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("supp_late")
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("supp_late").alias("n_late_supp"),
-    )
-    blamed = (
-        per_supp.filter(F.col("supp_late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    # per-order stats as a window over the per-supplier frame: the
+    # subplan is computed ONCE (a second groupBy + self-join would
+    # evaluate the join/agg twice — AQE does not reuse that exchange)
+    by_order = Window.partitionBy("l_orderkey")
+    blamed = per_supp.withColumn(
+        "n_supp", F.count(F.lit(1)).over(by_order)
+    ).withColumn("n_late_supp", F.sum("supp_late").over(by_order)).filter(
+        (F.col("supp_late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     return (
         blamed.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
