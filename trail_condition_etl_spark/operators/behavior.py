@@ -32,34 +32,46 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
     stage's anchor). Emits one row per funnel depth with user counts.
     """
     v, c, p = FUNNEL_STEPS
-    t1 = (
-        events.filter(F.col("event_type") == v)
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    step_us = STEP_WINDOW_MINUTES * 60 * 1_000_000
+    # ONE shuffle: collect each user's per-step timestamp array (µs),
+    # then the sequential-anchor logic is narrow array math. The
+    # aggregation-per-stage + join-back formulation evaluates the event
+    # scan once per stage and re-joins; this evaluates it once, total.
+    typed = events.filter(F.col("event_type").isin(v, c, p)).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tu")
     )
-    step = F.expr(f"INTERVAL {STEP_WINDOW_MINUTES} MINUTE")
-    t2 = (
-        events.filter(F.col("event_type") == c)
-        .join(t1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + step))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+
+    def step_times(etype: str) -> Column:
+        return F.collect_list(
+            F.when(F.col("event_type") == etype, F.col("tu"))
+        )
+
+    per_user = typed.groupBy("user_id").agg(
+        step_times(v).alias("views"),
+        step_times(c).alias("clicks"),
+        step_times(p).alias("purchases"),
     )
-    t3 = (
-        events.filter(F.col("event_type") == p)
-        .join(t2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + step))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    t1 = F.array_min("views")
+    t2 = F.array_min(
+        F.filter("clicks", lambda x: (x > t1) & (x <= t1 + F.lit(step_us)))
     )
+    t3c = F.col("_t2")
     return (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
+        per_user.filter(F.size("views") > 0)
+        .withColumn("_t2", t2)
+        .withColumn(
+            "_t3",
+            F.array_min(
+                F.filter(
+                    "purchases", lambda x: (x > t3c) & (x <= t3c + F.lit(step_us))
+                )
+            ),
+        )
         .select(
             (
                 F.lit(1)
-                + F.col("t2").isNotNull().cast("int")
-                + F.col("t3").isNotNull().cast("int")
+                + F.col("_t2").isNotNull().cast("int")
+                + F.col("_t3").isNotNull().cast("int")
             ).alias("funnel_depth")
         )
         .groupBy("funnel_depth")
