@@ -315,3 +315,87 @@ SELECT
 FROM events_us
 GROUP BY 1, 2, 3
 """
+
+
+def dlq_redrive_query(spark, sf_dir: str) -> DataFrame:
+    """R4 redrive loop end-to-end through the REAL DLQ files: route the
+    event envelope (poison/expired/process), append the rejects to a
+    parquet DLQ with the failure envelope struct, then select the
+    redrive-eligible rows (`error.safe_to_retry` — expiry is retryable,
+    poison is not) and summarize them. The oracle replays the routing
+    and keeps only the expired set; the write/read roundtrip through
+    sinks/upsert.append_dlq + redrive_candidates is what's under test.
+    """
+    import os
+    import tempfile
+
+    from .. import catalog
+    from ..sinks import upsert as upsert_sink
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("anchor_ts"))
+    env = events.crossJoin(F.broadcast(anchor)).select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 8).cast("int").alias("_delivery_count"),
+        F.col("ts").alias("_enqueued_ts"),
+        "anchor_ts",
+    )
+    age_s = F.col("anchor_ts").cast("long") - F.col("_enqueued_ts").cast("long")
+    route = (
+        F.when(F.col("_delivery_count") > MAX_DELIVERY_COUNT, "dlq_poison")
+        .when(age_s > EXPIRED_TASK_SECONDS, "dlq_expired")
+        .otherwise("process")
+    )
+    rejects = (
+        env.withColumn("route", route)
+        .filter(F.col("route") != "process")
+        .select(
+            F.col("event_id").cast("string").alias("task_id"),
+            F.lit(0).alias("city_id"),
+            F.col("event_type").alias("raw_payload"),
+            F.struct(
+                F.col("route").alias("exception_type"),
+                F.lit("envelope policy").alias("message"),
+                F.lit(None).cast("string").alias("traceback"),
+                (F.col("route") == "dlq_expired").alias("safe_to_retry"),
+            ).alias("error"),
+        )
+    )
+    dlq = os.path.join(tempfile.mkdtemp(prefix="dlq_redrive_"), "dlq")
+    upsert_sink.append_dlq(spark, dlq, rejects)
+    return (
+        upsert_sink.redrive_candidates(spark, dlq)
+        .groupBy(F.col("raw_payload").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_redrive"),
+            F.min(F.col("task_id").cast("long")).alias("min_event_id"),
+            F.max(F.col("task_id").cast("long")).alias("max_event_id"),
+        )
+    )
+
+
+DLQ_REDRIVE_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events
+),
+anchor AS (SELECT max(ts) AS anchor_ts FROM events_us),
+env AS (
+  SELECT event_id, event_type,
+         CAST(event_id % 8 AS INT) AS dc, ts AS enq, anchor_ts
+  FROM events_us, anchor
+),
+routed AS (
+  SELECT *,
+    CASE WHEN dc > 6 THEN 'dlq_poison'
+         WHEN (epoch_us(anchor_ts) // 1000000) - (epoch_us(enq) // 1000000)
+              > 86400 THEN 'dlq_expired'
+         ELSE 'process' END AS route
+  FROM env
+)
+SELECT event_type, COUNT(*) AS n_redrive,
+       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+FROM routed
+WHERE route = 'dlq_expired'
+GROUP BY event_type
+"""

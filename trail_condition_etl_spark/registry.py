@@ -411,6 +411,14 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dlq_route(events)
 
 
+@query("dlq_redrive", oracle=pipeline.DLQ_REDRIVE_SQL)
+def q_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R4 redrive loop through the real DLQ parquet: append rejects with
+    # the failure envelope, select error.safe_to_retry, summarize
+    ensure_engine_conf(spark)
+    return pipeline.dlq_redrive_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->
