@@ -241,3 +241,47 @@ def test_gap_fill_spine_is_complete_and_filled(spark, seq):
     # after the first (observed) day, value_sum is never null
     assert out[0][1] is False
     assert all(v is not None for _, _, v in out)
+
+
+@given(seq=event_seqs)
+@SETTINGS
+def test_funnel_counts_partition_viewing_users(spark, seq):
+    from trail_condition_etl_spark.operators import behavior
+
+    types = {"a": "view", "b": "click", "c": "purchase"}
+    rows = [
+        (i, T0 + dt.timedelta(seconds=off), (i % 3) + 1, types[et], 1.0)
+        for i, (off, et) in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    out = {r.funnel_depth: r.n_users for r in behavior.conversion_funnel(events).collect()}
+    assert set(out) <= {1, 2, 3}
+    viewers = len({u for _, _, u, et, _ in rows if et == "view"})
+    assert sum(out.values()) == viewers
+
+
+@given(seq=event_seqs)
+@SETTINGS
+def test_cohort_triangle_invariants(spark, seq):
+    from trail_condition_etl_spark.operators import behavior
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=off * 50), (i % 4) + 1, "view", 1.0)
+        for i, (off, _) in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    cells = behavior.retention_cohorts(events).collect()
+    assert all(r.offset_days >= 0 for r in cells)
+    day0 = {r.cohort_day: r.n_users for r in cells if r.offset_days == 0}
+    users = len({u for _, _, u, _, _ in rows})
+    # every user is active on their own first day, so the offset-0
+    # column partitions the user set
+    assert sum(day0.values()) == users
+    for r in cells:
+        assert r.n_users <= day0[r.cohort_day]
