@@ -496,3 +496,128 @@ FROM ({MINHASH_PAIRS_SQL}) p
 JOIN documents a ON a.doc_id = p.doc_a
 JOIN documents b ON b.doc_id = p.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index: new docs vs the accumulated signature state
+# ---------------------------------------------------------------------------
+
+
+def _band_frame(signed: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a signed frame (same banding as
+    minhash_pairs)."""
+    return signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def merge_near_dup_batch(
+    spark,
+    state_path: str,
+    pairs_path: str,
+    batch_docs: DataFrame,
+    threshold: float = 0.5,
+) -> None:
+    """Check a batch of NEW documents against the accumulated corpus,
+    append the verified near-dup pairs involving at least one new doc to
+    `pairs_path`, then append the batch's signatures to the state. Each
+    pair surfaces exactly once — in the batch where its LATER member
+    arrives — so the accumulated pairs table equals the one-shot
+    `minhash_pairs` of the full corpus (the registered query's oracle).
+    The pairs write happens BEFORE the state append: both reads of the
+    state are bound to the pre-batch files.
+
+    Scale: old signatures are never recomputed — the state carries
+    (sids, n, m0..m7) per doc; each batch's work is its own narrow
+    signature pass plus band joins sized by collisions with the batch
+    (at 100 TB the state lives bucketed by band key so the join prunes
+    to colliding buckets).
+    """
+    import os
+
+    new = _signed(batch_docs, use_xxhash=False).persist()
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        everything = state.unionByName(new).persist()
+    else:
+        everything = new
+    bands_new = _band_frame(new)
+    bands_all = _band_frame(everything)
+    cand = (
+        bands_new.alias("x")
+        .join(
+            bands_all.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    ids = everything.select("doc_id", F.explode("sids").alias("sid"))
+    counts = everything.select("doc_id", "n")
+    ia = ids.toDF("doc_a", "sid")
+    ib = ids.toDF("doc_b", "sid_b")
+    common = (
+        cand.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .filter(F.col("sid") == F.col("sid_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        common.join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    pairs.write.mode("append").parquet(pairs_path)
+    new.write.mode("append").parquet(state_path)
+    new.unpersist()
+    if everything is not new:
+        everything.unpersist()
+
+
+def incremental_minhash_pairs(spark, documents: DataFrame) -> DataFrame:
+    """Registered-query form: split the corpus into two arrival batches
+    (by doc_id parity) and run the incremental index twice; the unioned
+    pair sets must equal the one-shot minhash_pairs — the oracle is
+    MINHASH_PAIRS_SQL verbatim."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dedup_index_")
+    state = os.path.join(root, "sig")
+    pairs = os.path.join(root, "pairs")
+    for batch in (
+        documents.filter(F.col("doc_id") % 2 == 0),
+        documents.filter(F.col("doc_id") % 2 == 1),
+    ):
+        merge_near_dup_batch(spark, state, pairs, batch)
+    return spark.read.schema("doc_a LONG, doc_b LONG, jaccard DOUBLE").parquet(
+        pairs
+    )

@@ -600,6 +600,15 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_pairs(documents)
 
 
+@query("incremental_near_dup", oracle=dedup.MINHASH_PAIRS_SQL)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # new-docs-vs-accumulated-index near-dup: two arrival batches over a
+    # persisted signature state; oracle = one-shot minhash_pairs verbatim
+    ensure_engine_conf(spark)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_pairs(spark, documents)
+
+
 @query("ngram_jaccard", oracle=dedup.NGRAM_JACCARD_SQL)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
