@@ -26,17 +26,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         # ts is parquet TIMESTAMP(NANOS): read raw nanos, truncate to the
         # microsecond grain of Spark's TimestampType. The DuckDB oracle does
         # the same (make_timestamp(epoch_us(ts))) so both engines see
-        # identical instants.
+        # identical instants. Driver testdata has shipped both ns and µs
+        # encodings across rounds, so the grain is sniffed from the footer.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.schema(EVENTS_RAW).parquet(path)
         return raw.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
         )
     return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+_TS_GRAIN_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the events.ts parquet grain from the footer (driver-side,
+    once per path): TIMESTAMP(NANOS) needs the raw-long truncation path,
+    TIMESTAMP(MICROS) maps straight onto Spark's TimestampType."""
+    cached = _TS_GRAIN_CACHE.get(path)
+    if cached is None:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(target):
+            inner = [f for f in os.listdir(target) if f.endswith(".parquet")]
+            target = os.path.join(target, sorted(inner)[0])
+        ts_type = pq.read_schema(target).field("ts").type
+        cached = _TS_GRAIN_CACHE[path] = str(ts_type).startswith("timestamp[ns")
+    return cached
 
 
 def load_tables(

@@ -1,0 +1,351 @@
+"""Time-series kit over the event log: OHLC downsampling, consecutive-day
+streaks (gaps-and-islands), sweep-line session concurrency, linear
+interpolation, and an exponentially-weighted moving average.
+
+The reference consumes per-city time windows row-at-a-time
+(categorize-trail-conditions/src/classifier.py); these are the standard
+time-series shapes that windowed consumption grows into, each expressed
+as one or two key-clustered shuffles.
+
+Scale notes:
+* every window below is partitioned by a data key (user_id) — no global
+  sorts anywhere;
+* OHLC is a single partial+final hash aggregate: open/close ride a
+  struct-valued MIN/MAX instead of a sort;
+* concurrency is the classic sweep: explode each interval into ±1
+  boundary rows (narrow), one windowed running sum per key;
+* EWMA weights are powers of two over integer cents, so the fold is
+  exact in BIGINT and bit-identical across engines — no float
+  accumulation-order drift (see operators/hashing.py for the same
+  cross-engine determinism stance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_SECONDS = 6 * 3600  # OHLC bar width
+SESSION_SECONDS = 30 * 60  # synthetic session length for the sweep
+EWMA_SPAN = 16  # trailing days in the EWMA window (2^16 fits BIGINT fold)
+
+
+def _cents(col: str = "value") -> Column:
+    """Integer cents — exact SUMs, accumulation-order independent."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Downsample each event_type's value series into 6-hour OHLC bars:
+    open/close are the first/last value by (ts, event_id) within the
+    bar — computed as struct-valued MIN/MAX so the whole query is ONE
+    partial+final aggregate with no sort, no window, no self-join.
+    """
+    tu = F.unix_micros("ts")
+    bucket_s = (tu / 1_000_000).cast("long") - (
+        (tu / 1_000_000).cast("long") % BUCKET_SECONDS
+    )
+    ordered = F.struct(
+        F.col("_tu").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v")
+    )
+    return (
+        events.select(
+            "event_id", "event_type", "value", tu.alias("_tu"), bucket_s.alias("_bs")
+        )
+        .groupBy(
+            "event_type",
+            F.date_format(F.timestamp_seconds("_bs"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_start"
+            ),
+        )
+        .agg(
+            F.round(F.min(ordered).getField("v"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(ordered).getField("v"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents()) / 100.0).alias("value_sum"),
+        )
+    )
+
+
+OHLC_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type, value, epoch_us(ts) AS tu,
+         (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % {BUCKET_SECONDS})
+           AS bs
+  FROM events
+)
+SELECT event_type,
+  strftime(make_timestamp(bs * 1000000), '%Y-%m-%d %H:%M:%S') AS bar_start,
+  round(min({{'t': tu, 'e': event_id, 'v': value}}).v, 2) AS open,
+  round(max(value), 2) AS high,
+  round(min(value), 2) AS low,
+  round(max({{'t': tu, 'e': event_id, 'v': value}}).v, 2) AS close,
+  COUNT(*) AS n_events,
+  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+FROM base
+GROUP BY 1, 2
+"""
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-day active streak per user (gaps-and-islands):
+    distinct active days, then `day - row_number` is constant within a
+    run of consecutive days — one groupBy collapses each island. Both
+    shuffles cluster on user_id; the row_number window is per-user."""
+    active = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    islands = (
+        active.withColumn("_anchor", F.date_sub(F.col("day"), rn))
+        .groupBy("user_id", "_anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+STREAKS_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM active
+),
+runs AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM islands GROUP BY user_id, anchor
+)
+SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+"""
+
+
+def peak_concurrency(events: DataFrame) -> DataFrame:
+    """Peak number of concurrently-open 30-minute sessions per user —
+    the sweep-line: each interval [ts, ts+30m) becomes a +1 and a -1
+    boundary row (narrow explode), then one per-user windowed running
+    sum. Half-open semantics: at equal timestamps the -1 sorts first,
+    so back-to-back sessions don't double-count."""
+    tu = F.unix_micros("ts")
+    bounds = events.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(tu.alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (tu + SESSION_SECONDS * 1_000_000).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("b"),
+    ).select("user_id", F.col("b.t").alias("t"), F.col("b.d").alias("d"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = bounds.withColumn("open_now", F.sum("d").over(w))
+    return running.groupBy("user_id").agg(
+        F.max("open_now").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH bounds AS (
+  SELECT user_id, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts) + {SESSION_SECONDS} * 1000000, -1 FROM events
+),
+running AS (
+  SELECT user_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_now
+  FROM bounds
+)
+SELECT user_id, CAST(MAX(open_now) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+FROM running GROUP BY user_id
+"""
+
+
+def _daily_cents(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(_cents()).alias("vc")
+    )
+
+
+def _spine(daily: DataFrame) -> DataFrame:
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+
+
+def linear_interp_daily(events: DataFrame) -> DataFrame:
+    """Per-user daily totals on a complete date spine with LINEAR
+    interpolation across gaps (vs gap_fill_daily's forward fill). Prev
+    and next anchors come from one backward and one forward window over
+    the same (user, day) clustering — no self-joins. The interpolation
+    arithmetic is identical double ops on identical operands in both
+    engines, so results hash-match."""
+    daily = _daily_cents(events).withColumn("v", F.col("vc") / 100.0)
+    spine = _spine(daily)
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_day = F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(back)
+    next_day = F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(fwd)
+    prev_v = F.last("v", True).over(back)
+    next_v = F.first("v", True).over(fwd)
+    frac = F.datediff(F.col("day"), prev_day) / F.datediff(next_day, prev_day)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().alias("is_interp"),
+        F.round(interp, 4).alias("value_interp"),
+    )
+
+
+LINEAR_INTERP_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.day, d.v FROM spine s
+  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+anchored AS (
+  SELECT *,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wb
+      AS prev_day,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf
+      AS next_day,
+    first_value(v IGNORE NULLS) OVER wf AS next_v
+  FROM joined
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  v IS NULL AS is_interp,
+  round(CASE WHEN v IS NOT NULL THEN v
+             ELSE prev_v + (next_v - prev_v)
+                  * (date_diff('day', prev_day, day)
+                     / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+        END, 4) AS value_interp
+FROM anchored
+"""
+
+
+def ewma_daily(events: DataFrame) -> DataFrame:
+    """Adjusted EWMA (alpha = 1/2) of per-user daily totals over a
+    trailing 16-day window. Weights are powers of two over integer
+    cents, folded in BIGINT: ewma = sum(v_j * 2^j) / (2^L - 1) — the
+    numerator and denominator are exact integers in both engines, and
+    the single closing division is the same IEEE op, so results are
+    bit-identical with no float-accumulation drift.
+
+    Gaps in the spine contribute 0 (no activity that day), matching the
+    "observation every period" EWMA definition."""
+    daily = _daily_cents(events)
+    spine = _spine(daily)
+    filled = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "vc", F.coalesce("vc", F.lit(0).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    lst = F.collect_list("vc").over(w)
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    fold = F.aggregate(
+        F.col("_lst"),
+        F.struct(zero.alias("s"), one.alias("w")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x * acc["w"]).alias("s"), (acc["w"] * 2).alias("w")
+        ),
+    )
+    return (
+        filled.withColumn("_lst", lst)
+        .withColumn("_fold", fold)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("vc") / 100.0).alias("value_sum"),
+            F.round(
+                F.col("_fold.s") / ((F.col("_fold.w") - 1) * 100.0), 4
+            ).alias("ewma"),
+        )
+    )
+
+
+EWMA_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS vc
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+filled AS (
+  SELECT s.user_id, s.day, COALESCE(d.vc, 0) AS vc FROM spine s
+  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+windowed AS (
+  SELECT user_id, day, vc,
+         list(vc) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW)
+           AS lst
+  FROM filled
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  vc / 100.0 AS value_sum,
+  round(
+    CAST(list_sum(list_transform(lst, (x, i) -> x * (1::BIGINT << (i - 1))))
+         AS BIGINT)
+    / (((1::BIGINT << len(lst)) - 1) * 100.0), 4) AS ewma
+FROM windowed
+"""

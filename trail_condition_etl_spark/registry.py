@@ -42,6 +42,7 @@ from .operators import (
     sketches,
     skew,
     text,
+    timeseries,
     warehouse,
     weather,
 )
@@ -321,6 +322,46 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forward fill via last(ignoreNulls) — two shuffles, both on user_id
     (events,) = _tables(spark, sf_dir, "events")
     return behavior.gap_fill_daily(events)
+
+
+@query("ohlc_bars", oracle=timeseries.OHLC_SQL)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6h OHLC downsampling: open/close as struct-valued MIN/MAX — one
+    # partial+final hash agg, no sort, no window, no self-join
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(events)
+
+
+@query("activity_streaks", oracle=timeseries.STREAKS_SQL)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands: longest consecutive-day streak per user via the
+    # day - row_number anchor; every shuffle clusters on user_id
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.activity_streaks(events)
+
+
+@query("peak_concurrency", oracle=timeseries.PEAK_CONCURRENCY_SQL)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sweep-line max-overlap: ±1 boundary explode (narrow) + one
+    # per-user windowed running sum; half-open interval semantics
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.peak_concurrency(events)
+
+
+@query("linear_interp", oracle=timeseries.LINEAR_INTERP_SQL)
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap fill by LINEAR interpolation: prev/next anchors from one
+    # backward + one forward window over the same user clustering
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.linear_interp_daily(events)
+
+
+@query("ewma_daily", oracle=timeseries.EWMA_SQL)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adjusted EWMA (alpha=1/2, 16-day trailing): power-of-two weights
+    # folded in BIGINT over integer cents — bit-identical cross-engine
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.ewma_daily(events)
 
 
 @query("winsorize", oracle=warehouse.WINSORIZE_SQL)
