@@ -1080,3 +1080,155 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+
+def revenue_share(
+    region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Percent-of-total at two grains (nation share of region, nation
+    share of global) WITHOUT a partition-less window: an empty
+    ``Window.partitionBy()`` funnels the whole table through one
+    partition, so the region totals come from a second tiny aggregate
+    joined back (broadcast) and the global total from a 1-row cross
+    join. The fact shuffles once, on the nation grouping."""
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per_nation = joined.groupBy("r_name", "n_name").agg(
+        F.sum(_scaled("o_totalprice", 2)).alias("rev_c")
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("rev_c").alias("region_rev_c")
+    )
+    total = per_nation.agg(F.sum("rev_c").alias("global_rev_c"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            F.round(F.col("rev_c") / F.col("region_rev_c"), 6).alias("share_of_region"),
+            F.round(F.col("rev_c") / F.col("global_rev_c"), 6).alias("share_of_global"),
+        )
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+),
+per_region AS (
+  SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS region_rev_c
+  FROM per_nation GROUP BY r_name
+),
+total AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS global_rev_c FROM per_nation)
+SELECT p.r_name, p.n_name,
+  p.rev_c / 100.0 AS revenue,
+  round(p.rev_c / CAST(r.region_rev_c AS DOUBLE), 6) AS share_of_region,
+  round(p.rev_c / CAST(t.global_rev_c AS DOUBLE), 6) AS share_of_global
+FROM per_nation p JOIN per_region r USING (r_name) CROSS JOIN total t
+"""
+
+
+def grouping_sets_volume(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube
+    (§2.4): per-(nation, priority), per-nation, and per-priority margins
+    in ONE pass over the fact. GROUPING() flags disambiguate a
+    margin-generated NULL from a data NULL, emitted per column so the
+    bit layout is engine-independent."""
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    n, p = F.col("n_name"), F.col("o_orderpriority")
+    return (
+        joined.groupingSets([[n, p], [n], [p]], n, p)
+        .agg(
+            # GROUPING() is only resolvable inside the grouping agg
+            F.grouping("n_name").cast("int").alias("is_nation_margin"),
+            F.grouping("o_orderpriority").cast("int").alias("is_priority_margin"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_scaled("o_totalprice", 2)) / 100.0).alias("total_price"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "is_nation_margin",
+            "is_priority_margin",
+            "n_orders",
+            F.round("total_price", 2).alias("total_price"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT
+  COALESCE(n_name, '(all)') AS n_name,
+  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+  CAST(GROUPING(n_name) AS INT) AS is_nation_margin,
+  CAST(GROUPING(o_orderpriority) AS INT) AS is_priority_margin,
+  COUNT(*) AS n_orders,
+  round(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+    AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+"""
+
+
+def join_kit(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Join-semantics kit (§2.3 breadth): LEFT SEMI, LEFT ANTI, and
+    null-safe equality in one output. The null-safe case synthesizes a
+    nullable key (NULLIF) on both sides — `<=>` matches NULL to NULL
+    where a plain equi-join drops those rows; the dim side is a distinct
+    (broadcastable) frame. Emits one row per join type with its row
+    count, so the oracle pins all three semantics."""
+    with_orders = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    without_orders = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    keyed = orders.withColumn(
+        "k", F.nullif((F.col("o_orderkey") % 5).cast("long"), F.lit(0))
+    )
+    dim = keyed.select("k").distinct()
+    null_safe = keyed.join(
+        F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"]), "inner"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        with_orders.select(F.lit("semi_with_orders").alias("join_type"), "n_rows")
+        .unionByName(
+            without_orders.select(
+                F.lit("anti_without_orders").alias("join_type"), "n_rows"
+            )
+        )
+        .unionByName(
+            null_safe.select(F.lit("null_safe_matches").alias("join_type"), "n_rows")
+        )
+    )
+
+
+JOIN_KIT_SQL = """
+SELECT 'semi_with_orders' AS join_type, COUNT(*) AS n_rows
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'anti_without_orders', COUNT(*)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'null_safe_matches', COUNT(*)
+FROM (SELECT NULLIF(o_orderkey % 5, 0) AS k FROM orders) l
+JOIN (SELECT DISTINCT NULLIF(o_orderkey % 5, 0) AS k FROM orders) r
+  ON l.k IS NOT DISTINCT FROM r.k
+"""

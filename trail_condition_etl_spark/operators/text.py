@@ -432,3 +432,103 @@ SELECT m.source, m.n,
 FROM q JOIN med m USING (source)
 GROUP BY m.source, m.n, m.m
 """
+
+
+def heavy_hitters(documents: DataFrame, min_share: float = 0.005) -> DataFrame:
+    """Corpus heavy hitters: tokens whose frequency is >= min_share of
+    all tokens. One explode + one partial+final count agg (map-side
+    combine absorbs the per-doc repetition), the corpus-wide total is a
+    second 1-row aggregate cross-joined back (broadcast) — never an
+    empty-partitionBy window. Share division is the same IEEE op on the
+    same integers in both engines."""
+    toks = documents.select(F.explode(_toks()).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("total_n"), 6))
+        .filter(F.col("n") / F.col("total_n") >= min_share)
+        .select("tok", "n", "share")
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, COUNT(*) AS n FROM toks WHERE length(tok) > 0 GROUP BY tok
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts)
+SELECT tok, n, round(n / CAST(total_n AS DOUBLE), 6) AS share
+FROM counts CROSS JOIN total
+WHERE n / CAST(total_n AS DOUBLE) >= 0.005
+"""
+
+
+def regex_kit(documents: DataFrame) -> DataFrame:
+    """Regex scalar surface (§2.7): extract / extract-group / replace /
+    match-count per row — all JVM expressions inside whole-stage
+    codegen. Patterns stick to character classes so Java-regex and
+    RE2-family oracles agree; both engines return '' on no-match."""
+    return documents.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.regexp_extract("text", "([a-z]+)[0-9]", 1).alias("word_before_digit"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+        F.size(F.split("text", "[0-9]+")).cast("long").alias("n_digit_splits"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    )
+
+
+REGEX_KIT_SQL = """
+SELECT doc_id,
+  regexp_extract(text, '[0-9]+') AS first_number,
+  regexp_extract(text, '([a-z]+)[0-9]', 1) AS word_before_digit,
+  length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+  len(regexp_split_to_array(text, '[0-9]+')) AS n_digit_splits,
+  regexp_matches(text, '[0-9]') AS has_digit
+FROM documents
+"""
+
+
+def array_kit(documents: DataFrame) -> DataFrame:
+    """Array scalar surface (§2.7): sort, slice, distinct, set-ops and
+    higher-order transforms over the token array — per-row narrow
+    expressions, no shuffle at all."""
+    toks = _toks()
+    return documents.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(F.sort_array(toks), 1, 3)).alias("first3_sorted"),
+        # NB: distinct THEN sort — DuckDB's list_distinct does not
+        # preserve first-seen order, so order-stable output re-sorts
+        F.concat_ws("|", F.slice(F.sort_array(F.array_distinct(toks)), 1, 2)).alias(
+            "first2_distinct_sorted"
+        ),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.size(F.array_intersect(toks, F.array(F.lit("data"), F.lit("query"))))
+        .cast("long")
+        .alias("n_keyword_hits"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("longest_token_len"),
+    )
+
+
+ARRAY_KIT_SQL = """
+SELECT doc_id,
+  array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), '|')
+    AS first3_sorted,
+  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 2), '|')
+    AS first2_distinct_sorted,
+  list_contains(string_split(text, ' '), 'data') AS has_data,
+  len(list_intersect(string_split(text, ' '), ['data', 'query']))
+    AS n_keyword_hits,
+  CAST(list_max(list_transform(string_split(text, ' '), t -> length(t)))
+       AS BIGINT) AS longest_token_len
+FROM documents
+"""

@@ -315,3 +315,85 @@ def _profile_sql() -> str:
 
 
 PROFILE_TABLE_SQL = _profile_sql()
+
+
+def scd2_lookup(events: DataFrame) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase fact is attached to
+    the SCD2 regime (see `scd2_build`) active at its timestamp.
+
+    The join is EQUI on user_id with the interval containment as a
+    residual predicate — per-user regime counts are bounded (intervals
+    tile the timeline), so the match fan-in stays linear. This is the
+    standard warehouse "fact x SCD2 dimension" lookup the reference's
+    point-read (`categorize-trail-conditions/src/repository.py` get by
+    city) can't express over history.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = events.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "is_change",
+        (
+            F.lag("event_type").over(by_user).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(by_user))
+        ).cast("int"),
+    )
+    dim = (
+        changed.filter(F.col("is_change") == 1)
+        .withColumn("valid_to_ts", F.lead("ts").over(by_user))
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("regime"),
+            F.col("ts").alias("valid_from_ts"),
+            "valid_to_ts",
+        )
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.d_user_id)
+            & (dim.valid_from_ts <= facts.ts)
+            & (dim.valid_to_ts.isNull() | (facts.ts < dim.valid_to_ts)),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_US_FMT).alias("fact_ts"),
+            "regime",
+            F.date_format("valid_from_ts", TS_US_FMT).alias("regime_since"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+SCD2_LOOKUP_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type,
+         value
+  FROM events
+),
+changed AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+                 THEN 1 ELSE 0 END AS is_change
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dim AS (
+  SELECT user_id AS d_user_id, event_type AS regime, ts AS valid_from_ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to_ts
+  FROM changed WHERE is_change = 1
+)
+SELECT f.event_id, f.user_id,
+  strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS fact_ts,
+  d.regime,
+  strftime(d.valid_from_ts, '%Y-%m-%d %H:%M:%S.%f') AS regime_since,
+  round(f.value, 2) AS value
+FROM events_us f
+JOIN dim d ON f.user_id = d.d_user_id
+          AND d.valid_from_ts <= f.ts
+          AND (d.valid_to_ts IS NULL OR f.ts < d.valid_to_ts)
+WHERE f.event_type = 'purchase'
+"""

@@ -364,6 +364,61 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ewma_daily(events)
 
 
+@query("scd2_lookup", oracle=warehouse.SCD2_LOOKUP_SQL)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporal fact x SCD2 join: equi on user_id, interval containment
+    # as residual predicate; per-user intervals tile the timeline
+    (events,) = _tables(spark, sf_dir, "events")
+    return warehouse.scd2_lookup(events)
+
+
+@query("revenue_share", oracle=relational.REVENUE_SHARE_SQL)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percent-of-total at two grains via tiny re-aggregates broadcast
+    # back — no empty-partitionBy window anywhere
+    region, nation, customer, orders = _tables(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    return relational.revenue_share(region, nation, customer, orders)
+
+
+@query("grouping_sets_volume", oracle=relational.GROUPING_SETS_SQL)
+def q_grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit GROUPING SETS + per-column GROUPING() margin flags
+    orders, customer, nation = _tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    return relational.grouping_sets_volume(orders, customer, nation)
+
+
+@query("join_kit", oracle=relational.JOIN_KIT_SQL)
+def q_join_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT SEMI / LEFT ANTI / null-safe (<=>) semantics in one output
+    customer, orders = _tables(spark, sf_dir, "customer", "orders")
+    return relational.join_kit(customer, orders)
+
+
+@query("heavy_hitters", oracle=text.HEAVY_HITTERS_SQL)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-frequency heavy hitters: one count agg + broadcast total
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.heavy_hitters(documents)
+
+
+@query("regex_kit", oracle=text.REGEX_KIT_SQL)
+def q_regex_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # regex scalar surface: extract/group/replace/split/match
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.regex_kit(documents)
+
+
+@query("array_kit", oracle=text.ARRAY_KIT_SQL)
+def q_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array scalar surface: sort/slice/distinct/set-ops/fold, all narrow
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.array_kit(documents)
+
+
 @query("winsorize", oracle=warehouse.WINSORIZE_SQL)
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outlier repair: per-type percentile bounds (one grouped agg)
