@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -207,4 +207,61 @@ SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
          PARTITION BY s.user_id ORDER BY s.day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_sum
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: (prev_type -> type) counts and row-normalized transition
+    probabilities. One (user_id, ts) window for the lag, one count agg;
+    the per-prev-type totals are a second tiny aggregate joined back
+    broadcast — 25 cells, never a partition-less window."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(by_user))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        )
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type
+  FROM events
+),
+pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events_us
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n / CAST(t.row_n AS DOUBLE), 6) AS p
+FROM counts c JOIN totals t USING (from_type)
 """

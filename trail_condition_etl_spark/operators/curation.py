@@ -548,3 +548,51 @@ SELECT source,
 FROM placed
 GROUP BY source, cum_before // {PACK_BUDGET_TOKENS}
 """
+
+
+SPLIT_SALT = "split-v1"
+SPLIT_BOUNDS = (80, 90)  # train < 80 <= val < 90 <= test
+
+
+def dataset_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test split: bucket = cross-engine char
+    hash of "<doc_id>:<salt>" mod 100 (operators/hashing.py — pure
+    map-side arithmetic, no shuffle for the assignment, stable under
+    corpus growth and engine choice). One aggregate over (split, lang)
+    reports the resulting composition."""
+    from .hashing import char_poly_hash
+
+    bucket = char_poly_hash(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
+    ) % 100
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+    return (
+        documents.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+    )
+
+
+def _dataset_split_sql() -> str:
+    from .hashing import char_poly_hash_sql
+
+    h = char_poly_hash_sql(f"CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'")
+    lo, hi = SPLIT_BOUNDS
+    return f"""
+SELECT CASE WHEN ({h}) % 100 < {lo} THEN 'train'
+            WHEN ({h}) % 100 < {hi} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+DATASET_SPLIT_SQL = _dataset_split_sql()

@@ -621,3 +621,60 @@ def incremental_minhash_pairs(spark, documents: DataFrame) -> DataFrame:
     return spark.read.schema("doc_a LONG, doc_b LONG, jaccard DOUBLE").parquet(
         pairs
     )
+
+
+def canonical_docs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Keep-best selection over the near-dup clusters: within each
+    connected component the KEPT doc is the longest (n_chars, tiebreak
+    smaller doc_id) — the curation decision a training pipeline makes
+    after `dedup_clusters` labels the components. The argmax rides a
+    struct-valued MIN (no per-cluster sort); the survivor set then
+    filters the corpus with one broadcastable semi-join on doc_id."""
+    clusters = dedup_clusters(documents, threshold)
+    labeled = clusters.join(
+        documents.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = labeled.groupBy("canonical_doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars").cast("long")).alias("neg_len"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        )["doc_id"].alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        best.join(
+            documents.select(
+                F.col("doc_id").alias("kept_doc_id"), "lang", "source", "n_chars"
+            ),
+            "kept_doc_id",
+        )
+        .select(
+            "kept_doc_id",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+CANONICAL_DOCS_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+labeled AS (
+  SELECT c.doc_id, c.canonical_doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT canonical_doc_id,
+         min({{'neg_len': -CAST(n_chars AS BIGINT), 'doc_id': doc_id}}).doc_id
+           AS kept_doc_id,
+         COUNT(*) AS cluster_size
+  FROM labeled GROUP BY canonical_doc_id
+)
+SELECT b.kept_doc_id, b.cluster_size, b.cluster_size - 1 AS n_dropped,
+       d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM best b JOIN documents d ON d.doc_id = b.kept_doc_id
+"""

@@ -419,6 +419,30 @@ def q_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.array_kit(documents)
 
 
+@query("event_transitions", oracle=behavior.EVENT_TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov matrix: one user-keyed lag window + count agg,
+    # row totals re-aggregated tiny and broadcast back
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.event_transitions(events)
+
+
+@query("dataset_split", oracle=curation.DATASET_SPLIT_SQL)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic train/val/test split via the cross-engine char hash
+    # (map-side assignment, growth- and engine-stable)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.dataset_split(documents)
+
+
+@query("canonical_docs", oracle=dedup.CANONICAL_DOCS_SQL)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep-best per near-dup cluster: struct-MIN argmax, no per-cluster
+    # sort; survivor filter is a keyed semi-join
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.canonical_docs(documents)
+
+
 @query("winsorize", oracle=warehouse.WINSORIZE_SQL)
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outlier repair: per-type percentile bounds (one grouped agg)
