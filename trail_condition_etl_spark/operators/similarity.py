@@ -791,6 +791,7 @@ GROUP BY label, pos
 # ---------------------------------------------------------------------------
 
 PQ_M, PQ_K, PQ_ITERS = 16, 16, 2
+PQ_TRAIN_MOD = 10  # Lloyd passes train on vec_id % MOD == 0 (determ. sample)
 PQ_SUBDIM = 4  # 64 / PQ_M
 PQ_SCALE = 1_000_000_000
 
@@ -820,29 +821,37 @@ def _pq_d2(x: Column, c: Column, cc: Column) -> Column:
 
 
 def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, m, code): nearest sub-centroid per subspace. min(struct)
-    partial-aggregates map-side — the shuffle carries one row per
-    (vector, subspace)."""
+    """(vec_id, m, sv, code): nearest sub-centroid per subspace, as a
+    PER-ROW argmin fold over the PQ_K-entry codebook broadcast as one
+    array row per subspace. No row explosion (the old join form expanded
+    PQ_K rows per (vector, subspace) through a min(struct) shuffle), no
+    argmin exchange, and sv rides along so the centroid update needs no
+    join-back. array_sort(struct(d2, cell))[1] = lexicographic MIN —
+    identical tie-breaks to the oracle's MIN(struct_pack(d2, cell))."""
+    cents_arr = cents.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "ce", "cc"))).alias("_cells")
+    )
+    scored = F.transform(
+        F.col("_cells"),
+        lambda c: F.struct(
+            _pq_d2(F.col("sv"), c["ce"], c["cc"]).alias("d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
     return (
-        sub.join(F.broadcast(cents), "m")
-        .select(
-            "vec_id",
-            "m",
-            _pq_d2(F.col("sv"), F.col("ce"), F.col("cc")).alias("d2"),
-            "cell",
-        )
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "cell")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.cell").alias("code"))
+        sub.join(F.broadcast(cents_arr), "m")
+        .withColumn("code", F.element_at(F.array_sort(scored), 1)["cell"])
+        .select("vec_id", "m", "sv", "code")
     )
 
 
-def _pq_centroids(sub: DataFrame, assign: DataFrame) -> DataFrame:
+def _pq_centroids(assigned: DataFrame) -> DataFrame:
     """(m, cell, ce, cc): per-subspace centroids, exact integer-scaled
-    component means (bit-identical across engines and partitionings)."""
-    ex = (
-        sub.join(assign, ["vec_id", "m"])
-        .select("m", F.col("code").alias("cell"), F.posexplode("sv").alias("i", "v"))
+    component means (bit-identical across engines and partitionings).
+    `assigned` already carries (sv, code) per row, so the only shuffle
+    is the (m, cell, i) component aggregation."""
+    ex = assigned.select(
+        "m", F.col("code").alias("cell"), F.posexplode("sv").alias("i", "v")
     )
     comp = ex.groupBy("m", "cell", "i").agg(
         F.sum(F.round(F.col("v") * PQ_SCALE).cast("long")).alias("s"),
@@ -876,6 +885,11 @@ def pq_topk(
     """
     base = with_norm(embeddings).persist()
     sub = _pq_subvectors(base).persist()
+    # train on a deterministic 1-in-PQ_TRAIN_MOD sample (vec_id modulus:
+    # engine- and growth-stable) — codebooks are statistics, the full
+    # corpus scan per Lloyd pass buys nothing at 100 TB; the oracle
+    # samples identically
+    sub_t = sub.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
     seeds = (
         _pq_subvectors(
             base.orderBy("vec_id").limit(PQ_K)
@@ -890,11 +904,13 @@ def pq_topk(
         # one (and again in the LUT and the final encode) — iterative
         # training must cut lineage at the small artifact
         prev = cents
-        cents = _pq_centroids(sub, _pq_assign(sub, prev)).persist()
-        cents.count()
+        # persist (no eager count): the next iteration's broadcast
+        # collect materializes the cache, which cuts the Lloyd lineage
+        # without spending an extra job per round
+        cents = _pq_centroids(_pq_assign(sub_t, prev)).persist()
         if prev is not seeds:
             prev.unpersist()
-    codes = _pq_assign(sub, cents)
+    codes = _pq_assign(sub, cents).select("vec_id", "m", "code")
     qsub = sub.filter(F.col("vec_id") % query_modulo == 0).select(
         F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qv")
     )
@@ -909,12 +925,68 @@ def pq_topk(
             .alias("dl"),
         )
     )
+    # ADC as narrow positional-array math, not a join: one row per
+    # vector carrying its PQ_M codes (remapped to DENSE 0..PQ_K-1 ranks
+    # — order-preserving per subspace, so assignments and tie-breaks are
+    # unchanged), one row per query carrying the LUT as a PQ_M*PQ_K
+    # array ordered by (m, dense code). Each (q, vec) distance is then
+    # PQ_M constant-index element_at terms summed as plain scalar
+    # expressions — whole-stage-codegen, O(1) per lookup, no
+    # higher-order functions (those evaluate interpreted per element).
+    # The join-based form materialized PQ_M rows per (q, vec) pair
+    # through an exchange and re-aggregated them (a 400M-row shuffle at
+    # sf0.1); here nothing but the final (q_id, vec_id, adc_l) triples
+    # reach the top-k window. adc_l is the same exact integer sum either
+    # way, so the SQL oracle is unchanged.
+    dense = cents.select(
+        "m",
+        F.col("cell").alias("code"),
+        (F.row_number().over(Window.partitionBy("m").orderBy("cell")) - 1).alias(
+            "dcode"
+        ),
+    )
+    codes_arr = (
+        codes.join(F.broadcast(dense), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "dcode"))),
+                lambda s: s["dcode"],
+            ).alias("cs")
+        )
+    )
+    # two-level (per-m) LUT arrays: sampled training can leave cells
+    # empty, so per-subspace codebook sizes vary — flat m*PQ_K offsets
+    # would mis-index; la[m][dcode] is always valid because codes are
+    # assigned from the same surviving cells
+    lut_arr = (
+        lut.join(F.broadcast(dense), ["m", "code"])
+        .groupBy("q_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dcode", "dl"))),
+                lambda s: s["dl"],
+            ).alias("dls")
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "dls"))),
+                lambda s: s["dls"],
+            ).alias("la")
+        )
+    )
+    adc_l = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.element_at(F.col("la"), m + 1),
+            (F.element_at(F.col("cs"), m + 1) + 1).cast("int"),
+        )
+        adc_l = term if adc_l is None else adc_l + term
     adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
+        codes_arr.crossJoin(F.broadcast(lut_arr))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("dl").alias("adc_l"))
-        # every vector has exactly PQ_M joined rows, so adc_l is total
+        .select("q_id", "vec_id", adc_l.alias("adc_l"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_l", "vec_id")
     return (
@@ -943,7 +1015,7 @@ def _pq_sql() -> str:
   SELECT vec_id, m, (MIN(struct_pack(
            d2 := {d2.format(x='s.sv', c='c.ce', cc='c.cc')},
            cell := c.cell))).cell AS code
-  FROM sub s JOIN {{cents}} c USING (m)
+  FROM {{src}} s JOIN {{cents}} c USING (m)
   GROUP BY vec_id, m"""
     cent = f"""
   SELECT m, cell, list(c ORDER BY i) AS ce,
@@ -955,7 +1027,7 @@ def _pq_sql() -> str:
     FROM (
       SELECT s.m, a.code AS cell,
              unnest(generate_series(1, len(s.sv))) AS i, unnest(s.sv) AS v
-      FROM sub s JOIN {{assign}} a ON s.vec_id = a.vec_id AND s.m = a.m
+      FROM subt s JOIN {{assign}} a ON s.vec_id = a.vec_id AND s.m = a.m
     )
     GROUP BY m, cell, i
   )
@@ -963,16 +1035,17 @@ def _pq_sql() -> str:
     return f"""
 WITH {_BASE_CTE},
 sub AS ({sub_expr}),
+subt AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0),
 seeds AS (
   SELECT m, vec_id AS cell, sv AS ce, list_dot_product(sv, sv) AS cc
   FROM sub WHERE vec_id IN (
     SELECT vec_id FROM base ORDER BY vec_id LIMIT {PQ_K})
 ),
-a0 AS ({assign.format(cents='seeds')}),
+a0 AS ({assign.format(src='subt', cents='seeds')}),
 c1 AS ({cent.format(assign='a0')}),
-a1 AS ({assign.format(cents='c1')}),
+a1 AS ({assign.format(src='subt', cents='c1')}),
 c2 AS ({cent.format(assign='a1')}),
-codes AS ({assign.format(cents='c2')}),
+codes AS ({assign.format(src='sub', cents='c2')}),
 qsub AS (
   SELECT vec_id AS q_id, m, sv AS qv FROM sub WHERE vec_id % 100 = 0
 ),
