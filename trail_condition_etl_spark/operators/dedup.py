@@ -4,8 +4,8 @@ exact, MinHash+LSH near-dup, n-gram Jaccard, SimHash.
 Shingling: token 3-grams (discriminative on this corpus: planted near-dup
 pairs sit at Jaccard ≥0.95 vs ≈0.03 background).
 
-Shingle ids are `hashing.char_poly_hash` — a Horner character fold that is
-pure map-side arithmetic AND reproducible in DuckDB, so every query here
+Shingle ids are `hashing.sha_prefix_hash` — a sha2-prefix that is pure
+map-side native codegen AND reproducible in DuckDB, so every query here
 is both scale-safe (no vocabulary, no global sort, no driver broadcast)
 and oracle-checked. An xxhash64 variant (`use_xxhash=True`) is kept for
 production corpora that want a 64-bit hash range; it is checked against
@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import PRIME, char_poly_hash, char_poly_hash_sql
+from .hashing import PRIME, sha_prefix_hash, sha_prefix_hash_sql
 
 # (a, b) pairs for the 8 minhash permutations h_i(x) = (a*x + b) mod PRIME.
 # a >> PRIME/max_sid so the product wraps the modulus many times — with
@@ -72,7 +72,11 @@ def _sid_array(use_xxhash: bool = False, n: int = 3) -> Column:
     sh = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
     if use_xxhash:
         return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(PRIME)))
-    return F.transform(sh, lambda s: char_poly_hash(s))
+    # sha2-prefix, not the Horner char fold: shingles are ~20+ chars, and
+    # the fold costs ~length interpreted expression-evals per shingle
+    # where sha2+substring+conv are three native codegen calls (measured
+    # 3x on the sf0.1 signature stage)
+    return F.transform(sh, lambda s: sha_prefix_hash(s))
 
 
 def shingle_ids(documents: DataFrame, use_xxhash: bool = False) -> DataFrame:
@@ -82,8 +86,8 @@ def shingle_ids(documents: DataFrame, use_xxhash: bool = False) -> DataFrame:
     )
 
 
-# Oracle CTE: same shingle multiset via pos self-joins + the same Horner
-# hash (vocabulary-free — parity with the map-side Spark path).
+# Oracle CTE: same shingle multiset via pos self-joins + the same
+# sha2-prefix hash (vocabulary-free — parity with the map-side Spark path).
 SHINGLES_CTE = f"""
 toks AS (
   SELECT doc_id,
@@ -98,7 +102,7 @@ sh_raw AS (
   JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
-ids AS (SELECT doc_id, {char_poly_hash_sql('shingle')} AS sid FROM sh)
+ids AS (SELECT doc_id, {sha_prefix_hash_sql('shingle')} AS sid FROM sh)
 """
 
 

@@ -50,3 +50,21 @@ def char_poly_hash_sql(expr: str, prime: int = PRIME) -> str:
         f"CAST(list_reduce(list_transform(regexp_split_to_array({expr}, ''), "
         f"c -> unicode(c)), (acc, c) -> (acc*31 + c) % {prime}) AS BIGINT)"
     )
+
+
+def sha_prefix_hash(col: Column | str, prime: int = PRIME) -> Column:
+    """sha2-prefix hash: the first 48 bits of SHA-256, mod `prime`.
+    Unlike the per-character Horner fold (interpreted, ~length
+    expression-eval steps per string), every piece here — sha2,
+    substring, conv — is a single native Catalyst expression inside
+    WholeStageCodegen, so it is the right id hash for LONG strings
+    (shingles). DuckDB reproduces it exactly via sha256 + hex cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.sha2(c, 256), 1, 12), 16, 10).cast("long") % prime
+    )
+
+
+def sha_prefix_hash_sql(expr: str, prime: int = PRIME) -> str:
+    """The identical sha2-prefix hash in DuckDB SQL."""
+    return f"(CAST(('0x' || substr(sha256({expr}), 1, 12)) AS BIGINT) % {prime})"
