@@ -41,6 +41,11 @@ HEADLINE = [
     "conversion_funnel",
     "scd2_build",
     "gap_fill",
+    "ohlc_bars",
+    "revenue_share",
+    "canonical_docs",
+    "ewma_daily",
+    "scd2_lookup",
 ]
 
 

@@ -285,3 +285,71 @@ def test_cohort_triangle_invariants(spark, seq):
     assert sum(day0.values()) == users
     for r in cells:
         assert r.n_users <= day0[r.cohort_day]
+
+
+# --- time-series kit invariants (operators/timeseries.py) ---------------
+
+ts_offsets = st.lists(
+    st.integers(min_value=0, max_value=10 * 86400), min_size=1, max_size=40
+)
+
+
+@given(offs=ts_offsets)
+@SETTINGS
+def test_peak_concurrency_bounds(spark, offs):
+    from trail_condition_etl_spark.operators import timeseries
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=s), i % 3, "view", 1.0)
+        for i, s in enumerate(offs)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = timeseries.peak_concurrency(ev).collect()
+    per_user = {}
+    for _, t, u, _, _ in rows:
+        per_user.setdefault(u, []).append(t)
+    for r in got:
+        n = len(per_user[r.user_id])
+        # peak is within [1, n_sessions]; session count preserved
+        assert 1 <= r.peak_concurrent <= n
+        assert r.n_sessions == n
+        # brute-force peak at the start instants must agree
+        times = per_user[r.user_id]
+        brute = max(
+            sum(
+                1
+                for t2 in times
+                if t2 <= t1 < t2 + dt.timedelta(seconds=timeseries.SESSION_SECONDS)
+            )
+            for t1 in times
+        )
+        assert r.peak_concurrent == brute
+
+
+@given(offs=ts_offsets)
+@SETTINGS
+def test_streaks_partition_active_days(spark, offs):
+    from trail_condition_etl_spark.operators import timeseries
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=s), 1, "view", 1.0)
+        for i, s in enumerate(offs)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    [r] = timeseries.activity_streaks(ev).collect()
+    days = sorted({(T0 + dt.timedelta(seconds=s)).date() for s in offs})
+    assert r.n_active_days == len(days)
+    # longest streak computed brute-force
+    best = cur = 1
+    for a, b in zip(days, days[1:]):
+        cur = cur + 1 if (b - a).days == 1 else 1
+        best = max(best, cur)
+    assert r.longest_streak == best
+    # streak lengths sum to the active-day count
+    assert r.n_streaks >= 1

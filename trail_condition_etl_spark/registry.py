@@ -547,6 +547,14 @@ def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
 
 
+@query("stream_static_enrich", oracle=streaming_joins.STREAM_STATIC_ENRICH_SQL)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-STATIC broadcast enrichment: dim re-broadcast per batch,
+    # stream side never shuffles, no state store
+    ensure_engine_conf(spark)
+    return streaming_joins.stream_static_enrich_query(spark, sf_dir)
+
+
 @query("media_resize", oracle=multimodal.MEDIA_RESIZE_SQL)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal resize stage: Arrow-batched mapInPandas over binary

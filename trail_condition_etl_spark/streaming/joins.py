@@ -136,3 +136,80 @@ JOIN e c
  AND c.event_type = 'click'
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 """
+
+
+def stream_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment (the other half of the streaming join
+    surface): a live event stream broadcast-joined per micro-batch to a
+    slowly-changing batch dimension — here each user's cohort day,
+    derived once from the batch table. On a cluster this is the pattern
+    for enriching a firehose with a dimension that fits in executor
+    memory: the static side is re-broadcast per batch (picking up dim
+    updates between batches), the stream side never shuffles, and no
+    state store is involved at all — unlike the stream-stream join
+    above there is nothing to watermark.
+
+    Under Trigger.AvailableNow over the staged events the result is
+    exactly the batch join — the DuckDB oracle replays it."""
+    events = catalog.load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    root = tempfile.mkdtemp(prefix="stream_enrich_")
+    staging = os.path.join(root, "staging")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(staging)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(staging)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        "cohort_day",
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("cohort_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "event_type",
+            "n_events",
+            F.round("value_sum", 2).alias("value_sum"),
+        )
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+WITH events_us AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type,
+         value
+  FROM events
+),
+dim AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events_us GROUP BY user_id
+)
+SELECT strftime(d.cohort_day, '%Y-%m-%d') AS cohort_day, e.event_type,
+       COUNT(*) AS n_events,
+       round(SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2)
+         AS value_sum
+FROM events_us e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+"""
