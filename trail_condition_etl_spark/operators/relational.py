@@ -1232,3 +1232,168 @@ FROM (SELECT NULLIF(o_orderkey % 5, 0) AS k FROM orders) l
 JOIN (SELECT DISTINCT NULLIF(o_orderkey % 5, 0) AS k FROM orders) r
   ON l.k IS NOT DISTINCT FROM r.k
 """
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Q7 shape — the cross-border trade matrix: volume between every
+    (supplier nation, customer nation) pair per year. Five-table join
+    with every dimension broadcast: the fact (lineitem) shuffles once
+    onto orderkey for the orders join; supplier/customer/nation legs are
+    all broadcast hash joins, so the same-nation rows are pruned before
+    the single aggregation."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            (
+                F.sum(_scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+                / 10000.0
+            ).alias("volume")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round("volume", 4).alias("volume"),
+        )
+    )
+
+
+NATION_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 4) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Q8 shape — every supplier nation's share of a customer region's
+    yearly revenue. Per-(year, supp_nation) volumes in one pass; the
+    year denominators are a second TINY aggregate of that output joined
+    back broadcast — no second fact scan and no partition-less window."""
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+        .join(F.broadcast(region), F.col("cn_rk") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    vol = _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_nation = joined.groupBy(
+        F.year("o_orderdate").alias("o_year"), "supp_nation"
+    ).agg(F.sum(vol).alias("nation_vol"))
+    totals = per_nation.groupBy("o_year").agg(
+        F.sum("nation_vol").alias("total_vol")
+    )
+    return (
+        per_nation.join(F.broadcast(totals), "o_year")
+        .select(
+            "o_year",
+            "supp_nation",
+            F.round(F.col("nation_vol") / 10000.0, 4).alias("nation_volume"),
+            F.round(F.col("nation_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year, n2.n_name AS supp_nation,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS nation_vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT o_year, CAST(SUM(nation_vol) AS BIGINT) AS total_vol
+  FROM per_nation GROUP BY o_year
+)
+SELECT p.o_year, p.supp_nation,
+       round(p.nation_vol / 10000.0, 4) AS nation_volume,
+       round(p.nation_vol / CAST(t.total_vol AS DOUBLE), 6) AS mkt_share
+FROM per_nation p JOIN totals t USING (o_year)
+"""
+
+
+def brand_profit(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Q9 shape adapted to the schema (no partsupp table): profit =
+    revenue - 80% retail cost x qty, per (brand, year). Part is the
+    broadcast dim; lineitem meets orders on the one orderkey shuffle.
+    Profit stays in integer micro-units until the final division."""
+    rev = _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    cost = _scaled(
+        F.col("p_retailprice") * 0.8 * F.col("l_quantity"), 4
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.year("o_orderdate").alias("o_year"))
+        .agg(((F.sum(rev) - F.sum(cost)) / 10000.0).alias("profit"))
+        .select("brand", "o_year", F.round("profit", 4).alias("profit"))
+    )
+
+
+BRAND_PROFIT_SQL = """
+SELECT p_brand AS brand, EXTRACT(year FROM o_orderdate) AS o_year,
+  round((SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         - SUM(CAST(round(p_retailprice * 0.8 * l_quantity * 10000) AS BIGINT)))
+        / 10000.0, 4) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""

@@ -170,6 +170,37 @@ def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.price_band_join(lineitem)
 
 
+@query("nation_trade_volume", oracle=relational.NATION_TRADE_SQL)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7 shape: 5-table join, dims broadcast, one orderkey shuffle
+    lineitem, orders, customer, supplier, nation = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return relational.nation_trade_volume(
+        lineitem, orders, customer, supplier, nation
+    )
+
+
+@query("market_share", oracle=relational.MARKET_SHARE_SQL)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8 shape: numerator as conditional SUM in the same pass as the
+    # denominator — no second scan, no partition-less window
+    lineitem, orders, customer, supplier, nation, region = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "region",
+    )
+    return relational.market_share(
+        lineitem, orders, customer, supplier, nation, region
+    )
+
+
+@query("brand_profit", oracle=relational.BRAND_PROFIT_SQL)
+def q_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9 shape (schema-adapted): integer micro-unit profit per brand/year
+    lineitem, orders, part = _tables(spark, sf_dir, "lineitem", "orders", "part")
+    return relational.brand_profit(lineitem, orders, part)
+
+
 @query("setops_nations", oracle=relational.SETOPS_SQL)
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, supplier = _tables(spark, sf_dir, "customer", "supplier")
