@@ -95,3 +95,68 @@ WHERE n_terms = 3
 ORDER BY total_tf DESC, doc_id
 LIMIT 10
 """
+
+
+HYBRID_TERMS = ("fast", "merge")
+HYBRID_K = 10
+
+
+def hybrid_retrieval(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Hybrid retrieval: a disjunctive keyword stage produces the
+    candidate set (small — only matching docs survive), then a semantic
+    stage reranks candidates by cosine similarity to the query document
+    (doc 0's embedding, broadcast as one row). The corpus embedding
+    table is touched ONLY for candidate ids (broadcast semi-sized join)
+    — at 100 TB the keyword index prunes before any vector math runs.
+    Testdata ships embeddings aligned 1:1 with documents
+    (vec_id = doc_id)."""
+    from .similarity import _dot, with_norm
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token").isin(*HYBRID_TERMS))
+    cands = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    emb = with_norm(embeddings)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb_d").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = (
+        emb.join(F.broadcast(cands), emb.vec_id == cands.doc_id)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                _dot(F.col("emb_d"), F.col("qv")) / (F.col("norm") * F.col("qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cos_sim"), F.desc("tf"), "doc_id"
+    ).limit(HYBRID_K)
+
+
+HYBRID_RETRIEVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cands AS (
+  SELECT doc_id, COUNT(*) AS tf FROM toks
+  WHERE token IN ('fast', 'merge') GROUP BY doc_id
+),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+qv AS (SELECT e AS q, nrm AS qn FROM emb WHERE vec_id = 0)
+SELECT c.doc_id, c.tf,
+       round(list_dot_product(e.e, qv.q) / (e.nrm * qv.qn), 6) AS cos_sim
+FROM cands c JOIN emb e ON e.vec_id = c.doc_id CROSS JOIN qv
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, tf DESC, doc_id
+LIMIT {HYBRID_K}
+"""

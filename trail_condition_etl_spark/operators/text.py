@@ -532,3 +532,62 @@ SELECT doc_id,
        AS BIGINT) AS longest_token_len
 FROM documents
 """
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def chunk_documents(documents: DataFrame) -> DataFrame:
+    """RAG-style document chunking: fixed-size character windows with
+    overlap, as a narrow sequence+explode — one row per chunk, no
+    shuffle at all. Each chunk carries its offset and a content id
+    (sha2-prefix of the chunk text) so downstream embedding/dedup
+    stages can key on chunks exactly like documents."""
+    from .hashing import sha_prefix_hash
+
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunked = documents.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_ix", "start_char"),
+        F.col("text"),
+    ).withColumn(
+        "chunk", F.substring(F.col("text"), F.col("start_char") + 1, CHUNK_CHARS)
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_ix",
+        F.col("start_char").cast("long").alias("start_char"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        sha_prefix_hash(F.col("chunk")).alias("chunk_id"),
+    )
+
+
+def _chunk_sql() -> str:
+    from .hashing import sha_prefix_hash_sql
+
+    h = sha_prefix_hash_sql(f"substr(text, start_char + 1, {CHUNK_CHARS})")
+    return f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                {CHUNK_STRIDE})) AS start_char,
+         unnest(generate_series(0,
+             greatest(length(text) - 1, 0) // {CHUNK_STRIDE}))
+           AS chunk_ix
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_ix AS INT) AS chunk_ix,
+       CAST(start_char AS BIGINT) AS start_char,
+       CAST(length(substr(text, start_char + 1, {CHUNK_CHARS})) AS BIGINT)
+         AS chunk_len,
+       {h} AS chunk_id
+FROM starts
+"""
+
+
+CHUNK_DOCUMENTS_SQL = _chunk_sql()

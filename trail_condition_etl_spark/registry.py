@@ -836,6 +836,22 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.keyword_search(documents)
 
 
+@query("chunk_documents", oracle=text.CHUNK_DOCUMENTS_SQL)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG chunking: overlapping char windows via sequence+posexplode —
+    # narrow, zero shuffle; chunk ids from the codegen sha2-prefix hash
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.chunk_documents(documents)
+
+
+@query("hybrid_retrieval", oracle=search.HYBRID_RETRIEVAL_SQL)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyword candidates -> cosine rerank: vector math only touches the
+    # keyword-pruned candidate set
+    documents, embeddings = _tables(spark, sf_dir, "documents", "embeddings")
+    return search.hybrid_retrieval(documents, embeddings)
+
+
 @query("cosine_topk", oracle=similarity.COSINE_TOPK_SQL)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
