@@ -214,3 +214,33 @@ def test_price_band_join_fact_never_shuffles(spark):
     df = _q(spark, "price_band_join")
     assert plans.count_exchanges(df) == 1
     assert plans.count_broadcasts(df) >= 1
+
+
+def test_pq_adc_stays_narrow(spark):
+    # after the encode aggregates, ADC must be broadcast math (one BNLJ
+    # from the crossJoin of code-arrays x LUT rows) — never a cartesian
+    # product or a per-(q,vec,m) join explosion through an exchange
+    df = _q(spark, "pq_topk")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.count_broadcasts(df) >= 2
+
+
+def test_nation_trade_volume_broadcasts_all_dims(spark):
+    df = _q(spark, "nation_trade_volume")
+    # supplier, customer, nation x2 broadcast; the only big shuffle is
+    # lineitem<->orders on orderkey (+ the final agg)
+    assert plans.count_broadcasts(df) >= 4
+    assert plans.count_exchanges(df) <= 4
+
+
+def test_hybrid_retrieval_prunes_before_vector_math(spark):
+    df = _q(spark, "hybrid_retrieval")
+    # candidate set + query vector both broadcast; the embeddings scan
+    # never shuffles before the join
+    assert plans.count_broadcasts(df) >= 2
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    df = _q(spark, "chunk_documents")
+    assert plans.count_exchanges(df) == 0
