@@ -320,3 +320,51 @@ class TestDayPartitioned:
             (str(r.event_date), r.event_type, r.n_events, r.n_users, r.value_sum)
             for r in spark.read.parquet(path).collect()
         )
+
+
+def test_upsert_with_deletes_triad(spark, tmp_path):
+    """Insert/update/delete in one MERGE batch; idempotent on re-run."""
+    from trail_condition_etl_spark.sinks.upsert import (
+        read_upsert_table,
+        upsert_parquet_with_deletes,
+    )
+
+    path = str(tmp_path / "cdc_table")
+    base = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "c", False)],
+        "k long, v string, _deleted boolean",
+    )
+    upsert_parquet_with_deletes(spark, path, base, ["k"], n_buckets=4)
+    batch = spark.createDataFrame(
+        [(2, "b2", False), (3, None, True), (4, "d", False)],
+        "k long, v string, _deleted boolean",
+    )
+    for _ in range(2):  # second run must be a no-op (idempotent)
+        upsert_parquet_with_deletes(spark, path, batch, ["k"], n_buckets=4)
+        got = {
+            r.k: r.v for r in read_upsert_table(spark, path).collect()
+        }
+        assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_upsert_with_deletes_tombstone_beats_upsert_same_key(spark, tmp_path):
+    """A key both upserted and tombstoned in one batch ends deleted."""
+    from trail_condition_etl_spark.sinks.upsert import (
+        read_upsert_table,
+        upsert_parquet_with_deletes,
+    )
+
+    path = str(tmp_path / "cdc_table2")
+    upsert_parquet_with_deletes(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a", False)], "k long, v string, _deleted boolean"),
+        ["k"],
+        n_buckets=4,
+    )
+    both = spark.createDataFrame(
+        [(1, "a2", False), (1, None, True)],
+        "k long, v string, _deleted boolean",
+    )
+    upsert_parquet_with_deletes(spark, path, both, ["k"], n_buckets=4)
+    assert read_upsert_table(spark, path).count() == 0

@@ -265,3 +265,64 @@ SELECT c.from_type, c.to_type, c.n,
        round(c.n / CAST(t.row_n AS DOUBLE), 6) AS p
 FROM counts c JOIN totals t USING (from_type)
 """
+
+
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Running DISTINCT-user count per day — without a distinct agg or
+    windowed state: a user contributes from their first-seen day
+    onward, so cumulative_users(d) = count of users with first_day <= d.
+    Two tiny aggs (first day per user, users per first-day) and one
+    cumulative sum over the ~30-row daily series; the cumulative window
+    is partitioned by a constant-free single day series but its input
+    is already reduced to one row per day, so no data-sized global sort
+    exists anywhere."""
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    # daily activity series for context (events per calendar day)
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    joined = daily.join(
+        per_day, daily.day == per_day.first_day, "left"
+    ).select(
+        "day", "n_events", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+CUMULATIVE_USERS_SQL = """
+WITH events_us AS (
+  SELECT make_timestamp(epoch_us(ts)) AS ts, user_id FROM events
+),
+first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events_us GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first GROUP BY first_day
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events_us GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+       COALESCE(p.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(p.new_users, 0)) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cumulative_users
+FROM daily d LEFT JOIN per_day p ON d.day = p.first_day
+"""

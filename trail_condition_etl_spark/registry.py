@@ -339,6 +339,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.retention_cohorts(events)
 
 
+@query("cumulative_users", oracle=behavior.CUMULATIVE_USERS_SQL)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # running distinct users via first-seen-day reduction: the cumsum
+    # window only ever sees one row per calendar day
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.cumulative_users(events)
+
+
 @query("profile_table", oracle=warehouse.PROFILE_TABLE_SQL)
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANALYZE-style column profile in one scan: nulls, exact distincts,

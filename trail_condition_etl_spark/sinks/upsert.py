@@ -181,3 +181,73 @@ def trim_dlq(
     shutil.move(tmp, dlq_path)
     shutil.rmtree(old)
     return kept
+
+
+def upsert_parquet_with_deletes(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    tombstone_col: str = "_deleted",
+) -> None:
+    """CDC-style MERGE: `changes` rows with `tombstone_col = true` DELETE
+    their key from the table, the rest upsert — the full
+    insert/update/delete triad of `MERGE INTO` over plain parquet, with
+    the same touched-buckets-only IO bound as `upsert_parquet`.
+
+    The reference's only delete is stream trimming
+    (fetch-weather/src/config.py:19,38 max_stream_length); tombstones
+    are what that becomes once the sink is a keyed TABLE rather than a
+    log. Re-running the same change batch is a no-op (idempotent:
+    deletes of absent keys and upserts of identical rows both converge).
+    """
+    ch_b = _with_bucket(changes, keys, n_buckets)
+    live = ch_b.filter(~F.col(tombstone_col)).drop(tombstone_col)
+    dead_keys = ch_b.filter(F.col(tombstone_col)).select(*keys).distinct()
+
+    def attempt() -> None:
+        if not os.path.exists(table_path):
+            (
+                live.dropDuplicates(keys)
+                .write.partitionBy("pk_bucket")
+                .mode("overwrite")
+                .parquet(table_path)
+            )
+            return
+        touched = [
+            r.pk_bucket for r in ch_b.select("pk_bucket").distinct().collect()
+        ]
+        existing = spark.read.parquet(table_path).filter(
+            F.col("pk_bucket").isin(touched)
+        )
+        # survivors: existing rows whose key is neither upserted nor dead
+        all_changed_keys = ch_b.select(*keys).distinct()
+        kept = existing.join(all_changed_keys, keys, "left_anti")
+        merged = kept.unionByName(
+            live.dropDuplicates(keys).join(dead_keys, keys, "left_anti")
+        ).persist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        _write_merged(merged, table_path)
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # output — a bucket whose last row was deleted produces no
+        # output partition and would keep its stale files. Drop emptied
+        # touched buckets explicitly (bounded by the touched set).
+        surviving = {
+            r.pk_bucket for r in merged.select("pk_bucket").distinct().collect()
+        }
+        merged.unpersist()
+        for b in set(touched) - surviving:
+            bucket_dir = os.path.join(table_path, f"pk_bucket={b}")
+            if os.path.isdir(bucket_dir):
+                shutil.rmtree(bucket_dir)
+        if not any(
+            e.startswith("pk_bucket=") for e in os.listdir(table_path)
+        ):
+            # every bucket emptied: leave a readable 0-row table with
+            # the schema intact instead of a bare directory
+            merged.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                table_path
+            )
+
+    retry_with_backoff(attempt)
