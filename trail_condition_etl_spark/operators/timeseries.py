@@ -349,3 +349,56 @@ SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
     / (((1::BIGINT << len(lst)) - 1) * 100.0), 4) AS ewma
 FROM windowed
 """
+
+
+ROLLING_MEDIAN_DAYS = 7
+
+
+def rolling_median_daily(events: DataFrame) -> DataFrame:
+    """Exact rolling median of per-user daily totals over the trailing
+    7 observed days: the window collects the (bounded) trailing values,
+    the median is narrow array math over ≤7 cents-integers — exact and
+    engine-independent, no percentile approximation. For unbounded
+    windows this becomes the t-digest in operators/sketches.py; for a
+    BOUNDED trailing window the exact form is strictly better."""
+    daily = _daily_cents(events)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(ROLLING_MEDIAN_DAYS - 1), 0)
+    )
+    lst = F.array_sort(F.collect_list("vc").over(w))
+    n = F.size(lst)
+    # floor division on both sides — a plain double->int CAST rounds
+    # half-to-even in DuckDB and truncates in Spark
+    lo = F.element_at(lst, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(lst, F.floor(n / 2).cast("int") + 1)
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("vc") / 100.0).alias("value_sum"),
+        F.round((lo + hi) / 2.0 / 100.0, 4).alias("rolling_median"),
+    )
+
+
+ROLLING_MEDIAN_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS vc
+  FROM events GROUP BY 1, 2
+),
+windowed AS (
+  SELECT user_id, day, vc,
+         list_sort(list(vc) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN {ROLLING_MEDIAN_DAYS - 1} PRECEDING AND CURRENT ROW))
+           AS lst
+  FROM daily
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  vc / 100.0 AS value_sum,
+  round((lst[(len(lst) + 1) // 2]
+         + lst[len(lst) // 2 + 1]) / 2.0 / 100.0, 4)
+    AS rolling_median
+FROM windowed
+"""

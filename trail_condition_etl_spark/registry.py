@@ -482,6 +482,14 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_docs(documents)
 
 
+@query("rolling_median", oracle=timeseries.ROLLING_MEDIAN_SQL)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact bounded-window rolling median: narrow array math over <=7
+    # cents-integers per row, engine-independent
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.rolling_median_daily(events)
+
+
 @query("winsorize", oracle=warehouse.WINSORIZE_SQL)
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outlier repair: per-type percentile bounds (one grouped agg)
