@@ -542,6 +542,14 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_sources.jsonl_roundtrip_query(spark, sf_dir)
 
 
+@query("orc_roundtrip", oracle=file_sources.ORC_ROUNDTRIP_SQL)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC columnar source: stage-as-ORC -> schema-enforced read-back;
+    # parity pins writer/reader typing (grain, widths)
+    ensure_engine_conf(spark)
+    return file_sources.orc_roundtrip_query(spark, sf_dir)
+
+
 @query("schema_evolution", oracle=file_sources.SCHEMA_EVOLUTION_SQL)
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # additive schema drift: mergeSchema read across file generations,

@@ -223,3 +223,50 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY 1, 2
 """
+
+
+def orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source format: stage events as ORC (Spark's second columnar
+    native format — same pushdown/pruning machinery as parquet), read
+    back with the declared schema, aggregate. The oracle aggregates the
+    parquet directly, so any ORC writer/reader typing drift (timestamp
+    grain, decimal width) breaks parity. Timestamps travel as exact
+    integer microseconds to keep the comparison grain-free."""
+    events = catalog.load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="orc_src_")
+    staging = os.path.join(root, "events_orc")
+    (
+        events.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .orc(staging)
+    )
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).orc(staging)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.min("ts_us").alias("min_ts_us"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("_v"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "min_id",
+            "max_id",
+            "min_ts_us",
+            F.round("_v", 2).alias("value_sum"),
+        )
+    )
+
+
+ORC_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL  # same invariant, different format
