@@ -28,11 +28,13 @@ import zlib
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -306,3 +308,94 @@ SELECT asset_id,
 FROM media
 WHERE media_type = 'video' AND duration_ms >= 1000
 """
+
+
+# ---------------------------------------------------------------------------
+# batch-inference seam: embedding generation for document chunks
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 8
+EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_ix", IntegerType()),
+        StructField("chunk_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def embed_chunks(chunks: DataFrame) -> DataFrame:
+    """Batch "inference" over document chunks: the Arrow-batched
+    mapInPandas seam a real embedding model plugs into — whole Arrow
+    batches become one numpy matrix op per batch, never per-row Python.
+    The model itself is a deterministic arithmetic fake (dim j of chunk
+    c = ((chunk_id * (j+1)) mod 1000) / 1000), so the full pipeline —
+    batch shape, schema, partition preservation — is exercised and the
+    SQL oracle can replay the "model" exactly. Swap `_fake_model` for an
+    ONNX/torch call and nothing upstream or downstream changes."""
+
+    def _fake_model(ids: "np.ndarray") -> "np.ndarray":
+        j = np.arange(1, EMBED_DIM + 1, dtype=np.int64)
+        return ((ids[:, None] * j[None, :]) % 1000) / 1000.0
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            emb = _fake_model(pdf["chunk_id"].to_numpy(dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_ix": pdf["chunk_ix"],
+                    "chunk_id": pdf["chunk_id"],
+                    "embedding": list(emb),
+                }
+            )
+
+    return chunks.mapInPandas(batches, EMBED_SCHEMA)
+
+
+def embed_chunks_query(documents: DataFrame) -> DataFrame:
+    """chunk -> embed -> summarize: emits per-chunk embedding head and
+    an integer-scaled norm so the driver's value-hash is stable."""
+    from .text import chunk_documents
+
+    embedded = embed_chunks(chunk_documents(documents))
+    sq_milli = F.aggregate(
+        F.transform(
+            "embedding", lambda x: (x * 1000).cast("long") * (x * 1000).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embedded.select(
+        "doc_id",
+        "chunk_ix",
+        "chunk_id",
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", EMBED_DIM).alias("e_last"),
+        sq_milli.alias("sq_norm_micro"),
+    )
+
+
+def _embed_sql() -> str:
+    from .text import CHUNK_DOCUMENTS_SQL
+
+    dims = ", ".join(
+        f"((chunk_id * {j}) % 1000) / 1000.0 AS d{j}" for j in range(1, EMBED_DIM + 1)
+    )
+    sq = " + ".join(
+        f"CAST(((chunk_id * {j}) % 1000) AS BIGINT)"
+        f" * CAST(((chunk_id * {j}) % 1000) AS BIGINT)"
+        for j in range(1, EMBED_DIM + 1)
+    )
+    return f"""
+WITH chunks AS ({CHUNK_DOCUMENTS_SQL})
+SELECT doc_id, chunk_ix, chunk_id,
+       ((chunk_id * 1) % 1000) / 1000.0 AS e0,
+       ((chunk_id * {EMBED_DIM}) % 1000) / 1000.0 AS e_last,
+       {sq} AS sq_norm_micro
+FROM chunks
+"""
+
+
+EMBED_CHUNKS_SQL = _embed_sql()

@@ -610,6 +610,14 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_joins.stream_static_enrich_query(spark, sf_dir)
 
 
+@query("embed_chunks", oracle=multimodal.EMBED_CHUNKS_SQL)
+def q_embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch-inference seam: chunk -> Arrow-batched mapInPandas embedding
+    # (deterministic arithmetic fake model, numpy matrix op per batch)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.embed_chunks_query(documents)
+
+
 @query("media_resize", oracle=multimodal.MEDIA_RESIZE_SQL)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal resize stage: Arrow-batched mapInPandas over binary
