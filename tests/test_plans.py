@@ -237,3 +237,11 @@ def test_hybrid_retrieval_prunes_before_vector_math(spark):
 def test_chunk_documents_is_shuffle_free(spark):
     df = _q(spark, "chunk_documents")
     assert plans.count_exchanges(df) == 0
+
+
+def test_ivf_index_probe_uses_dynamic_partition_pruning(spark):
+    # the probe joins the cell-partitioned corpus on its partition
+    # column against a broadcast probe set — Spark must turn that into
+    # a file-level dynamic pruning filter, not a full-corpus scan
+    df = _q(spark, "ivf_index_probe")
+    assert "dynamicpruning" in plans.formatted_plan(df).lower()

@@ -1073,3 +1073,120 @@ WHERE r.rk <= 5
 
 
 PQ_TOPK_SQL = _pq_sql()
+
+
+def _train_ivf(base: DataFrame) -> DataFrame:
+    """The deterministic coarse quantizer used by ivf_topk, factored so
+    the persisted-index path trains identically."""
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("emb_d").alias("ce"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    cents = seeds
+    for _ in range(IVF_ITERS):
+        prev = cents
+        cents = _centroids(base, _assign_cells(base, prev)).persist()
+        cents.count()
+        if prev is not seeds:
+            prev.unpersist()
+    return cents
+
+
+def build_ivf_index(embeddings: DataFrame, index_path: str) -> None:
+    """Materialize the IVF index: the 16-row codebook as one parquet
+    artifact, and the corpus (vector + norm + label) PARTITIONED BY
+    CELL — `cell=N/` directories, so a probe reads only its cells'
+    files. This is the build-once-probe-many lifecycle the inline
+    `ivf_topk` docstring promises at scale: index build is one training
+    pass + one partitioned write; every later query is file-pruned IO."""
+    import os
+
+    base = with_norm(embeddings).persist()
+    cents = _train_ivf(base)
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    (
+        _assign_cells(base, cents)
+        .join(base.select("vec_id", "label", "emb_d", "norm"), "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(index_path, "corpus"))
+    )
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """Probe the persisted index: nearest n_probe cells per query from
+    the broadcast codebook, then an equi-join on the PARTITION column
+    `cell` — Spark's dynamic partition pruning turns the broadcast
+    probe set into a file-level filter, so only probed `cell=N/`
+    directories are read. Exact cosine rerank within candidates,
+    identical expressions (and therefore identical results) to the
+    inline `ivf_topk`."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    corpus = spark.read.parquet(os.path.join(index_path, "corpus"))
+    c_sim = F.round(
+        _dot(F.col("q_emb"), F.col("ce")) / (F.col("q_norm") * F.col("c_norm")),
+        9,
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_emb", "q_norm", "cell", c_sim.alias("c_sim"))
+        .withColumn(
+            "c_rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("c_sim"), "cell")
+            ),
+        )
+        .filter(F.col("c_rk") <= n_probe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+    sim = corpus.join(F.broadcast(probe), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("emb_d"), F.col("q_emb"))
+            / (F.col("norm") * F.col("q_norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "rk", "vec_id", "label", "cosine")
+    )
+
+
+def ivf_index_roundtrip_query(
+    spark: SparkSession, embeddings: DataFrame, query_modulo: int = 100
+) -> DataFrame:
+    """Build the index, then answer through it — output is identical to
+    `ivf_topk`, so the same SQL oracle checks the whole persisted
+    lifecycle (a drift in the write/read path breaks parity)."""
+    import tempfile
+
+    index_path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(embeddings, index_path)
+    qs = with_norm(embeddings).filter(
+        F.col("vec_id") % query_modulo == 0
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    return ivf_index_probe(spark, index_path, qs)

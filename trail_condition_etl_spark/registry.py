@@ -981,6 +981,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(embeddings)
 
 
+@query("ivf_index_probe", oracle=similarity.IVF_TOPK_SQL)
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted-index lifecycle: build (codebook parquet + corpus
+    # partitioned by cell) then probe via DPP file pruning; output —
+    # and therefore the oracle — is identical to inline ivf_topk
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.ivf_index_roundtrip_query(spark, embeddings)
+
+
 @query("pq_topk", oracle=similarity.PQ_TOPK_SQL)
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product quantization + ADC: corpus lives as 16 byte-codes per
