@@ -1397,3 +1397,73 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
 GROUP BY 1, 2
 """
+
+
+FIT_EPOCH_ANCHOR = 1704067200  # 2024-01-01 UTC — x in days since anchor
+
+
+def linear_fit(events: DataFrame) -> DataFrame:
+    """Per-type linear trend of value over time: closed-form OLS from
+    five mergeable integer sums (n, Sx, Sy, Sxy, Sxx) — one partial+
+    final aggregation, no second pass, no window. x is whole days since
+    a fixed anchor and y integer cents, so every accumulator is exact
+    BIGINT arithmetic (order-independent across any partitioning); the
+    closing divisions are identical IEEE ops in both engines."""
+    # two-step floor division mirroring the oracle's `// 1000000 // 86400`
+    # (floor-nesting identity keeps both engines on the same integer x)
+    sec = (F.unix_micros("ts") / 1_000_000).cast("long")
+    x = ((sec - FIT_EPOCH_ANCHOR) / 86400).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    agg = events.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / agg["n"]
+    # r² squares/multiplies in DOUBLE (the BIGINT moments are exact but
+    # their products overflow int64); operand order mirrors the oracle
+    r2 = (num.cast("double") * num) / (
+        den.cast("double") * (agg["n"] * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope_per_day"),
+        F.round(intercept / 100.0, 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+LINEAR_FIT_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 1000000 - {FIT_EPOCH_ANCHOR}) // 86400 AS BIGINT)
+           AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+  round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+    AS slope_per_day,
+  round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+        / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+  round(CAST((n * sxy - sx * sy) AS DOUBLE) * (n * sxy - sx * sy)
+        / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
+FROM agg
+"""

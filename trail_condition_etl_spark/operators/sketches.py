@@ -105,3 +105,118 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+CMS_D, CMS_W = 4, 256  # count-min: 4 hash rows x 256 counters
+CMS_MIN_EXACT = 50  # report tokens at/above this exact frequency
+
+
+def _cms_col(base_hash, d: int):
+    """Row-d column for a token: derived affine rehash of one base hash
+    (odd multiplier per row keeps the maps distinct), mod CMS_W."""
+    return (base_hash * (2 * d + 1) + d * 7919) % CMS_W
+
+
+def cms_estimate(documents: DataFrame) -> DataFrame:
+    """Count-min sketch over corpus tokens, verified against the exact
+    counts: the sketch is CMS_D x CMS_W integer counters — a mergeable,
+    CONSTANT-size summary (4 KB here) regardless of corpus size, the
+    point at 100 TB where exact per-token counts are a full token-set
+    shuffle. Both the counter build (one narrow explode + one (d, col)
+    agg) and the estimate (min over D counters) are deterministic
+    integer arithmetic, so DuckDB replays the identical sketch and the
+    one-sided error invariant (estimate >= exact, always) is part of
+    the hashed output."""
+    from .hashing import sha_prefix_hash
+
+    toks = documents.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    base = sha_prefix_hash(F.col("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_col(base, d).alias("col")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.col")
+    counters = cells.groupBy("d", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .filter(F.col("exact_n") >= CMS_MIN_EXACT)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_col(sha_prefix_hash(F.col("tok")), d).alias("col"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_n", "p.d", "p.col")
+    return (
+        probes.join(F.broadcast(counters), ["d", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("over_count"),
+            (F.col("cms_n") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    from .hashing import sha_prefix_hash_sql
+
+    h = sha_prefix_hash_sql("tok")
+    cell_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {d} AS d, ({h} * {2 * d + 1} + {d * 7919}) % {CMS_W} AS col FROM toks"
+        for d in range(CMS_D)
+    )
+    probe_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT tok, exact_n, {d} AS d,"
+        f" ({h} * {2 * d + 1} + {d * 7919}) % {CMS_W} AS col FROM exact"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+toks_f AS (SELECT tok FROM toks WHERE length(tok) > 0),
+cells AS (
+  {cell_rows.replace("FROM toks", "FROM toks_f")}
+),
+counters AS (
+  SELECT d, col, COUNT(*) AS cnt FROM cells GROUP BY d, col
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM toks_f
+  GROUP BY tok HAVING COUNT(*) >= {CMS_MIN_EXACT}
+),
+probes AS (
+  {probe_rows}
+)
+SELECT p.tok, p.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS cms_n,
+       CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS over_count,
+       MIN(c.cnt) >= p.exact_n AS never_undercounts
+FROM probes p JOIN counters c ON p.d = c.d AND p.col = c.col
+GROUP BY p.tok, p.exact_n
+"""
+
+
+CMS_ESTIMATE_SQL = _cms_sql()

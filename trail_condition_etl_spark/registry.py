@@ -231,6 +231,14 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.session_window_agg(events)
 
 
+@query("linear_fit", oracle=relational.LINEAR_FIT_SQL)
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closed-form OLS from five mergeable BIGINT sums — one agg, exact
+    # accumulators, order-independent across partitionings
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.linear_fit(events)
+
+
 @query("stats_kit", oracle=relational.STATS_KIT_SQL)
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment aggregates (stddev/var/corr): mergeable sketches, one
@@ -260,6 +268,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable quantile sketch vs exact percentile_cont, same pattern
     (events,) = _tables(spark, sf_dir, "events")
     return sketches.approx_quantile_check(events)
+
+
+@query("cms_estimate", oracle=sketches.CMS_ESTIMATE_SQL)
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-min sketch (4x256 mergeable counters) vs exact counts; the
+    # one-sided error invariant is part of the hashed output
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return sketches.cms_estimate(documents)
 
 
 @query("rollup_volume", oracle=relational.ROLLUP_SQL)
