@@ -245,3 +245,21 @@ def test_ivf_index_probe_uses_dynamic_partition_pruning(spark):
     # a file-level dynamic pruning filter, not a full-corpus scan
     df = _q(spark, "ivf_index_probe")
     assert "dynamicpruning" in plans.formatted_plan(df).lower()
+
+
+def test_single_shuffle_aggregation_family(spark):
+    # these operators are one partial+final aggregation (or one
+    # key-clustered window) end to end — a second exchange means the
+    # clustering stopped being reused
+    for name in [
+        "linear_fit",
+        "ohlc_bars",
+        "peak_concurrency",
+        "dataset_split",
+        "scd2_lookup",
+        "brand_profit",
+        "nation_trade_volume",
+        "grouping_sets_volume",
+    ]:
+        df = _q(spark, name)
+        assert plans.count_exchanges(df) <= 1, name
