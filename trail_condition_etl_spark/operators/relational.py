@@ -1467,3 +1467,83 @@ SELECT event_type, n,
         / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
 FROM agg
 """
+
+
+def period_over_period(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Month-over-month revenue per nation: one monthly aggregation,
+    then lag/delta over the per-nation month series — the window input
+    is already reduced to (nation x month) rows, so the sort behind the
+    lag is trivially small however large the fact table is."""
+    monthly = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(_scaled("o_totalprice", 2)).alias("rev_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    # first month has no prior: lag defaults to the month's own revenue
+    # so delta/pct read as 0 (NULL-free output sorts/hashes stably)
+    prev = F.lag("rev_c").over(w)
+    base = F.coalesce(prev, F.col("rev_c"))
+    return monthly.select(
+        "n_name",
+        "month",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.round((F.col("rev_c") - base) / 100.0, 2).alias("mom_delta"),
+        F.round((F.col("rev_c") - base) / base, 6).alias("mom_pct"),
+    )
+
+
+PERIOD_OVER_PERIOD_SQL = """
+WITH monthly AS (
+  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, month,
+  rev_c / 100.0 AS revenue,
+  round((rev_c - COALESCE(lag(rev_c) OVER w, rev_c)) / 100.0, 2) AS mom_delta,
+  round((rev_c - COALESCE(lag(rev_c) OVER w, rev_c))
+        / CAST(COALESCE(lag(rev_c) OVER w, rev_c) AS DOUBLE), 6) AS mom_pct
+FROM monthly
+WINDOW w AS (PARTITION BY n_name ORDER BY month)
+"""
+
+
+def dow_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality per event type — one aggregation over a
+    narrow date_part expression; ISO day numbering pinned explicitly so
+    both engines agree on week start."""
+    return (
+        events.groupBy(
+            "event_type", F.dayofweek("ts").alias("dow")  # 1=Sunday
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("_v"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n",
+            F.round(F.col("_v") / F.col("n"), 4).alias("avg_value"),
+        )
+    )
+
+
+DOW_SEASONALITY_SQL = """
+SELECT event_type,
+  CAST(dayofweek(make_timestamp(epoch_us(ts))) + 1 AS INT) AS dow,
+  COUNT(*) AS n,
+  round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4)
+    AS avg_value
+FROM events
+GROUP BY 1, 2
+"""

@@ -239,6 +239,23 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.linear_fit(events)
 
 
+@query("period_over_period", oracle=relational.PERIOD_OVER_PERIOD_SQL)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MoM deltas: monthly agg first, lag over the tiny (nation, month)
+    # series — the window never sees fact-sized input
+    orders, customer, nation = _tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    return relational.period_over_period(orders, customer, nation)
+
+
+@query("dow_seasonality", oracle=relational.DOW_SEASONALITY_SQL)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-of-week profile: one agg over a narrow date_part expression
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.dow_seasonality(events)
+
+
 @query("stats_kit", oracle=relational.STATS_KIT_SQL)
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment aggregates (stddev/var/corr): mergeable sketches, one
