@@ -591,3 +591,58 @@ FROM starts
 
 
 CHUNK_DOCUMENTS_SQL = _chunk_sql()
+
+
+def map_kit(documents: DataFrame) -> DataFrame:
+    """MapType surface (SURVEY §1.2): per-doc token->count map built
+    with map_from_arrays, consumed with element_at / map_entries /
+    map_values — all narrow per-row expressions (work bounded by the
+    doc's own token count). The oracle recomputes the same scalars from
+    the token multiset, so map construction/lookup semantics are pinned
+    without DuckDB needing Spark's MAP representation."""
+    toks = _toks()
+    ds = F.array_sort(F.array_distinct(toks))
+    counts = F.transform(
+        ds, lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    m = F.map_from_arrays(ds, counts)
+    entries = F.map_entries(m)
+    best = F.array_min(
+        F.transform(
+            entries,
+            lambda e: F.struct((-e["value"]).alias("negc"), e["key"].alias("k")),
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.size(m).cast("long").alias("n_keys"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_tokens"),
+        F.coalesce(F.element_at(m, F.lit("data")), F.lit(0))
+        .cast("long")
+        .alias("data_count"),
+        best["k"].alias("top_token"),
+        (-best["negc"]).cast("long").alias("top_count"),
+    )
+
+
+MAP_KIT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+per_tok AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(SUM(CASE WHEN t = 'data' THEN c END), 0) AS BIGINT)
+           AS data_count,
+         (MIN({'negc': -c, 'k': t})).k AS top_token,
+         CAST(-(MIN({'negc': -c, 'k': t})).negc AS BIGINT) AS top_count
+  FROM per_tok GROUP BY doc_id
+)
+SELECT * FROM per_doc
+"""

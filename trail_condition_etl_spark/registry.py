@@ -788,6 +788,14 @@ def q_datetime_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("map_kit", oracle=text.MAP_KIT_SQL)
+def q_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MapType surface: per-doc token->count map, element_at/map_entries
+    # consumption — narrow per-row work bounded by doc size
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.map_kit(documents)
+
+
 @query("token_stats", oracle=text.TOKEN_STATS_SQL)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
