@@ -1547,3 +1547,78 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+ANOMALY_Z = 3.0
+
+
+def anomaly_flags(events: DataFrame) -> DataFrame:
+    """Z-score outlier detection per event type: mean/std come from the
+    same five exact BIGINT moments as `linear_fit` (one aggregation,
+    order-independent), broadcast back over the fact — the fact side
+    never shuffles for the scoring pass. Because the moments are exact
+    integers, mean/std/z are bit-identical across engines and the
+    |z| > 3 cut is stable (no rounding at the decision boundary)."""
+    y = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        events.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sy") / F.col("n")).alias("mean_c"),
+            F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            ).alias("std_c"),
+        )
+    )
+    scored = events.select("event_type", "event_id", y.alias("y")).join(
+        F.broadcast(stats), "event_type"
+    )
+    z = (F.col("y") - F.col("mean_c")) / F.col("std_c")
+    return (
+        scored.withColumn("z", z)
+        .groupBy("event_type", "n", "mean_c")
+        .agg(
+            F.sum((F.abs(F.col("z")) > ANOMALY_Z).cast("long")).alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_anomalies",
+            "max_abs_z",
+            F.round(F.col("mean_c") / 100.0, 4).alias("mean_value"),
+        )
+    )
+
+
+ANOMALY_FLAGS_SQL = f"""
+WITH pts AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY event_type
+),
+sdv AS (
+  SELECT event_type, n, sy / CAST(n AS DOUBLE) AS mean_c,
+         sqrt((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1))) AS std_c
+  FROM stats
+)
+SELECT p.event_type, s.n,
+  CAST(SUM(CASE WHEN abs((p.y - s.mean_c) / s.std_c) > {ANOMALY_Z}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+  round(MAX(abs((p.y - s.mean_c) / s.std_c)), 6) AS max_abs_z,
+  round(s.mean_c / 100.0, 4) AS mean_value
+FROM pts p JOIN sdv s USING (event_type)
+GROUP BY p.event_type, s.n, s.mean_c
+"""

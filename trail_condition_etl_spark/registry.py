@@ -256,6 +256,14 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.dow_seasonality(events)
 
 
+@query("anomaly_flags", oracle=relational.ANOMALY_FLAGS_SQL)
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # z-score outliers from exact BIGINT moments broadcast back over
+    # the fact — bit-identical decision boundary across engines
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.anomaly_flags(events)
+
+
 @query("stats_kit", oracle=relational.STATS_KIT_SQL)
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment aggregates (stddev/var/corr): mergeable sketches, one
