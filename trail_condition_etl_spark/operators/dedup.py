@@ -682,3 +682,102 @@ SELECT b.kept_doc_id, b.cluster_size, b.cluster_size - 1 AS n_dropped,
        d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM best b JOIN documents d ON d.doc_id = b.kept_doc_id
 """
+
+
+PAGERANK_ROUNDS = 3
+PR_BASE = 1_000_000  # per-node rank mass in micro-units (exact integers)
+
+
+def near_dup_pagerank(
+    documents: DataFrame, threshold: float = 0.5, rounds: int = PAGERANK_ROUNDS
+) -> DataFrame:
+    """PageRank over the near-duplicate graph — 'which documents sit at
+    the center of a duplication cluster' (the doc to keep, or the spam
+    hub to drop). Same bounded-round iterative shape as
+    `dedup_clusters`: each round is one shuffle joining the adjacency to
+    the previous ranks.
+
+    All arithmetic is exact integer micro-units with floor division
+    (contrib = rank // degree, damping = 150000 + (85*incoming) // 100),
+    so ranks are bit-identical across engines and partitionings — the
+    oracle replays the identical rounds. Dangling mass is dropped (no
+    redistribution), the standard simplification for a similarity graph
+    where isolated docs should keep only the teleport mass."""
+    edges = minhash_pairs(documents, threshold).select("doc_a", "doc_b").persist()
+    adj = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    deg = adj.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = documents.select(
+        "doc_id", F.lit(PR_BASE).cast("long").alias("rank_micro")
+    )
+    prev = None
+    for _ in range(rounds):
+        contrib = (
+            adj.join(
+                ranks.select(F.col("doc_id").alias("doc_a"), "rank_micro"), "doc_a"
+            )
+            .join(deg, "doc_a")
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.floor(F.col("rank_micro") / F.col("deg")).cast("long").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            documents.select("doc_id")
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(150_000)
+                    + F.floor(
+                        F.coalesce("incoming", F.lit(0).cast("long")) * 85 / 100
+                    ).cast("long")
+                ).alias("rank_micro"),
+            )
+            .persist()
+        )
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return ranks
+
+
+def _pagerank_sql() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ROUNDS + 1):
+        steps.append(f"""
+inc{i} AS (
+  SELECT a.doc_b AS doc_id, CAST(SUM(r.rank_micro // d.deg) AS BIGINT) AS incoming
+  FROM adj a
+  JOIN {prev} r ON r.doc_id = a.doc_a
+  JOIN deg d ON d.doc_a = a.doc_a
+  GROUP BY a.doc_b
+),
+r{i} AS (
+  SELECT docs.doc_id,
+         CAST(150000 + (COALESCE(i.incoming, 0) * 85) // 100 AS BIGINT)
+           AS rank_micro
+  FROM docs LEFT JOIN inc{i} i USING (doc_id)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS ({MINHASH_PAIRS_SQL}),
+adj AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+deg AS (SELECT doc_a, COUNT(*) AS deg FROM adj GROUP BY doc_a),
+docs AS (SELECT doc_id FROM documents),
+r0 AS (SELECT doc_id, CAST({PR_BASE} AS BIGINT) AS rank_micro FROM docs),
+{','.join(steps)}
+SELECT doc_id, rank_micro FROM {prev}
+"""
+
+
+NEAR_DUP_PAGERANK_SQL = _pagerank_sql()

@@ -515,6 +515,14 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dataset_split(documents)
 
 
+@query("near_dup_pagerank", oracle=dedup.NEAR_DUP_PAGERANK_SQL)
+def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank over the near-dup graph: bounded rounds, one shuffle per
+    # round, exact integer micro-unit arithmetic (floor-division damping)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.near_dup_pagerank(documents)
+
+
 @query("canonical_docs", oracle=dedup.CANONICAL_DOCS_SQL)
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-best per near-dup cluster: struct-MIN argmax, no per-cluster
