@@ -117,3 +117,56 @@ def test_parity_with_batch_sessionize(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("ev")
     ).collect()[0]
     assert (got.n, got.ev) == (expected.n, expected.ev)
+
+
+# --- newest-operator semantics (oracle parity alone can't explain) -----
+
+
+def test_linear_fit_recovers_known_slope(spark):
+    import datetime as dt
+
+    from trail_condition_etl_spark.operators import relational
+
+    t0 = dt.datetime(2024, 1, 1)
+    # value = 10 + 2.5 * day  (exact in cents)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", 10.0 + 2.5 * i)
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    [r] = relational.linear_fit(ev).collect()
+    assert r.slope_per_day == 2.5
+    assert r.intercept == 10.0
+    assert r.r2 == 1.0
+
+
+def test_anomaly_flags_bounds(spark):
+    from trail_condition_etl_spark import catalog
+    from trail_condition_etl_spark.operators import relational
+    from conftest import SF_DIR
+
+    events = catalog.load_table(spark, SF_DIR, "events")
+    for r in relational.anomaly_flags(events).collect():
+        assert 0 <= r.n_anomalies <= r.n
+        assert r.max_abs_z >= 0
+
+
+def test_pagerank_isolated_doc_keeps_teleport_mass_only(spark):
+    from trail_condition_etl_spark import catalog
+    from trail_condition_etl_spark.operators import dedup
+    from conftest import SF_DIR
+
+    docs = catalog.load_table(spark, SF_DIR, "documents")
+    ranks = {r.doc_id: r.rank_micro for r in dedup.near_dup_pagerank(docs).collect()}
+    edges = dedup.minhash_pairs(docs).select("doc_a", "doc_b").collect()
+    linked = {e.doc_a for e in edges} | {e.doc_b for e in edges}
+    isolated = set(ranks) - linked
+    assert isolated, "corpus should contain isolated docs"
+    # teleport-only mass for isolated docs; every rank at least teleport
+    assert all(ranks[d] == 150_000 for d in isolated)
+    assert all(v >= 150_000 for v in ranks.values())
+    # linked docs accumulate more than teleport mass
+    assert any(ranks[d] > 150_000 for d in linked)
