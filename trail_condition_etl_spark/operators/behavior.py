@@ -326,3 +326,80 @@ SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
          AS BIGINT) AS cumulative_users
 FROM daily d LEFT JOIN per_day p ON d.day = p.first_day
 """
+
+
+def event_affinity(events: DataFrame) -> DataFrame:
+    """Market-basket affinity between event types: baskets are (user,
+    day) activity sets, scored with lift = P(a,b) / (P(a)P(b)). The
+    basket reduction is one grouped collect_set; pair expansion is
+    narrow (baskets hold at most the 5 distinct types); the marginals
+    and basket count are tiny re-aggregates broadcast back. Counts stay
+    integers end-to-end — the one lift division is the only float."""
+    baskets = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    singles = (
+        baskets.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_single"))
+    )
+    pairs = (
+        baskets.select(F.explode("types").alias("a"), "types")
+        .select("a", F.explode("types").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("t").alias("a"), F.col("n_single").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("t").alias("b"), F.col("n_single").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_baskets"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+EVENT_AFFINITY_SQL = """
+WITH baskets AS (
+  SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY 1, 2
+),
+n_b AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+singles AS (
+  SELECT t, COUNT(*) AS n_single
+  FROM (SELECT unnest(types) AS t FROM baskets) GROUP BY t
+),
+pairs AS (
+  SELECT a, b, COUNT(*) AS n_pair FROM (
+    SELECT x.a, y.b FROM
+      (SELECT user_id, day, unnest(types) AS a FROM baskets) x
+      JOIN (SELECT user_id, day, unnest(types) AS b FROM baskets) y
+        ON x.user_id = y.user_id AND x.day = y.day AND x.a < y.b
+  ) GROUP BY a, b
+)
+SELECT p.a, p.b, p.n_pair, sa.n_single AS n_a, sb.n_single AS n_b,
+  round((CAST(p.n_pair AS DOUBLE) * n_b.n_baskets)
+        / (CAST(sa.n_single AS DOUBLE) * sb.n_single), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.t = p.a
+JOIN singles sb ON sb.t = p.b
+CROSS JOIN n_b
+"""

@@ -596,3 +596,80 @@ GROUP BY 1, 2
 
 
 DATASET_SPLIT_SQL = _dataset_split_sql()
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """Vocabulary overlap between corpus sources (corpus diagnostics:
+    which slices duplicate each other's content): distinct (source,
+    token) reduction first — the only fact-sized shuffle — then the
+    pairwise intersection is a token-keyed self-join of the REDUCED
+    frame and the Jaccard is integer arithmetic over three counts."""
+    st = (
+        documents.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    inter = (
+        st.alias("x")
+        .join(
+            st.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a"))
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b"))
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, t AS tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+),
+sizes AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY source),
+inter AS (
+  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS n_common
+  FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+       round(i.n_common / CAST(sa.n_vocab + sb.n_vocab - i.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""

@@ -388,6 +388,22 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.cumulative_users(events)
 
 
+@query("event_affinity", oracle=behavior.EVENT_AFFINITY_SQL)
+def q_event_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-basket lift over (user, day) baskets: one collect_set agg,
+    # narrow pair expansion, marginals broadcast back
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.event_affinity(events)
+
+
+@query("source_overlap", oracle=curation.SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-source vocabulary Jaccard: distinct (source, token) reduce
+    # first, token-keyed self-join on the reduced frame
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.source_overlap(documents)
+
+
 @query("profile_table", oracle=warehouse.PROFILE_TABLE_SQL)
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANALYZE-style column profile in one scan: nulls, exact distincts,
