@@ -129,3 +129,66 @@ SELECT check_name AS "check", CAST(n AS BIGINT) AS n_violations,
        n = 0 AS passed
 FROM checks
 """
+
+
+VOLUME_WINDOW_DAYS = 7
+VOLUME_ALERT_RATIO = 0.5  # alert when a day falls below half the trailing avg
+
+
+def volume_monitor(events: DataFrame) -> DataFrame:
+    """Pipeline-health monitoring as a query: daily row counts compared
+    to the trailing 7-day average — the freshness/volume check every
+    warehouse runs against every ingested table. One daily aggregation;
+    the trailing comparison windows over the ~30-row day series, so the
+    monitor costs one scan regardless of table size. The ratio division
+    is the only float (identical operands both engines)."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(-VOLUME_WINDOW_DAYS, -1)
+    )
+    trailing = F.sum("n_rows").over(w)
+    n_prev = F.count("n_rows").over(w)
+    ratio = F.col("n_rows") / (F.col("_trail") / F.col("_nprev"))
+    return (
+        daily.withColumn("_trail", trailing)
+        .withColumn("_nprev", n_prev)
+        .filter(F.col("_nprev") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_rows",
+            F.col("_trail").alias("trailing_rows"),
+            F.col("_nprev").cast("long").alias("n_trailing_days"),
+            F.round(ratio, 6).alias("volume_ratio"),
+            (ratio < VOLUME_ALERT_RATIO).alias("volume_alert"),
+        )
+    )
+
+
+VOLUME_MONITOR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         COUNT(*) AS n_rows
+  FROM events GROUP BY 1
+),
+trail AS (
+  SELECT day, n_rows,
+    CAST(SUM(n_rows) OVER w AS BIGINT) AS trailing_rows,
+    COUNT(n_rows) OVER w AS n_trailing_days
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {VOLUME_WINDOW_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_rows, trailing_rows,
+       n_trailing_days,
+       round(n_rows / (trailing_rows / CAST(n_trailing_days AS DOUBLE)), 6)
+         AS volume_ratio,
+       n_rows / (trailing_rows / CAST(n_trailing_days AS DOUBLE))
+         < {VOLUME_ALERT_RATIO} AS volume_alert
+FROM trail WHERE n_trailing_days > 0
+"""

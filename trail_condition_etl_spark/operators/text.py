@@ -646,3 +646,55 @@ per_doc AS (
 )
 SELECT * FROM per_doc
 """
+
+
+BIGRAM_MIN_COUNT = 30
+
+
+def token_bigrams(documents: DataFrame) -> DataFrame:
+    """Corpus bigram model: P(b | a) for adjacent token pairs. Pair
+    extraction is the same narrow zip_with-adjacent trick as shingling
+    (no window, no explode-join); one count aggregation; the
+    denominator marginals are a tiny re-aggregate broadcast back.
+    Output bounded by a count floor, never a global-sort top-k."""
+    toks = F.split("text", " ")
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks)),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    exploded = (
+        documents.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.b").isNotNull())
+        .select("p.a", "p.b")
+    )
+    counts = exploded.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    marg = counts.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    return (
+        counts.filter(F.col("n_ab") >= BIGRAM_MIN_COUNT)
+        .join(F.broadcast(marg), "a")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias("p_b_given_a"),
+        )
+    )
+
+
+TOKEN_BIGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pairs AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+),
+counts AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+marg AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM counts GROUP BY a)
+SELECT c.a, c.b, c.n_ab, m.n_a,
+       round(c.n_ab / CAST(m.n_a AS DOUBLE), 6) AS p_b_given_a
+FROM counts c JOIN marg m USING (a)
+WHERE c.n_ab >= {BIGRAM_MIN_COUNT}
+"""

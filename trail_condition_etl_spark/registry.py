@@ -635,6 +635,22 @@ def q_categorization_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("token_bigrams", oracle=text.TOKEN_BIGRAMS_SQL)
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bigram LM counts: narrow zip_with pair extraction, one count agg,
+    # marginals broadcast back; count-floor bound (no global-sort top-k)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.token_bigrams(documents)
+
+
+@query("volume_monitor", oracle=dq.VOLUME_MONITOR_SQL)
+def q_volume_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # freshness/volume DQ: daily counts vs trailing 7-day average; the
+    # window only ever sees one row per day
+    (events,) = _tables(spark, sf_dir, "events")
+    return dq.volume_monitor(events)
+
+
 @query("dq_checks", oracle=dq.DQ_CHECKS_SQL)
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse contract suite: FK integrity, key uniqueness, null keys,
