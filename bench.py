@@ -46,6 +46,8 @@ HEADLINE = [
     "canonical_docs",
     "ewma_daily",
     "scd2_lookup",
+    "hybrid_retrieval",
+    "cms_estimate",
 ]
 
 
