@@ -1622,3 +1622,72 @@ SELECT p.event_type, s.n,
 FROM pts p JOIN sdv s USING (event_type)
 GROUP BY p.event_type, s.n, s.mean_c
 """
+
+
+def variance_decomposition(events: DataFrame) -> DataFrame:
+    """Between/within variance decomposition of value across event
+    types (the one-way-ANOVA split): every sum of squares derives from
+    the same exact per-group BIGINT moments as `linear_fit` — one
+    grouped aggregation plus a 1-row combine, no second scan. Emits the
+    decomposition identity terms and the between-share; cross-engine
+    exactness comes from integer moments and identical final division
+    order."""
+    y = F.round(F.col("value") * 100).cast("long")
+    grp = (
+        events.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n").alias("n_t"),
+        F.sum("sy").alias("sy_t"),
+        F.sum("syy").alias("syy_t"),
+        F.count(F.lit(1)).alias("k"),
+        # within-SS numerator in exact integers: sum over groups of
+        # (n*syy - sy^2)/n — kept as double per group, exact inputs
+        F.sum(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy").cast("double"))
+            / F.col("n")
+        ).alias("ss_within_c2"),
+    )
+    ss_total = (
+        F.col("syy_t") - F.col("sy_t") * F.col("sy_t").cast("double") / F.col("n_t")
+    )
+    ss_between = ss_total - F.col("ss_within_c2")
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n_t").alias("n_rows"),
+        F.round(ss_total / 10000.0, 4).alias("ss_total"),
+        F.round(F.col("ss_within_c2") / 10000.0, 4).alias("ss_within"),
+        F.round(ss_between / 10000.0, 4).alias("ss_between"),
+        F.round(ss_between / ss_total, 6).alias("between_share"),
+    )
+
+
+VARIANCE_DECOMP_SQL = """
+WITH grp AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_t, CAST(SUM(sy) AS BIGINT) AS sy_t,
+         CAST(SUM(syy) AS BIGINT) AS syy_t, COUNT(*) AS k,
+         SUM((n * syy - sy * CAST(sy AS DOUBLE)) / n) AS ss_within_c2
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS n_groups, n_t AS n_rows,
+  round((syy_t - sy_t * CAST(sy_t AS DOUBLE) / n_t) / 10000.0, 4) AS ss_total,
+  round(ss_within_c2 / 10000.0, 4) AS ss_within,
+  round(((syy_t - sy_t * CAST(sy_t AS DOUBLE) / n_t) - ss_within_c2)
+        / 10000.0, 4) AS ss_between,
+  round(((syy_t - sy_t * CAST(sy_t AS DOUBLE) / n_t) - ss_within_c2)
+        / (syy_t - sy_t * CAST(sy_t AS DOUBLE) / n_t), 6) AS between_share
+FROM tot
+"""

@@ -402,3 +402,76 @@ SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
     AS rolling_median
 FROM windowed
 """
+
+
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Maximum drawdown of each user's cumulative daily value series:
+    running total, running peak, drawdown = (peak - cum) / peak, max
+    per user with the day it bottomed (struct-MAX argmax — no second
+    sort). Both windows share one (user_id, day) clustering; all sums
+    are integer cents so the series is exact, and the single division
+    happens on identical operands in both engines."""
+    daily = _daily_cents(events)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("vc").over(w)
+    peak = F.max(F.col("_cum")).over(w)
+    dd = (F.col("_peak") - F.col("_cum")) / F.col("_peak")
+    worst = F.max(
+        F.struct(
+            F.col("_dd").alias("dd"),
+            F.col("day").alias("day"),
+        )
+    )
+    return (
+        daily.withColumn("_cum", cum)
+        .withColumn("_peak", peak)
+        .withColumn("_dd", F.round(dd, 9))
+        .groupBy("user_id")
+        .agg(
+            worst.alias("_w"),
+            (F.max("_cum") / 100.0).alias("final_cum"),
+            (F.max("_peak") / 100.0).alias("peak_value"),
+        )
+        .select(
+            "user_id",
+            F.round(F.col("_w.dd"), 6).alias("max_drawdown"),
+            F.date_format(F.col("_w.day"), "yyyy-MM-dd").alias("trough_day"),
+            F.round("final_cum", 2).alias("final_cum"),
+            F.round("peak_value", 2).alias("peak_value"),
+        )
+    )
+
+
+MAX_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS vc
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT user_id, day,
+    CAST(SUM(vc) OVER w AS BIGINT) AS cum
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dd AS (
+  SELECT user_id, day, cum,
+    CAST(MAX(cum) OVER w AS BIGINT) AS peak,
+    round((MAX(cum) OVER w - cum) / CAST(MAX(cum) OVER w AS DOUBLE), 9)
+      AS drawdown
+  FROM series
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+  round((MAX({'dd': drawdown, 'day': day})).dd, 6) AS max_drawdown,
+  strftime((MAX({'dd': drawdown, 'day': day})).day, '%Y-%m-%d') AS trough_day,
+  round(MAX(cum) / 100.0, 2) AS final_cum,
+  round(MAX(peak) / 100.0, 2) AS peak_value
+FROM dd GROUP BY user_id
+"""

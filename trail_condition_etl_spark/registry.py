@@ -264,6 +264,22 @@ def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.anomaly_flags(events)
 
 
+@query("max_drawdown", oracle=timeseries.MAX_DRAWDOWN_SQL)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # running peak/drawdown over exact integer cumulative series; worst
+    # point via struct-MAX argmax — both windows share one clustering
+    (events,) = _tables(spark, sf_dir, "events")
+    return timeseries.max_drawdown(events)
+
+
+@query("variance_decomposition", oracle=relational.VARIANCE_DECOMP_SQL)
+def q_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-way ANOVA split from exact per-group BIGINT moments: one
+    # grouped agg + a 1-row combine, no second scan
+    (events,) = _tables(spark, sf_dir, "events")
+    return relational.variance_decomposition(events)
+
+
 @query("stats_kit", oracle=relational.STATS_KIT_SQL)
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment aggregates (stddev/var/corr): mergeable sketches, one
