@@ -403,3 +403,68 @@ JOIN singles sa ON sa.t = p.a
 JOIN singles sb ON sb.t = p.b
 CROSS JOIN n_b
 """
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """Funnel latency: for users whose first click follows their first
+    view within the step window (see `conversion_funnel`), the
+    view->click delay in seconds — count, extremes, and interpolated
+    median/p90 (exact `percentile`; at 100 TB swap approx_percentile,
+    same plan shape, like `winsorize_values`). One user-keyed agg
+    produces a row per converting user; the stats agg is 1-row."""
+    v, c, _ = FUNNEL_STEPS
+    step_us = STEP_WINDOW_MINUTES * 60 * 1_000_000
+    typed = events.filter(F.col("event_type").isin(v, c)).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tu")
+    )
+    per_user = typed.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == v, F.col("tu"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == c, F.col("tu"))
+        ).alias("clicks"),
+    )
+    t1 = F.col("t1")
+    t2 = F.array_min(
+        F.filter("clicks", lambda x: (x > t1) & (x <= t1 + F.lit(step_us)))
+    )
+    deltas = (
+        per_user.filter(t1.isNotNull())
+        .withColumn("_t2", t2)
+        .filter(F.col("_t2").isNotNull())
+        .select(((F.col("_t2") - t1) / 1_000_000).cast("long").alias("delta_s"))
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("delta_s").alias("min_s"),
+        F.max("delta_s").alias("max_s"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 4).alias("median_s"),
+        F.round(F.expr("percentile(delta_s, 0.9)"), 4).alias("p90_s"),
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH events_us AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+  WHERE event_type IN ('view', 'click')
+),
+t1 AS (
+  SELECT user_id, MIN(tu) AS t1 FROM events_us
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.tu) AS t2
+  FROM events_us e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.tu > t1.t1
+    AND e.tu <= t1.t1 + 3600000000::BIGINT
+  GROUP BY e.user_id
+),
+deltas AS (
+  SELECT (t2.t2 - t1.t1) // 1000000 AS delta_s
+  FROM t1 JOIN t2 USING (user_id)
+)
+SELECT COUNT(*) AS n_converters,
+  MIN(delta_s) AS min_s, MAX(delta_s) AS max_s,
+  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY delta_s), 4) AS median_s,
+  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY delta_s), 4) AS p90_s
+FROM deltas
+"""

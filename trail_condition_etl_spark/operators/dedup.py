@@ -781,3 +781,43 @@ SELECT doc_id, rank_micro FROM {prev}
 
 
 NEAR_DUP_PAGERANK_SQL = _pagerank_sql()
+
+
+def degree_distribution(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup graph diagnostics: how many docs have how many
+    near-duplicate neighbors (degree histogram, degree 0 included).
+    One count agg over the adjacency plus a left join back to the
+    corpus — the shape every graph pipeline runs before choosing a
+    clustering strategy."""
+    edges = minhash_pairs(documents, threshold).select("doc_a", "doc_b")
+    adj = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = adj.groupBy("doc_a").agg(F.count(F.lit(1)).alias("degree"))
+    per_doc = (
+        documents.select("doc_id")
+        .join(deg.select(F.col("doc_a").alias("doc_id"), "degree"), "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0).cast("long")).alias("degree"))
+    )
+    return per_doc.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+DEGREE_DISTRIBUTION_SQL = f"""
+WITH pairs AS ({{pairs}}),
+adj AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+deg AS (SELECT doc_a, COUNT(*) AS degree FROM adj GROUP BY doc_a),
+per_doc AS (
+  SELECT COALESCE(deg.degree, 0) AS degree
+  FROM documents d LEFT JOIN deg ON deg.doc_a = d.doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_docs
+FROM per_doc GROUP BY degree
+"""
+
+
+def _degree_distribution_sql() -> str:
+    return DEGREE_DISTRIBUTION_SQL.format(pairs=MINHASH_PAIRS_SQL)

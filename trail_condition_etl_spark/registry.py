@@ -555,6 +555,21 @@ def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pagerank(documents)
 
 
+@query("time_to_convert", oracle=behavior.TIME_TO_CONVERT_SQL)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # funnel latency: view->click delay for converters; exact
+    # interpolated percentiles over the 1-row-per-converter reduction
+    (events,) = _tables(spark, sf_dir, "events")
+    return behavior.time_to_convert(events)
+
+
+@query("degree_distribution", oracle=dedup._degree_distribution_sql())
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup graph degree histogram (degree 0 included)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.degree_distribution(documents)
+
+
 @query("canonical_docs", oracle=dedup.CANONICAL_DOCS_SQL)
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-best per near-dup cluster: struct-MIN argmax, no per-cluster
