@@ -673,3 +673,40 @@ FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 """
+
+
+SAMPLE_K = 100
+
+
+def hash_sample_k(documents: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Deterministic global k-sample: order by a per-row hash, take k.
+    Spark plans ORDER BY + LIMIT as TakeOrdered (per-partition top-k
+    heaps merged on one reducer over k rows each) — no full global
+    sort, so this is the scale-safe way to draw a stable pseudo-random
+    sample without rand() (reproducible across runs, engines, and
+    corpus growth: a doc's key never changes)."""
+    from .hashing import sha_prefix_hash
+
+    key = sha_prefix_hash(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("sample-k"))
+    )
+    return (
+        documents.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(k)
+    )
+
+
+def _hash_sample_sql() -> str:
+    from .hashing import sha_prefix_hash_sql
+
+    h = sha_prefix_hash_sql("CAST(doc_id AS VARCHAR) || ':sample-k'")
+    return f"""
+SELECT doc_id, lang, source, {h} AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+HASH_SAMPLE_K_SQL = _hash_sample_sql()

@@ -192,3 +192,56 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n_rows, trailing_rows,
          < {VOLUME_ALERT_RATIO} AS volume_alert
 FROM trail WHERE n_trailing_days > 0
 """
+
+
+def table_checksum(lineitem: DataFrame) -> DataFrame:
+    """Whole-table content checksum: an order-independent integer
+    fingerprint (sum of per-row sha2-prefix hashes + count) — the
+    primitive behind "did the migration/backfill produce the same
+    table" at 100 TB, where row-by-row comparison is a full shuffle of
+    both tables but a checksum is one aggregation on each side. String
+    concatenation pins column order; integer sums make it partition-
+    and engine-independent."""
+    from .hashing import sha_prefix_hash
+
+    # integer-only reprs: double->string formatting is engine-specific
+    # (Java scientific notation vs shortest-round-trip), so numeric
+    # columns enter the repr as exact integer (cents) strings
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_quantity")).cast("long").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    h = sha_prefix_hash(row_repr)
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum_sum"),
+        F.min(h).alias("checksum_min"),
+        F.max(h).alias("checksum_max"),
+    )
+
+
+def _table_checksum_sql() -> str:
+    from .hashing import sha_prefix_hash_sql
+
+    repr_sql = (
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+        " || '|' || CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)"
+        " || '|' || CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"
+        " || '|' || l_returnflag || '|' || l_linestatus"
+    )
+    h = sha_prefix_hash_sql(f"({repr_sql})")
+    return f"""
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM({h}) AS BIGINT) AS checksum_sum,
+  MIN({h}) AS checksum_min,
+  MAX({h}) AS checksum_max
+FROM lineitem
+"""
+
+
+TABLE_CHECKSUM_SQL = _table_checksum_sql()

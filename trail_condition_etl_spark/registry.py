@@ -682,6 +682,22 @@ def q_volume_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.volume_monitor(events)
 
 
+@query("hash_sample_k", oracle=curation.HASH_SAMPLE_K_SQL)
+def q_hash_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic global k-sample: hash order + LIMIT plans as
+    # TakeOrdered (per-partition heaps, no full sort), rand()-free
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.hash_sample_k(documents)
+
+
+@query("table_checksum", oracle=dq.TABLE_CHECKSUM_SQL)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-independent table fingerprint: one agg per side replaces a
+    # row-by-row migration diff; integer-only reprs for engine parity
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return dq.table_checksum(lineitem)
+
+
 @query("dq_checks", oracle=dq.DQ_CHECKS_SQL)
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse contract suite: FK integrity, key uniqueness, null keys,
