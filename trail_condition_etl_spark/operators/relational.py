@@ -1691,3 +1691,57 @@ SELECT CAST(k AS BIGINT) AS n_groups, n_t AS n_rows,
         / (syy_t - sy_t * CAST(sy_t AS DOUBLE) / n_t), 6) AS between_share
 FROM tot
 """
+
+
+def weighted_median(lineitem: DataFrame) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile, computed scale-aware: the fact reduces to a (flag, price)
+    HISTOGRAM first (one agg; the window then walks distinct prices,
+    not rows), cumulative weight picks the first price covering half
+    the total. All integer cents/units — exact and engine-identical."""
+    hist = lineitem.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("w"))
+    tot = hist.groupBy("l_returnflag").agg(F.sum("w").alias("tot_w"))
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum_w", F.sum("w").over(wspec)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+    return (
+        cum.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag", "tot_w")
+        .agg(F.min("price_c").alias("med_c"))
+        .select(
+            "l_returnflag",
+            (F.col("med_c") / 100.0).alias("weighted_median_price"),
+            F.col("tot_w").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH hist AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tot_w FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.l_returnflag, h.price_c, t.tot_w,
+         CAST(SUM(h.w) OVER (PARTITION BY h.l_returnflag ORDER BY h.price_c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_w
+  FROM hist h JOIN tot t USING (l_returnflag)
+)
+SELECT l_returnflag, MIN(price_c) / 100.0 AS weighted_median_price,
+       tot_w AS total_weight
+FROM cum WHERE cum_w * 2 >= tot_w
+GROUP BY l_returnflag, tot_w
+"""

@@ -280,6 +280,14 @@ def q_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.variance_decomposition(events)
 
 
+@query("weighted_median", oracle=relational.WEIGHTED_MEDIAN_SQL)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted quantile scale-aware: reduce to a value histogram first,
+    # then the cumulative walk covers distinct prices, not rows
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return relational.weighted_median(lineitem)
+
+
 @query("stats_kit", oracle=relational.STATS_KIT_SQL)
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment aggregates (stddev/var/corr): mergeable sketches, one
