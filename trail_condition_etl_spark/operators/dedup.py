@@ -821,3 +821,76 @@ FROM per_doc GROUP BY degree
 
 def _degree_distribution_sql() -> str:
     return DEGREE_DISTRIBUTION_SQL.format(pairs=MINHASH_PAIRS_SQL)
+
+
+def dup_rate_by_source(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pressure between corpus slices: LSH-verified pairs
+    attributed to their (source_a, source_b) slice pair, with the rate
+    normalized by the slice sizes — tells a curation pipeline WHICH
+    feeds duplicate each other (content-level; `source_overlap` is the
+    vocabulary-level view). The pair set is LSH-sized, so both
+    attribution joins broadcast it against the doc->source projection."""
+    pairs = minhash_pairs(documents, threshold).select("doc_a", "doc_b")
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    sizes = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return (
+        counts.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_docs").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_docs").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pairs") / (F.col("n_a").cast("double") * F.col("n_b")),
+                9,
+            ).alias("pair_rate"),
+        )
+    )
+
+
+DUP_RATE_BY_SOURCE_SQL = f"""
+WITH pairs AS ({MINHASH_PAIRS_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM pairs p
+  JOIN src a ON a.doc_id = p.doc_a
+  JOIN src b ON b.doc_id = p.doc_b
+),
+sizes AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+counts AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM labeled GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, c.n_pairs, sa.n_docs AS n_a, sb.n_docs AS n_b,
+  round(c.n_pairs / (CAST(sa.n_docs AS DOUBLE) * sb.n_docs), 9) AS pair_rate
+FROM counts c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
+"""

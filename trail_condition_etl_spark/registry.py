@@ -578,6 +578,14 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.degree_distribution(documents)
 
 
+@query("dup_rate_by_source", oracle=dedup.DUP_RATE_BY_SOURCE_SQL)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # which corpus slices duplicate each other: LSH pair set broadcast
+    # against the doc->source projection, size-normalized rates
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.dup_rate_by_source(documents)
+
+
 @query("canonical_docs", oracle=dedup.CANONICAL_DOCS_SQL)
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-best per near-dup cluster: struct-MIN argmax, no per-cluster
