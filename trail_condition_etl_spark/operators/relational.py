@@ -1745,3 +1745,133 @@ SELECT l_returnflag, MIN(price_c) / 100.0 AS weighted_median_price,
 FROM cum WHERE cum_w * 2 >= tot_w
 GROUP BY l_returnflag, tot_w
 """
+
+
+def fulfillment_lag(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Operational latency: order-date to ship-date lag per order
+    priority — integer day deltas (exact), one orderkey join + one agg.
+    The lag percentile uses the same exact interpolated `percentile`
+    seam as `winsorize_values`."""
+    joined = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag_days"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("lag_days").alias("min_days"),
+            F.max("lag_days").alias("max_days"),
+            F.round(
+                F.sum("lag_days") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_days"),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 4).alias("p90_days"),
+        )
+    )
+
+
+FULFILLMENT_LAG_SQL = """
+WITH lags AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+  CAST(MIN(lag_days) AS BIGINT) AS min_days,
+  CAST(MAX(lag_days) AS BIGINT) AS max_days,
+  round(CAST(SUM(lag_days) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS mean_days,
+  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_days), 4) AS p90_days
+FROM lags GROUP BY o_orderpriority
+"""
+
+
+def discount_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Does discounting move quantity, per brand: corr(discount, qty)
+    plus exact conditional means at high/low discount — the join is a
+    broadcast dim, everything else is one aggregation. corr is the
+    mergeable-moment sketch (rounded for accumulation-order noise, same
+    discipline as stats_kit)."""
+    hi = F.col("l_discount") >= 0.05
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_disc_qty"),
+            F.round(
+                F.sum(F.when(hi, qty)).cast("double")
+                / F.sum(hi.cast("long")),
+                6,
+            ).alias("mean_qty_hi_disc"),
+            F.round(
+                F.sum(F.when(~hi, qty)).cast("double")
+                / F.sum((~hi).cast("long")),
+                6,
+            ).alias("mean_qty_lo_disc"),
+        )
+    )
+
+
+DISCOUNT_EFFECT_SQL = """
+SELECT p_brand AS brand, COUNT(*) AS n,
+  round(corr(l_discount, l_quantity), 6) AS corr_disc_qty,
+  round(CAST(SUM(CASE WHEN l_discount >= 0.05
+                      THEN CAST(round(l_quantity) AS BIGINT) END) AS DOUBLE)
+        / SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END), 6)
+    AS mean_qty_hi_disc,
+  round(CAST(SUM(CASE WHEN NOT (l_discount >= 0.05)
+                      THEN CAST(round(l_quantity) AS BIGINT) END) AS DOUBLE)
+        / SUM(CASE WHEN NOT (l_discount >= 0.05) THEN 1 ELSE 0 END), 6)
+    AS mean_qty_lo_disc
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def null_kit(orders: DataFrame) -> DataFrame:
+    """NULL-semantics surface (§2.7): COUNT(*) vs COUNT(col), SUM/AVG
+    ignoring NULLs, COALESCE defaults, and null-flag counting — over a
+    synthesized nullable column (NULLIF) so the semantics are exercised
+    on a table with no natural NULLs."""
+    np = F.nullif(F.col("o_totalprice"), F.lit(0.0))
+    nk = F.nullif((F.col("o_orderkey") % 10).cast("long"), F.lit(0))
+    return orders.select(
+        F.col("o_orderstatus"), nk.alias("nk"),
+        F.round(np, 2).alias("np"),
+    ).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("nk").alias("n_nonnull_keys"),
+        F.sum(F.col("nk").isNull().cast("long")).alias("n_null_keys"),
+        F.sum(F.coalesce("nk", F.lit(-1))).alias("sum_with_default"),
+        (
+            F.sum(F.round(F.coalesce("np", F.lit(0.0)) * 100).cast("long")) / 100.0
+        ).alias("_s"),
+    ).select(
+        "o_orderstatus",
+        "n_rows",
+        "n_nonnull_keys",
+        "n_null_keys",
+        "sum_with_default",
+        F.round("_s", 2).alias("price_sum"),
+    )
+
+
+NULL_KIT_SQL = """
+SELECT o_orderstatus,
+  COUNT(*) AS n_rows,
+  COUNT(NULLIF(o_orderkey % 10, 0)) AS n_nonnull_keys,
+  CAST(SUM(CASE WHEN NULLIF(o_orderkey % 10, 0) IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_null_keys,
+  CAST(SUM(COALESCE(NULLIF(o_orderkey % 10, 0), -1)) AS BIGINT)
+    AS sum_with_default,
+  round(SUM(CAST(round(COALESCE(round(NULLIF(o_totalprice, 0.0), 2), 0.0) * 100)
+                 AS BIGINT)) / 100.0, 2) AS price_sum
+FROM orders
+GROUP BY o_orderstatus
+"""

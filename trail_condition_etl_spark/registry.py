@@ -288,6 +288,30 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.weighted_median(lineitem)
 
 
+@query("fulfillment_lag", oracle=relational.FULFILLMENT_LAG_SQL)
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order->ship latency per priority: integer day deltas, one join +
+    # one agg, exact interpolated p90
+    orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
+    return relational.fulfillment_lag(orders, lineitem)
+
+
+@query("discount_effect", oracle=relational.DISCOUNT_EFFECT_SQL)
+def q_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corr(discount, qty) per brand + exact conditional means; part
+    # dim broadcast, single aggregation
+    lineitem, part = _tables(spark, sf_dir, "lineitem", "part")
+    return relational.discount_effect(lineitem, part)
+
+
+@query("null_kit", oracle=relational.NULL_KIT_SQL)
+def q_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL semantics: COUNT(*) vs COUNT(col), null-ignoring SUM/AVG,
+    # COALESCE defaults over synthesized NULLIF columns
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return relational.null_kit(orders)
+
+
 @query("stats_kit", oracle=relational.STATS_KIT_SQL)
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment aggregates (stddev/var/corr): mergeable sketches, one
