@@ -74,6 +74,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # queries persist() intermediates their lazy results depend on;
+        # without this the sweep accumulates executor storage and later
+        # queries time against earlier queries' leftover caches
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

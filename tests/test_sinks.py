@@ -368,3 +368,65 @@ def test_upsert_with_deletes_tombstone_beats_upsert_same_key(spark, tmp_path):
     )
     upsert_parquet_with_deletes(spark, path, both, ["k"], n_buckets=4)
     assert read_upsert_table(spark, path).count() == 0
+
+
+def test_upsert_insert_after_delete_all_rebuilds_clean_layout(
+    spark, tmp_path
+):
+    """Delete-all leaves a 0-row root marker; the NEXT upsert must
+    replace it with a clean pk_bucket layout (merging into the marker
+    would mix root part files with partition dirs and break reads)."""
+    from trail_condition_etl_spark.sinks.upsert import (
+        read_upsert_table,
+        upsert_parquet_with_deletes,
+    )
+
+    path = str(tmp_path / "cdc_table3")
+    upsert_parquet_with_deletes(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", False), (2, "b", False)],
+            "k long, v string, _deleted boolean",
+        ),
+        ["k"],
+        n_buckets=4,
+    )
+    # delete everything -> readable 0-row marker
+    upsert_parquet_with_deletes(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, None, True), (2, None, True)],
+            "k long, v string, _deleted boolean",
+        ),
+        ["k"],
+        n_buckets=4,
+    )
+    assert read_upsert_table(spark, path).count() == 0
+    # insert again: table must read back cleanly with only the new rows
+    upsert_parquet_with_deletes(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b2", False), (5, "e", False)],
+            "k long, v string, _deleted boolean",
+        ),
+        ["k"],
+        n_buckets=4,
+    )
+    got = {r.k: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got == {2: "b2", 5: "e"}
+    # and a further incremental upsert over the rebuilt layout still works
+    upsert_parquet_with_deletes(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, None, True), (6, "f", False)],
+            "k long, v string, _deleted boolean",
+        ),
+        ["k"],
+        n_buckets=4,
+    )
+    got = {r.k: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got == {2: "b2", 6: "f"}

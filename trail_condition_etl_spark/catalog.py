@@ -32,6 +32,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the same (make_timestamp(epoch_us(ts))) so both engines see
         # identical instants. Driver testdata has shipped both ns and µs
         # encodings across rounds, so the grain is sniffed from the footer.
+        # The conf stays set for the session: the returned DataFrame is
+        # lazy and the scan reads the conf at execution time, so it
+        # cannot be restored here without breaking that execution. Any
+        # LongType nano-parquet read in the same session must therefore
+        # declare its own schema (as every load in this catalog does).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.schema(EVENTS_RAW).parquet(path)
         return raw.withColumn(
@@ -54,6 +59,11 @@ def _events_ts_is_nanos(path: str) -> bool:
         target = path
         if os.path.isdir(target):
             inner = [f for f in os.listdir(target) if f.endswith(".parquet")]
+            if not inner:
+                raise FileNotFoundError(
+                    f"no .parquet part files under {target!r}; cannot sniff "
+                    "the events.ts timestamp grain"
+                )
             target = os.path.join(target, sorted(inner)[0])
         ts_type = pq.read_schema(target).field("ts").type
         cached = _TS_GRAIN_CACHE[path] = str(ts_type).startswith("timestamp[ns")

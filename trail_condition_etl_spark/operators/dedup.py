@@ -426,6 +426,10 @@ def dedup_clusters(
         if prev is not None:
             prev.unpersist()
         prev = labels
+    # the final labels are materialized above, so the pair graph cache
+    # is no longer load-bearing — release its executor storage (a later
+    # eviction of `labels` falls back to recomputing the lineage)
+    edges.unpersist()
     return labels
 
 
@@ -743,6 +747,10 @@ def near_dup_pagerank(
         if prev is not None:
             prev.unpersist()
         prev = ranks
+    # final ranks are materialized; drop the graph caches (see
+    # dedup_clusters for the eviction trade-off)
+    edges.unpersist()
+    adj.unpersist()
     return ranks
 
 

@@ -1409,10 +1409,11 @@ def linear_fit(events: DataFrame) -> DataFrame:
     a fixed anchor and y integer cents, so every accumulator is exact
     BIGINT arithmetic (order-independent across any partitioning); the
     closing divisions are identical IEEE ops in both engines."""
-    # two-step floor division mirroring the oracle's `// 1000000 // 86400`
-    # (floor-nesting identity keeps both engines on the same integer x)
-    sec = (F.unix_micros("ts") / 1_000_000).cast("long")
-    x = ((sec - FIT_EPOCH_ANCHOR) / 86400).cast("long")
+    # F.floor, not .cast("long"): casts truncate toward zero while the
+    # oracle's `//` floors, and (sec - anchor) is negative for any event
+    # before the anchor — the two disagree exactly there
+    sec = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    x = F.floor((sec - FIT_EPOCH_ANCHOR) / 86400).cast("long")
     y = F.round(F.col("value") * 100).cast("long")
     agg = events.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy(
         "event_type"
@@ -1572,16 +1573,27 @@ def anomaly_flags(events: DataFrame) -> DataFrame:
             "event_type",
             "n",
             (F.col("sy") / F.col("n")).alias("mean_c"),
-            F.sqrt(
-                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-                / (F.col("n").cast("double") * (F.col("n") - 1))
+            # undefined std (n=1, or zero variance) stays NULL: Spark's
+            # non-ANSI x/0 is NULL but DuckDB's float division is
+            # NaN/inf, so the degenerate groups must never reach the
+            # division in either engine
+            F.when(
+                (F.col("n") > 1)
+                & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+                F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                ),
             ).alias("std_c"),
         )
     )
     scored = events.select("event_type", "event_id", y.alias("y")).join(
         F.broadcast(stats), "event_type"
     )
-    z = (F.col("y") - F.col("mean_c")) / F.col("std_c")
+    z = F.when(
+        F.col("std_c").isNotNull(),
+        (F.col("y") - F.col("mean_c")) / F.col("std_c"),
+    ).otherwise(0.0)
     return (
         scored.withColumn("z", z)
         .groupBy("event_type", "n", "mean_c")
@@ -1611,16 +1623,24 @@ stats AS (
 ),
 sdv AS (
   SELECT event_type, n, sy / CAST(n AS DOUBLE) AS mean_c,
-         sqrt((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1))) AS std_c
+         CASE WHEN n > 1 AND n * syy - sy * sy > 0
+              THEN sqrt((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+         END AS std_c
   FROM stats
+),
+zs AS (
+  SELECT p.event_type, s.n, s.mean_c,
+         CASE WHEN s.std_c IS NOT NULL
+              THEN abs((p.y - s.mean_c) / s.std_c) ELSE 0.0 END AS az
+  FROM pts p JOIN sdv s USING (event_type)
 )
-SELECT p.event_type, s.n,
-  CAST(SUM(CASE WHEN abs((p.y - s.mean_c) / s.std_c) > {ANOMALY_Z}
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-  round(MAX(abs((p.y - s.mean_c) / s.std_c)), 6) AS max_abs_z,
-  round(s.mean_c / 100.0, 4) AS mean_value
-FROM pts p JOIN sdv s USING (event_type)
-GROUP BY p.event_type, s.n, s.mean_c
+SELECT event_type, n,
+  CAST(SUM(CASE WHEN az > {ANOMALY_Z} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_anomalies,
+  round(MAX(az), 6) AS max_abs_z,
+  round(mean_c / 100.0, 4) AS mean_value
+FROM zs
+GROUP BY event_type, n, mean_c
 """
 
 

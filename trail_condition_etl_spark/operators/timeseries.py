@@ -419,7 +419,13 @@ def max_drawdown(events: DataFrame) -> DataFrame:
     )
     cum = F.sum("vc").over(w)
     peak = F.max(F.col("_cum")).over(w)
-    dd = (F.col("_peak") - F.col("_cum")) / F.col("_peak")
+    # peak can be exactly 0 (first day sums to 0 cents): Spark's
+    # non-ANSI 0/0 is NULL, DuckDB's is NaN — guard the division so both
+    # engines emit 0.0 for the degenerate rows
+    dd = F.when(
+        F.col("_peak") != 0,
+        (F.col("_peak") - F.col("_cum")) / F.col("_peak"),
+    ).otherwise(0.0)
     worst = F.max(
         F.struct(
             F.col("_dd").alias("dd"),
@@ -462,7 +468,9 @@ series AS (
 dd AS (
   SELECT user_id, day, cum,
     CAST(MAX(cum) OVER w AS BIGINT) AS peak,
-    round((MAX(cum) OVER w - cum) / CAST(MAX(cum) OVER w AS DOUBLE), 9)
+    round(CASE WHEN MAX(cum) OVER w <> 0
+               THEN (MAX(cum) OVER w - cum) / CAST(MAX(cum) OVER w AS DOUBLE)
+               ELSE 0.0 END, 9)
       AS drawdown
   FROM series
   WINDOW w AS (PARTITION BY user_id ORDER BY day

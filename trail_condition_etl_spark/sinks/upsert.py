@@ -74,6 +74,28 @@ def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     )
 
 
+def _is_fresh_table(table_path: str) -> bool:
+    """True when the merge must take the full-write path: no table, or a
+    table with no `pk_bucket=` directories — the 0-row marker a
+    delete-all leaves behind. Merging INTO the marker would dynamic-
+    overwrite partition dirs alongside the marker's root-level part
+    file, a mixed layout later reads reject."""
+    return not os.path.exists(table_path) or not any(
+        e.startswith("pk_bucket=") for e in os.listdir(table_path)
+    )
+
+
+def _replace_table(df: DataFrame, table_path: str) -> None:
+    """Full (non-dynamic) replace: clear any previous marker/layout, then
+    write the bucketed table from scratch. A 0-row input leaves a
+    readable 0-row marker (schema intact) instead of a bare directory."""
+    if os.path.exists(table_path):
+        shutil.rmtree(table_path)
+    df.write.partitionBy("pk_bucket").mode("overwrite").parquet(table_path)
+    if not any(e.startswith("pk_bucket=") for e in os.listdir(table_path)):
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(table_path)
+
+
 def upsert_parquet(
     spark: SparkSession,
     table_path: str,
@@ -86,13 +108,8 @@ def upsert_parquet(
     new_b = _with_bucket(new_rows, keys, n_buckets)
 
     def attempt() -> None:
-        if not os.path.exists(table_path):
-            (
-                new_b.dropDuplicates(keys)
-                .write.partitionBy("pk_bucket")
-                .mode("overwrite")
-                .parquet(table_path)
-            )
+        if _is_fresh_table(table_path):
+            _replace_table(new_b.dropDuplicates(keys), table_path)
             return
         touched = [
             r.pk_bucket for r in new_b.select("pk_bucket").distinct().collect()
@@ -207,12 +224,10 @@ def upsert_parquet_with_deletes(
     dead_keys = ch_b.filter(F.col(tombstone_col)).select(*keys).distinct()
 
     def attempt() -> None:
-        if not os.path.exists(table_path):
-            (
-                live.dropDuplicates(keys)
-                .write.partitionBy("pk_bucket")
-                .mode("overwrite")
-                .parquet(table_path)
+        if _is_fresh_table(table_path):
+            _replace_table(
+                live.dropDuplicates(keys).join(dead_keys, keys, "left_anti"),
+                table_path,
             )
             return
         touched = [
