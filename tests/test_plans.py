@@ -40,10 +40,24 @@ def test_shipping_priority_broadcasts_customer(spark):
 
 def test_classifier_single_fact_shuffle(spark):
     df = _q(spark, "trail_classifier")
-    # window exchange + tiny post-agg exchange + 1-row anchor agg exchange;
-    # anything more means the fact table is being reshuffled needlessly
-    assert plans.count_exchanges(df) <= 3
+    # window exchange + tiny post-agg exchange; anything more means the
+    # fact table is being reshuffled needlessly
+    assert plans.count_exchanges(df) <= 2
     assert not plans.uses_python_row_udf(df)
+    # the anchor is a bounded driver collect, not a crossJoined scalar
+    # subplan: the fact is scanned exactly once
+    assert plans.count_scans_of(df, "events.parquet") == 1
+
+
+def test_cosine_topk_corpus_never_shuffles_before_topk(spark):
+    # queries broadcast against the corpus; the ONLY exchange is the
+    # per-query top-k window's hash partitioning of (q_id, cand) rows —
+    # the corpus side itself reaches the join exchange-free
+    df = _q(spark, "cosine_topk")
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.count_broadcasts(df) >= 1
+    assert plans.count_exchanges(df) <= 1
 
 
 def test_no_python_row_udfs_anywhere(spark):

@@ -61,14 +61,25 @@ def derive_weather_from_events(events: DataFrame, n_cities: int = 10) -> DataFra
 
     Every derivation is a per-row IEEE double op (fmod/sub) that evaluates
     bit-identically in Spark and DuckDB.
+
+    The scalar "now" is a bounded 1-row driver collect (epoch seconds of
+    max(ts), hour-truncated) folded back in as a literal — the r2 form
+    cross-joined a 1-row aggregate subplan, which put a SECOND full
+    FileScan of the fact into every consumer's plan. The anchor job reads
+    only the pruned `ts` column; the main plan then scans the fact once.
     """
-    anchor = F.date_trunc("hour", F.max("ts")).alias("a")
-    # scalar "now": a 1-row aggregate, cross-joined (broadcast) onto the facts
-    anchor_df = events.agg(
-        (anchor - F.expr("INTERVAL 24 HOURS")).alias("anchor_ts")
-    )
+    # bounded collect: one row, one long (sanctioned like the streaming
+    # anchor at streaming/pipeline.py) — epoch seconds sidestep the
+    # driver-local-timezone conversion of collected timestamps
+    anchor_epoch = events.agg(
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.max("ts"))) - 24 * 3600
+        ).alias("e")
+    ).first()["e"]
     return (
-        events.crossJoin(F.broadcast(anchor_df))
+        events.withColumn(
+            "anchor_ts", F.timestamp_seconds(F.lit(anchor_epoch))
+        )
         .select(
             (F.col("user_id") % n_cities).cast("int").alias("city_id"),
             F.col("ts").alias("timestamp_utc"),

@@ -69,6 +69,20 @@ def has_partition_filters(df: DataFrame) -> bool:
     return bool(re.search(r"PartitionFilters: \[(?!\])", plan))
 
 
+def count_scans_of(df: DataFrame, path_token: str) -> int:
+    """How many parquet scans of a given file/table the plan contains —
+    pins 'this fact table is read exactly once' (a scalar-subquery
+    crossJoin silently doubles the scan)."""
+    plan = formatted_plan(df)
+    return len(
+        [
+            m
+            for m in re.findall(r"Location: \w+ ?\[[^\]]*\]", plan)
+            if path_token in m
+        ]
+    )
+
+
 def uses_python_row_udf(df: DataFrame) -> bool:
     """True if the plan contains row-at-a-time Python evaluation
     (BatchEvalPython). Arrow-batched eval (ArrowEvalPython / mapInPandas)
