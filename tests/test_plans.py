@@ -204,6 +204,24 @@ def test_pq_topk_no_cartesian_after_encode(spark):
     assert "BroadcastNestedLoop" in plan
 
 
+def test_ivf_pq_topk_prunes_candidates_via_equi_join(spark):
+    # the composition's point: NO Q×N pairing — candidates come from an
+    # equi-join on the probed cell id (BroadcastHashJoin on `cell`), so
+    # no CartesianProduct anywhere, and the only nested-loop joins are
+    # the two intentional ×16-centroid broadcasts (corpus-cell
+    # assignment and query-cell probing), never codes×queries (the
+    # flat-ADC pq_topk keeps that BNLJ as the small-scale baseline)
+    import re
+
+    df = _q(spark, "ivf_pq_topk")
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2
+    assert re.search(r"BroadcastHashJoin \[cell#\d+L?\]", plan), (
+        "candidate pruning must be an equi-join on the probed cell id"
+    )
+
+
 def test_winsorize_broadcasts_bounds(spark):
     # per-type percentile bounds broadcast back over the fact table
     df = _q(spark, "winsorize")

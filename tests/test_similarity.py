@@ -89,3 +89,29 @@ def test_pq_recall_floor(spark):
     # 16 subspaces x 16 codes (64-bit PQ) on an isotropic corpus:
     # 0.40/0.31 measured at sf0.001/sf0.1 vs ~0.001 for random top-5
     assert recall >= 0.2, f"pq recall@5 {recall:.2f} < 0.2 floor"
+
+
+def test_ivf_pq_composition(spark):
+    """The IVF∘PQ scale path: (a) its results are a SUBSET of flat-ADC
+    PQ ranking restricted to probed cells — every returned (q, v) must
+    carry the identical ADC distance the flat path computes; (b) recall
+    vs the exact baseline stays above the floor implied by composing
+    cell pruning with PQ distortion."""
+    emb = _emb(spark)
+    flat = {
+        (r.q_id, r.vec_id): r.adc_d2
+        for r in similarity.pq_topk(emb, k=1_000_000).collect()
+    }
+    composed = similarity.ivf_pq_topk(emb).collect()
+    for r in composed:
+        assert abs(flat[(r.q_id, r.vec_id)] - r.adc_d2) < 1e-9, (
+            "composition changed an ADC distance"
+        )
+    truth = _topk_sets(similarity.cosine_topk(emb))
+    approx = _topk_sets(similarity.ivf_pq_topk(emb))
+    assert truth.keys() == approx.keys(), "every query must return results"
+    recalls = [
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.1, f"ivf_pq recall@5 {recall:.2f} < 0.1 floor"
