@@ -48,6 +48,9 @@ HEADLINE = [
     "scd2_lookup",
     "hybrid_retrieval",
     "cms_estimate",
+    # round-3 additions
+    "ivf_pq_topk",
+    "minhash_near_dup_x64",
 ]
 
 

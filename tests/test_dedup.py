@@ -87,3 +87,21 @@ def test_exact_dedup_finds_planted_copies(spark):
     # every group accounts for its copies
     assert sum(r.n_copies for r in dedup.exact_dedup(docs).collect()) == total
     assert all(r.n_copies >= 2 for r in dups)
+
+
+def test_pair_graph_artifact_built_once_and_identical(spark):
+    """The shared pair-graph artifact: one LSH pass per corpus snapshot
+    (both calls read the SAME materialized files), values byte-identical
+    to the inline computation — so every graph consumer's oracle is
+    unchanged by the artifact indirection."""
+    docs = _docs(spark)
+    a = dedup.shared_minhash_pairs(docs)
+    files_a = set(a.inputFiles())
+    b = dedup.shared_minhash_pairs(docs)
+    assert files_a and set(b.inputFiles()) == files_a
+    inline = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_pairs(docs).collect()
+    }
+    shared = {(r.doc_a, r.doc_b, r.jaccard) for r in a.collect()}
+    assert inline == shared

@@ -963,8 +963,23 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_near_dup", oracle=dedup.MINHASH_PAIRS_SQL)
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first consumer builds the per-snapshot pair-graph artifact; the
+    # five graph queries + the curation funnel then read it
     (documents,) = _tables(spark, sf_dir, "documents")
-    return dedup.minhash_pairs(documents)
+    return dedup.shared_minhash_pairs(documents)
+
+
+@query("minhash_near_dup_x64")
+def q_minhash_near_dup_x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit-id production variant (xxhash64 shingle ids): the BENCH
+    # entry for the dedup family — the sha-prefix ids mod 1e6+3 used by
+    # the oracle path birthday-collide at ~1e9 distinct shingles,
+    # silently merging shingles at corpus scale; xxhash64 does not.
+    # No DuckDB oracle (DuckDB has no xxhash64 — driver records the
+    # rows-only check); pair-set equality vs the oracle path is pinned
+    # in tests/test_dedup.py::test_minhash_xxhash_agrees_with_horner.
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(documents, use_xxhash=True)
 
 
 @query("incremental_near_dup", oracle=dedup.MINHASH_PAIRS_SQL)
@@ -1178,6 +1193,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(embeddings)
+
+
+@query("ivf_pq_topk", oracle=similarity.IVF_PQ_TOPK_SQL)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100 TB ANN configuration: IVF cell pruning composed with PQ
+    # ADC ranking — candidates are probed-cell members only, so the ADC
+    # never materializes a Q×N pair set (pq_topk's flat-ADC remains the
+    # small-scale oracle baseline)
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(embeddings)
 
 
 # ---------------------------------------------------------------------------
