@@ -151,6 +151,72 @@ class TestRetry:
         assert state[(5, "2024-01-01")] == -1.0
         assert len(state) == 10
 
+    def test_crash_mid_bucket_swap_stays_consistent_and_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash BETWEEN bucket overwrites (the worst case a non-atomic
+        multi-directory commit can hit): the first attempt dynamically
+        overwrites only SOME touched buckets, then dies. The table read
+        back mid-crash must show every key at either its pre-merge or
+        its post-merge value (bucket-level atomicity — never a torn or
+        missing key), and the retry — which re-reads the partially
+        merged state — must converge to the exact post-merge table
+        (idempotence of merge over any pre/post mixture)."""
+        path = str(tmp_path / "weather")
+        keys = ["city_id", "timestamp_utc"]
+        upsert.upsert_parquet(
+            spark,
+            path,
+            _facts(spark, [(i, "2024-01-01", float(i)) for i in range(40)]),
+            keys,
+        )
+        pre = dict(((c, t), v) for c, t, v in _state(spark, path))
+        updates = _facts(
+            spark, [(i, "2024-01-01", -float(i) - 1.0) for i in range(40)]
+        )
+        post = {(i, "2024-01-01"): -float(i) - 1.0 for i in range(40)}
+        real_write = upsert._write_merged
+        crash = {"done": False}
+        mid_states = []
+
+        def partial_then_crash(merged, table_path):
+            if crash["done"]:
+                real_write(merged, table_path)
+                return
+            crash["done"] = True
+            buckets = sorted(
+                r.pk_bucket
+                for r in merged.select("pk_bucket").distinct().collect()
+            )
+            half = set(buckets[: len(buckets) // 2])
+            # dynamic overwrite of HALF the touched buckets, then die —
+            # exactly the state a job killed mid-commit leaves behind
+            real_write(merged.filter(F.col("pk_bucket").isin(half)), table_path)
+            mid_states.append(_state(spark, path))
+            raise OSError("simulated crash between bucket swaps")
+
+        monkeypatch.setattr(upsert, "_write_merged", partial_then_crash)
+        orig_retry = upsert.retry_with_backoff
+        monkeypatch.setattr(
+            upsert,
+            "retry_with_backoff",
+            lambda fn, **kw: orig_retry(fn, sleep=lambda _s: None),
+        )
+        upsert.upsert_parquet(spark, path, updates, keys)
+        # mid-crash view: readable, every key present exactly once, each
+        # at pre- OR post-merge value
+        (mid,) = mid_states
+        mid_d = dict(((c, t), v) for c, t, v in mid)
+        assert set(mid_d) == set(pre)
+        assert all(
+            mid_d[k] == pre[k] or mid_d[k] == post[k] for k in mid_d
+        )
+        assert any(mid_d[k] == post[k] for k in mid_d), (
+            "the partial write should have landed at least one bucket"
+        )
+        # after the retry: exact post-merge state
+        assert dict(((c, t), v) for c, t, v in _state(spark, path)) == post
+
 
 class TestDlq:
     def test_append_and_redrive_filter(self, spark, tmp_path):
