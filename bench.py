@@ -62,10 +62,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM codegen + parquet footers, outside the timed region
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
     from trail_condition_etl_spark import catalog
 
     for t in ("lineitem", "events", "documents", "embeddings"):
         catalog.load_table(spark, sf_dir, t).count()
+    # one tiny representative pipeline (scan -> window -> agg -> noop)
+    # warms the JVM paths every query shares: whole-stage codegen
+    # compilation, the noop committer, shuffle/AQE machinery. Without
+    # it the FIRST timed query absorbs ~2s of one-time JVM cost that is
+    # not part of any query's work.
+    warm = (
+        spark.range(10_000)
+        .withColumn("g", F.col("id") % 7)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("id")),
+        )
+        .groupBy("g")
+        .agg(F.sum("rn").alias("s"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
+    # warm the Arrow/pandas-UDF worker pool and the driver serialization
+    # paths the ANN queries use (python worker spawn is ~1-2s once)
+    from pyspark.sql.functions import pandas_udf
+
+    # plain lambda: the annotations future-import above makes hint-based
+    # eval-type inference fail on string hints
+    _warm_udf = pandas_udf(lambda s: s * 2.0, "double")
+    spark.range(1000).select(
+        _warm_udf(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
+    spark.createDataFrame([(1, [1.0, 2.0])], "a long, b array<double>").collect()
 
     qs = registry.queries()
     timings: dict[str, float] = {}
