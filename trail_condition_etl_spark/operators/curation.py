@@ -22,10 +22,11 @@ Scale notes (100 TB):
   corpus, so the gram-id set is explicitly ``broadcast()`` — the corpus
   side never shuffles; the per-doc overlap agg is keyed by ``doc_id``
   (no skew: a document only meets its own grams).
-* gram ids are the cross-engine Horner char hash (operators/hashing.py) —
-  pure map-side arithmetic, an 8-byte join key instead of a
-  40-byte string, and DuckDB-reproducible so the query stays
-  oracle-checked. Production corpora wanting a 64-bit range swap in
+* gram ids are the cross-engine sha2-prefix hash (operators/hashing.py)
+  — native-codegen map-side arithmetic (the per-character Horner fold
+  evaluates interpreted and cost ~3x on these ~30-char grams), an
+  8-byte join key instead of a 40-byte string, and DuckDB-reproducible
+  so the query stays oracle-checked. Production corpora wanting a 64-bit range swap in
   ``F.xxhash64`` at the one call site (same seam as dedup.py).
 * repetition scoring's only shuffle is the per-(doc_id, bigram) count —
   keyed by doc_id, embarrassingly parallel, no skew.
@@ -43,7 +44,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import char_poly_hash, char_poly_hash_sql
+from .hashing import (
+    char_poly_hash,
+    char_poly_hash_sql,
+    sha_prefix_hash,
+    sha_prefix_hash_sql,
+)
 
 # ---------------------------------------------------------------------------
 # shared: word n-grams as a per-row array (narrow, codegen'd)
@@ -52,12 +58,22 @@ from .hashing import char_poly_hash, char_poly_hash_sql
 
 def _word_ngrams(n: int, col: str = "text") -> Column:
     """Array of space-joined word n-grams; empty when the doc has fewer
-    than n tokens (guarded: sequence(1, k) with k < 1 would step -1)."""
+    than n tokens. Built as a zip_with ladder over shifted token slices
+    (the dedup.py shingle pattern): each step is one narrow concat per
+    element in WholeStageCodegen — the per-index array_join(slice(...))
+    form re-sliced the token array per gram and measured ~3x slower on
+    this corpus. zip_with pads the shorter side with null, so the tail
+    positions (and any doc shorter than n) concat to null and are
+    filtered, leaving exactly the n-gram list in document order."""
     toks = F.split(F.col(col), " ")
-    nt = F.size(toks)
-    idx = F.sequence(F.lit(1), nt - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(nt >= n, grams).otherwise(F.array().cast("array<string>"))
+    grams = toks
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.filter(grams, lambda x: x.isNotNull())
 
 
 def _ngrams_sql(n: int) -> str:
@@ -92,13 +108,16 @@ def decontaminate(
     flow into a broadcast join keyed by doc_id afterwards.
     """
     grams = F.array_distinct(_word_ngrams(n))
-    with_g = documents.select("doc_id", grams.alias("grams"))
+    # the gram-array construction feeds THREE branches (benchmark ids,
+    # train explode, per-doc totals) — lazily persist so it evaluates
+    # once per document, not three times
+    with_g = documents.select("doc_id", grams.alias("grams")).persist()
     is_bench = (F.col("doc_id") % benchmark_mod) == 0
 
     bench_ids = (
         with_g.filter(is_bench)
         .select(F.explode("grams").alias("gram"))
-        .select(char_poly_hash("gram").alias("gid"))
+        .select(sha_prefix_hash("gram").alias("gid"))
         .distinct()
     )
     train = with_g.filter(~is_bench)
@@ -107,7 +126,7 @@ def decontaminate(
     )
     overlap = (
         train.select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", char_poly_hash("gram").alias("gid"))
+        .select("doc_id", sha_prefix_hash("gram").alias("gid"))
         .join(F.broadcast(bench_ids), "gid")
         .groupBy("doc_id")
         .agg(F.count_distinct("gid").cast("long").alias("n_overlap"))
@@ -137,7 +156,7 @@ g AS (
 ),
 ids AS (
   SELECT doc_id, len(grams) AS n_grams,
-    list_transform(grams, gram -> {char_poly_hash_sql('gram')}) AS gids
+    list_transform(grams, gram -> {sha_prefix_hash_sql('gram')}) AS gids
   FROM g
 ),
 bench AS (
@@ -374,17 +393,21 @@ def curation_funnel(
     from .text import quality_score
 
     total = documents.select("doc_id")
+    # each stage's doc_id set feeds MULTIPLE count branches (canon is
+    # under 4 of the 5) — lazily persist the narrow id frames so the
+    # single unioned action computes each heavy stage subplan once
     canon = (
         dedup_clusters(documents)
         .filter(F.col("canonical_doc_id") == F.col("doc_id"))
         .select("doc_id")
+        .persist()
     )
     quality_keep = (
         quality_score(documents)
         .filter(F.col("quality_score") >= quality_threshold)
         .select("doc_id")
     )
-    s2 = canon.join(quality_keep, "doc_id")
+    s2 = canon.join(quality_keep, "doc_id").persist()
     # decontaminate() emits train docs only: the benchmark slice leaves
     # the corpus here too (it is eval data, not training data)
     decon_keep = (
@@ -392,7 +415,7 @@ def curation_funnel(
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    s3 = s2.join(decon_keep, "doc_id")
+    s3 = s2.join(decon_keep, "doc_id").persist()
     rep_keep = (
         repetition_score(documents)
         .filter(~F.col("repetitive"))
@@ -710,3 +733,133 @@ LIMIT {SAMPLE_K}
 
 
 HASH_SAMPLE_K_SQL = _hash_sample_sql()
+
+
+TOKEN_BUDGET_PER_SOURCE = 50_000
+
+
+def budget_fill(
+    documents: DataFrame, budget_tokens: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Greedy token-budget planner: each source gets a token quota, docs
+    are admitted best-first (average word length as the deterministic
+    quality proxy — exact integer micro-units, doc_id tie-break) until
+    the running token total would exceed the quota. The decision is a
+    per-source windowed cumulative sum — partitioned by source, never a
+    global sort — and the output is the bounded per-source admission
+    summary a scheduler consumes.
+
+    This is the step between curation and tokenization in a pretraining
+    pipeline: mixture weights say WHAT fraction each source deserves;
+    the budget fill decides WHICH documents spend it."""
+    n_tokens = F.size(F.split("text", " "))
+    # avg chars per token in exact micro-units: length(text) is engine-
+    # identical and the division is one IEEE op -> floor to micros
+    prio = F.floor(
+        F.length("text").cast("long") * 1_000_000 / n_tokens
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("prio_micros"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = documents.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        prio.alias("prio_micros"),
+    )
+    admitted = (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.max("cum_tokens").alias("tokens_used"),
+        F.min("prio_micros").alias("worst_prio_micros"),
+        F.max("prio_micros").alias("best_prio_micros"),
+    )
+
+
+BUDGET_FILL_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(floor(length(text) * 1000000 / len(string_split(text, ' ')))
+         AS BIGINT) AS prio_micros
+  FROM documents
+),
+cum AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY prio_micros DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_admitted,
+  MAX(cum_tokens) AS tokens_used,
+  MIN(prio_micros) AS worst_prio_micros,
+  MAX(prio_micros) AS best_prio_micros
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+GROUP BY source
+"""
+
+
+def lang_drift(documents: DataFrame) -> DataFrame:
+    """Per-source language-distribution drift vs the corpus-wide mix: a
+    chi-square-style divergence sum((p_sl - p_l)^2 / p_l) over languages
+    — the monitor a multi-source pipeline alarms on when one feed's
+    language mix shifts. Log-free (cross-engine determinism: only +,-,
+    *,/ in a fixed order on exact integer counts), computed from two
+    tiny aggregates: (source, lang) counts and corpus lang counts
+    broadcast back. Output is one bounded row per source."""
+    sl = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl")
+    )
+    s_tot = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    l_tot = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_tot = documents.count()  # bounded driver scalar (one long)
+    term = (
+        (F.col("n_sl") / F.col("n_s") - F.col("n_l") / F.lit(n_tot))
+        * (F.col("n_sl") / F.col("n_s") - F.col("n_l") / F.lit(n_tot))
+        / (F.col("n_l") / F.lit(n_tot))
+    )
+    return (
+        sl.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(l_tot), "lang")
+        .select("source", "lang", term.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("t") * 1_000_000_000).cast("long"))
+                / 1_000_000_000.0,
+                6,
+            ).alias("chi2_drift"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
+
+
+LANG_DRIFT_SQL = """
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS n_sl FROM documents GROUP BY source, lang
+),
+s_tot AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+l_tot AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+n_tot AS (SELECT COUNT(*) AS n FROM documents),
+terms AS (
+  SELECT sl.source,
+    (sl.n_sl / s_tot.n_s - l_tot.n_l / n_tot.n)
+      * (sl.n_sl / s_tot.n_s - l_tot.n_l / n_tot.n)
+      / (l_tot.n_l / n_tot.n) AS t
+  FROM sl
+  JOIN s_tot USING (source)
+  JOIN l_tot USING (lang)
+  CROSS JOIN n_tot
+)
+SELECT source,
+  round(CAST(SUM(CAST(round(t * 1000000000) AS BIGINT)) AS BIGINT)
+        / 1000000000.0, 6) AS chi2_drift,
+  COUNT(*) AS n_langs
+FROM terms GROUP BY source
+"""

@@ -1895,3 +1895,185 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: top customers by revenue lost to returns
+    (l_returnflag = 'R'). The returnflag filter pushes into the fact
+    scan; customer and nation broadcast; the only big shuffle is the
+    lineitem<->orders orderkey join; the final top-k is a
+    TakeOrderedAndProject over exact integer revenue (deterministic
+    ordering, c_custkey tie-break)."""
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).alias("_r"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("_r"), "c_custkey")
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("_r") / 10000.0, 4).alias("lost_revenue"),
+            "n_returned_items",
+        )
+    )
+
+
+RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name, n_name,
+  round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS BIGINT) / 10000.0, 4) AS lost_revenue,
+  COUNT(*) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+  DESC, c_custkey
+LIMIT 20
+"""
+
+
+def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) whose revenue equals the global
+    maximum per-supplier revenue. The per-supplier aggregate computes
+    once; the 1-row MAX re-aggregates the (small) per-supplier frame and
+    broadcasts back — never an empty-partitionBy window over the fact.
+    Exact integer revenue makes the equality comparison engine-safe."""
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    per_supp = lineitem.groupBy("l_suppkey").agg(F.sum(rev).alias("_r"))
+    top = per_supp.agg(F.max("_r").alias("_max_r"))
+    return (
+        per_supp.join(F.broadcast(top))
+        .filter(F.col("_r") == F.col("_max_r"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_r") / 10000.0, 4).alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(r / 10000.0, 4) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM per_supp)
+"""
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped: revenue over an OR-of-ANDs predicate — three
+    (brand, size band, quantity band) alternatives. The shape exercises
+    Catalyst's handling of disjunctive join-residual predicates: the
+    common l_partkey = p_partkey conjunct drives a broadcast hash join,
+    the disjunction evaluates as a residual filter, and the shared
+    quantity/size bounds still push down as range filters."""
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    alt1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    )
+    alt2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 25)
+    )
+    alt3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(15, 35)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(alt1 | alt2 | alt3)
+        .agg(
+            F.round(F.sum(rev) / 10000.0, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT
+  round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 35
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def late_shipment_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12-shaped: of lines shipped more than a year after their
+    order date (the testdata has no shipmode/commitdate columns, so
+    lateness is ship-vs-order lag), how many belong to critical-priority
+    orders vs not, per line status. One orderkey join, one small agg;
+    the date arithmetic is engine-exact (day-granularity timestamps)."""
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr(
+        "INTERVAL 365 DAYS"
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(critical, F.lit(1))).alias("critical_lines"),
+            F.count(F.when(~critical, F.lit(1))).alias("noncritical_lines"),
+        )
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT l_linestatus,
+  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+    AS critical_lines,
+  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+    AS noncritical_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 365 DAY
+GROUP BY l_linestatus
+"""
