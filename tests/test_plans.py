@@ -279,6 +279,17 @@ def test_ivf_index_probe_uses_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in plans.formatted_plan(df).lower()
 
 
+def test_ivf_pq_index_probe_prunes_partitions_and_reads_codes_only(spark):
+    # the persisted IVF∘PQ probe: (a) only probed cell=N/ dirs are
+    # listed (static PartitionFilters from the driver-known probe set),
+    # (b) the scan reads the CODES columns only — zero embedding bytes
+    df = _q(spark, "ivf_pq_index_probe")
+    assert plans.has_partition_filters(df)
+    schemas = plans.scan_read_schemas(df)
+    assert schemas and all("embedding" not in s for s in schemas)
+    assert any("cs:array<int>" in s for s in schemas)
+
+
 def test_single_shuffle_aggregation_family(spark):
     # these operators are one partial+final aggregation (or one
     # key-clustered window) end to end — a second exchange means the

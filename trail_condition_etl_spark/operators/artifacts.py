@@ -17,6 +17,7 @@ one build per snapshot, consumers pay only the read.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -24,15 +25,22 @@ from pyspark.sql import DataFrame
 
 def corpus_key(df: DataFrame) -> tuple | None:
     """Identity of a file-backed frame's CONTENT: (path, size, mtime) of
-    every input file. None for non-file sources -> caller computes
-    inline (no stable identity to key on)."""
+    every input file PLUS the frame's normalized logical plan (expression
+    ids stripped — they differ per invocation of the same expression).
+    The plan component matters: a FILTERED view of a table reads the same
+    files as the whole table, and keying on files alone would silently
+    serve the full-corpus artifact for the subset (or vice versa).
+    None for non-file sources -> caller computes inline."""
     try:
         files = sorted(df.inputFiles())
+        plan = re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+        )
     except Exception:
         return None
     if not files:
         return None
-    key = []
+    key: list = [plan]
     for f in files:
         p = f.removeprefix("file:")
         try:

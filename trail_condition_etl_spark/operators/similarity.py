@@ -113,12 +113,18 @@ qs AS (
 # stays K_TRAIN rows while the corpus-side work remains one narrow scan.
 K_TRAIN = 256
 
-_SAMP_CTE = f"""
+def _samp_cte(pred: str = "TRUE") -> str:
+    """The bounded training-sample CTE; `pred` restricts the draw pool
+    (the incremental-index oracle trains on the FIRST batch only)."""
+    return f"""
 samp AS (
-  SELECT vec_id, e, norm FROM base
+  SELECT vec_id, e, norm FROM base WHERE {pred}
   ORDER BY {sha_prefix_hash_sql('CAST(vec_id AS VARCHAR)')}, vec_id
   LIMIT {K_TRAIN}
 )"""
+
+
+_SAMP_CTE = _samp_cte()
 
 
 def _int_half_up(x: float) -> int:
@@ -588,40 +594,53 @@ SELECT q_id, rk, vec_id, label, cosine FROM ranked WHERE rk <= 5
 # ---------------------------------------------------------------------------
 
 
+def _sample_matrices(
+    sample: list[tuple[int, list[float]]], scale: int
+) -> tuple[list[int], np.ndarray, np.ndarray]:
+    """(ids, X, IX): the sample as a float64 matrix plus its exact
+    integer-scaled image (decimal-half-up per element, the engines'
+    round(v * scale) AS BIGINT) for order-independent centroid sums."""
+    ids = [vid for vid, _v in sample]
+    X = np.stack([np.asarray(v, dtype=np.float64) for _vid, v in sample])
+    IX = np.array(
+        [[_int_half_up(float(x) * scale) for x in row] for row in X],
+        dtype=np.int64,
+    )
+    return ids, X, IX
+
+
 def _train_ivf_py(
     sample: list[tuple[int, list[float]]],
 ) -> list[tuple[int, list[float], float]]:
     """Deterministic coarse quantizer trained on the bounded sample:
     IVF_CELLS k-means cells seeded from the sample's lowest vec_ids, two
-    Lloyd rounds. Pure driver arithmetic replaying the engines' exact
-    operations: in-order dot folds, HALF_UP rounding at scale 9, and
-    integer-scaled exact centroid sums — the SQL oracle's training CTEs
-    produce bit-identical centroids. Returns (cell, ce, c_norm) rows
-    sorted by cell id."""
-    vecs = dict(sample)
-    norms = {vid: math.sqrt(_dot_py(v, v)) for vid, v in sample}
+    Lloyd rounds. Driver arithmetic replays the engines' exact
+    operations — `_fold_mul_sum` in-order dots, integer-scaled centroid
+    sums — so the SQL oracle's training CTEs produce bit-identical
+    centroids. Centroid lists stay cell-sorted, so numpy's
+    first-occurrence argmax equals MAX(struct(sim, -cell)). Returns
+    (cell, ce, c_norm) rows sorted by cell id."""
+    ids, X, IX = _sample_matrices(sample, IVF_SCALE)
+    norms = np.sqrt(_fold_mul_sum(X, X))
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:IVF_CELLS]
     cents = [
-        (vid, list(vecs[vid]), norms[vid]) for vid in sorted(vecs)[:IVF_CELLS]
+        (ids[i], [float(x) for x in X[i]], float(norms[i])) for i in order
     ]
     for _ in range(IVF_ITERS):
-        members: dict[int, list[list[float]]] = {}
-        for vid, v in sample:
-            # MAX(struct(sim, -cell)): highest sim, ties -> smallest cell
-            best = max(
-                (_dot_py(v, ce) / (norms[vid] * cn), -cell)
-                for cell, ce, cn in cents
-            )
-            members.setdefault(-best[1], []).append(v)
-        cents = []
-        for cell in sorted(members):
-            vs = members[cell]
-            n = len(vs)
-            ce = [
-                (sum(_int_half_up(v[i] * IVF_SCALE) for v in vs) / IVF_SCALE)
-                / n
-                for i in range(len(vs[0]))
-            ]
-            cents.append((cell, ce, math.sqrt(_dot_py(ce, ce))))
+        C = np.stack([np.asarray(ce) for _c, ce, _n in cents])
+        cn = np.asarray([n for _c, _ce, n in cents])
+        sims = _fold_mul_sum(X[:, None, :], C[None, :, :]) / (
+            norms[:, None] * cn[None, :]
+        )
+        assign = np.argmax(sims, axis=1)
+        new = []
+        for ci in sorted(set(assign.tolist())):
+            mask = assign == ci
+            s = IX[mask].sum(axis=0)
+            n = int(mask.sum())
+            ce = [(int(si) / IVF_SCALE) / n for si in s]
+            new.append((cents[ci][0], ce, math.sqrt(_dot_py(ce, ce))))
+        cents = new
     return cents
 
 
@@ -1007,39 +1026,34 @@ def _train_pq_py(
     centroid sums — the same engine-exact arithmetic as `_train_ivf_py`,
     replayed verbatim by the oracle's training CTEs. Returns per-m
     codebooks sorted by cell id (so list position IS the dense code)."""
-    subs = {
-        vid: [v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for m in range(PQ_M)]
-        for vid, v in sample
-    }
-    seed_ids = sorted(subs)[:PQ_K]
+    ids, X, IX = _sample_matrices(sample, PQ_SCALE)
+    seed_idx = sorted(range(len(ids)), key=lambda i: ids[i])[:PQ_K]
     books: dict[int, list[tuple[int, list[float], float]]] = {}
     for m in range(PQ_M):
+        Xm = X[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        IXm = IX[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        xx = _fold_mul_sum(Xm, Xm)
         cents = [
-            (vid, list(subs[vid][m]), _dot_py(subs[vid][m], subs[vid][m]))
-            for vid in seed_ids
+            (ids[i], [float(x) for x in Xm[i]], float(xx[i]))
+            for i in seed_idx
         ]
         for _ in range(PQ_ITERS):
-            members: dict[int, list[list[float]]] = {}
-            for vid, _v in sample:
-                sv = subs[vid][m]
-                # MIN(struct(d2, cell)): smallest distance, ties -> cell
-                best = min(
-                    (_pq_d2_py(sv, ce, cc), cell) for cell, ce, cc in cents
-                )
-                members.setdefault(best[1], []).append(sv)
-            cents = []
-            for cell in sorted(members):
-                vs = members[cell]
-                n = len(vs)
-                ce = [
-                    (
-                        sum(_int_half_up(x[i] * PQ_SCALE) for x in vs)
-                        / PQ_SCALE
-                    )
-                    / n
-                    for i in range(PQ_SUBDIM)
-                ]
-                cents.append((cell, ce, _dot_py(ce, ce)))
+            C = np.stack([np.asarray(ce) for _c, ce, _cc in cents])
+            cc = np.asarray([c for _c, _ce, c in cents])
+            xc = _fold_mul_sum(Xm[:, None, :], C[None, :, :])
+            # ((xx - 2xc) + cc): the engines' d2 identity, elementwise —
+            # cents stay cell-sorted so first-occurrence argmin equals
+            # MIN(struct(d2, cell))
+            d2 = xx[:, None] - 2 * xc + cc[None, :]
+            assign = np.argmin(d2, axis=1)
+            new = []
+            for ci in sorted(set(assign.tolist())):
+                mask = assign == ci
+                s = IXm[mask].sum(axis=0)
+                n = int(mask.sum())
+                ce = [(int(si) / PQ_SCALE) / n for si in s]
+                new.append((cents[ci][0], ce, _dot_py(ce, ce)))
+            cents = new
         books[m] = cents
     return books
 
@@ -1322,6 +1336,123 @@ def ivf_index_roundtrip_query(
     return ivf_index_probe(spark, index_path, qs)
 
 
+def build_ivf_pq_index(embeddings: DataFrame, index_path: str) -> None:
+    """Materialize the IVF∘PQ index: the coarse centroids and the
+    per-subspace PQ codebooks as two small parquet artifacts, and the
+    corpus as (vec_id, label, cs) PARTITIONED BY CELL. The codes table
+    is ~16x smaller than the raw vectors, so a probe at 100 TB is
+    file-pruned IO over the CODE table only — the memory-bound regime's
+    build-once-probe-many artifact (FAISS's IVFPQ on-disk layout,
+    re-expressed as a partitioned parquet table)."""
+    import os
+
+    sample = _collect_sample(embeddings)
+    cents = _memo_train("ivf", embeddings, sample, _train_ivf_py)
+    books = _memo_train("pq", embeddings, sample, _train_pq_py)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        cents, schema="cell long, ce array<double>, c_norm double"
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "coarse"))
+    spark.createDataFrame(
+        [
+            (m, cell, ce, cc)
+            for m, book in books.items()
+            for cell, ce, cc in book
+        ],
+        schema="m int, cell long, ce array<double>, cc double",
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "books"))
+    enc = _encode_udf(cents, books)
+    (
+        embeddings.select("vec_id", "label", enc("embedding").alias("e"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("e.cell").alias("cell"),
+            F.col("e.cs").alias("cs"),
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(index_path, "codes"))
+    )
+
+
+def ivf_pq_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """Probe the persisted IVF∘PQ index. Codebooks are BOUNDED reads
+    (16 + ≤256 rows; doubles round-trip parquet exactly, so the driver
+    probe/LUT arithmetic is bit-identical to the inline path); the
+    corpus side reads ONLY the probed `cell=N/` code directories —
+    dynamic partition pruning turns the broadcast query frame into a
+    file-level filter, and no embedding arrays are read at all."""
+    import os
+
+    coarse = sorted(
+        (r["cell"], list(r["ce"]), r["c_norm"])
+        for r in spark.read.parquet(os.path.join(index_path, "coarse")).collect()
+    )
+    books: dict[int, list[tuple[int, list[float], float]]] = {}
+    for r in sorted(
+        spark.read.parquet(os.path.join(index_path, "books")).collect(),
+        key=lambda r: (r["m"], r["cell"]),
+    ):
+        books.setdefault(r["m"], []).append((r["cell"], list(r["ce"]), r["cc"]))
+    probes = _probe_py(coarse, queries, n_probe)
+    luts = _lut_py(books, queries)
+    qdf = spark.createDataFrame(
+        [
+            (q_id, int(cell), luts[q_id])
+            for q_id, _q in queries
+            for cell in probes[q_id]
+        ],
+        schema="q_id long, cell long, la array<array<bigint>>",
+    )
+    # the union of probed cells is known on the driver, so the pruning
+    # is STATIC: an isin on the partition column lands in the scan's
+    # PartitionFilters and only probed cell=N/ directories are listed —
+    # stronger than dynamic pruning (no runtime subquery needed)
+    all_cells = sorted({c for cells in probes.values() for c in cells})
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
+        F.col("cell").isin(all_cells)
+    )
+    adc = (
+        codes.join(F.broadcast(qdf), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "label", _adc_expr().alias("adc_l"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_l", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "rk",
+            "vec_id",
+            "label",
+            F.round(F.col("adc_l") / PQ_SCALE, 6).alias("adc_d2"),
+        )
+    )
+
+
+def ivf_pq_index_roundtrip_query(
+    spark: SparkSession, embeddings: DataFrame
+) -> DataFrame:
+    """Build the IVF∘PQ index, then answer through it — output identical
+    to inline `ivf_pq_topk`, so the same SQL oracle checks the whole
+    persisted lifecycle."""
+    import tempfile
+
+    index_path = tempfile.mkdtemp(prefix="ivf_pq_index_")
+    build_ivf_pq_index(embeddings, index_path)
+    return ivf_pq_index_probe(
+        spark, index_path, _collect_sample(embeddings)[:QUERY_K]
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF∘PQ: the actual 100 TB ANN configuration — coarse cells prune the
 # candidate set, PQ ADC ranks only within probed cells
@@ -1392,10 +1523,10 @@ def ivf_pq_topk(
     )
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_sql(samp_pred: str = "TRUE") -> str:
     return f"""
 WITH {_BASE_CTE},
-{_SAMP_CTE},
+{_samp_cte(samp_pred)},
 {_IVF_TRAIN_CTES},
 {_PQ_SUB_CTE},
 {_PQ_TRAIN_CTES},
@@ -1427,3 +1558,111 @@ WHERE r.rk <= 5
 
 
 IVF_PQ_TOPK_SQL = _ivf_pq_sql()
+
+
+def ann_recall_report(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Self-measuring quality report for the approximate paths: recall@k
+    of banded-LSH and IVF against the exact cosine top-k, as a TABLE —
+    the monitoring query an ANN deployment alarms on after every index
+    rebuild. One bounded row per method; the hit counts are exact
+    integers and the recall division is a single fixed-order IEEE op,
+    so the full report (including both approximate pipelines and the
+    exact baseline) is oracle-checked end to end."""
+    truth = cosine_topk(embeddings, k=k).select("q_id", "vec_id")
+    methods = [
+        ("lsh", ann_lsh_topk(embeddings, k=k)),
+        ("ivf", ivf_topk(embeddings, k=k)),
+    ]
+    out = None
+    n_q = F.lit(QUERY_K)
+    for name, approx in methods:
+        hits = (
+            truth.join(
+                approx.select("q_id", "vec_id"), ["q_id", "vec_id"]
+            )
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                F.round(F.col("n_hits") / (n_q * k), 6).alias("recall_at_5"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH truth AS ({COSINE_TOPK_SQL}),
+lsh AS ({ANN_LSH_TOPK_SQL}),
+ivf AS ({IVF_TOPK_SQL})
+SELECT 'lsh' AS method, COUNT(*) AS n_hits,
+  round(COUNT(*) / ({QUERY_K} * 5), 6) AS recall_at_5
+FROM truth t JOIN lsh a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+UNION ALL
+SELECT 'ivf', COUNT(*), round(COUNT(*) / ({QUERY_K} * 5), 6)
+FROM truth t JOIN ivf a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+"""
+
+
+def merge_ivf_pq_batch(
+    spark: SparkSession, index_path: str, batch: DataFrame
+) -> None:
+    """Append-only IVF∘PQ index maintenance — the production mode
+    between periodic retrains: the FIRST batch trains the quantizers
+    (`build_ivf_pq_index`); every later batch encodes against the
+    FROZEN codebooks (bounded read-back) and appends its codes to the
+    cell-partitioned table. An append touches only the arriving batch's
+    cells; codebooks never move; probes see old and new vectors alike.
+    (FAISS's add-after-train contract, as parquet partitions.)"""
+    import os
+
+    if not os.path.exists(os.path.join(index_path, "coarse")):
+        build_ivf_pq_index(batch, index_path)
+        return
+    coarse = sorted(
+        (r["cell"], list(r["ce"]), r["c_norm"])
+        for r in spark.read.parquet(os.path.join(index_path, "coarse")).collect()
+    )
+    books: dict[int, list[tuple[int, list[float], float]]] = {}
+    for r in sorted(
+        spark.read.parquet(os.path.join(index_path, "books")).collect(),
+        key=lambda r: (r["m"], r["cell"]),
+    ):
+        books.setdefault(r["m"], []).append((r["cell"], list(r["ce"]), r["cc"]))
+    enc = _encode_udf(coarse, books)
+    (
+        batch.select("vec_id", "label", enc("embedding").alias("e"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("e.cell").alias("cell"),
+            F.col("e.cs").alias("cs"),
+        )
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(os.path.join(index_path, "codes"))
+    )
+
+
+def incremental_ann_index_query(
+    spark: SparkSession, embeddings: DataFrame
+) -> DataFrame:
+    """Registered-query form of the incremental lifecycle: two arrival
+    batches (vec_id parity), codebooks frozen after batch one, then a
+    probe over the accumulated index. The oracle replays it exactly —
+    the SQL training CTEs draw their sample from batch one only, while
+    encode and probe run over the full corpus."""
+    import tempfile
+
+    index_path = tempfile.mkdtemp(prefix="ivf_pq_incr_")
+    for batch in (
+        embeddings.filter(F.col("vec_id") % 2 == 0),
+        embeddings.filter(F.col("vec_id") % 2 == 1),
+    ):
+        merge_ivf_pq_batch(spark, index_path, batch)
+    return ivf_pq_index_probe(
+        spark, index_path, _collect_sample(embeddings)[:QUERY_K]
+    )
+
+
+INCREMENTAL_ANN_SQL = _ivf_pq_sql(samp_pred="vec_id % 2 = 0")

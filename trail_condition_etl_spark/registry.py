@@ -201,6 +201,36 @@ def q_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.brand_profit(lineitem, orders, part)
 
 
+@query("returned_revenue", oracle=relational.RETURNED_REVENUE_SQL)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q10 shape: returned-item revenue per customer, exact-integer top-k
+    customer, orders, lineitem, nation = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return relational.returned_revenue(customer, orders, lineitem, nation)
+
+
+@query("top_suppliers", oracle=relational.TOP_SUPPLIERS_SQL)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q15 shape: scalar-MAX subquery over the per-supplier aggregate
+    supplier, lineitem = _tables(spark, sf_dir, "supplier", "lineitem")
+    return relational.top_suppliers(supplier, lineitem)
+
+
+@query("disjunctive_revenue", oracle=relational.DISJUNCTIVE_REVENUE_SQL)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q19 shape: OR-of-ANDs residual predicate over a broadcast join
+    lineitem, part = _tables(spark, sf_dir, "lineitem", "part")
+    return relational.disjunctive_revenue(lineitem, part)
+
+
+@query("late_shipment_priority", oracle=relational.LATE_SHIPMENT_PRIORITY_SQL)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 shape: lateness-band conditional counts per line status
+    orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
+    return relational.late_shipment_priority(orders, lineitem)
+
+
 @query("setops_nations", oracle=relational.SETOPS_SQL)
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, supplier = _tables(spark, sf_dir, "customer", "supplier")
@@ -1166,6 +1196,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two approximate-ANN queries are fully oracle-checked: the SQL
 # replays the identical deterministic algorithm (implementation parity);
 # recall floors vs cosine_topk live in tests/test_similarity.py
+@query("budget_fill", oracle=curation.BUDGET_FILL_SQL)
+def q_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy per-source token-budget planner (windowed cumsum admission)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.budget_fill(documents)
+
+
+@query("lang_drift", oracle=curation.LANG_DRIFT_SQL)
+def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source language-mix drift vs the corpus (log-free chi-square)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.lang_drift(documents)
+
+
 @query("ann_lsh_topk", oracle=similarity.ANN_LSH_TOPK_SQL)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
@@ -1193,6 +1237,34 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(embeddings)
+
+
+@query("incremental_ann_index", oracle=similarity.INCREMENTAL_ANN_SQL)
+def q_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # append-only index maintenance: batch 1 trains, batch 2 encodes
+    # against FROZEN codebooks and appends its cells; the probe sees the
+    # accumulated index — oracle trains on batch 1 only, replays exactly
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.incremental_ann_index_query(spark, embeddings)
+
+
+@query("ann_recall_report", oracle=similarity.ANN_RECALL_REPORT_SQL)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-measuring recall@5 of the LSH and IVF paths vs the exact
+    # baseline, as a table — the post-rebuild quality monitor; the
+    # whole three-pipeline composition is oracle-checked
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_report(embeddings)
+
+
+@query("ivf_pq_index_probe", oracle=similarity.IVF_PQ_TOPK_SQL)
+def q_ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted IVF∘PQ lifecycle: codebooks + cell-partitioned CODES
+    # table (16x smaller than vectors); probes read only probed cell
+    # dirs (static partition pruning) and no embedding bytes at all —
+    # output, and therefore the oracle, identical to inline ivf_pq_topk
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_index_roundtrip_query(spark, embeddings)
 
 
 @query("ivf_pq_topk", oracle=similarity.IVF_PQ_TOPK_SQL)
