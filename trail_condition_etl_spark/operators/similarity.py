@@ -441,13 +441,34 @@ WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.42
 # ---------------------------------------------------------------------------
 
 
+def _pair_cosine_udf():
+    """Arrow-batched exact cosine over candidate PAIRS: one numpy pass
+    per batch with elementwise in-order folds (`_fold_mul_sum`) — bit-
+    identical to the engines' fold, ~10x the interpreted higher-order
+    expression on 64-dim arrays. Norms are re-derived inside the batch
+    (same fold), so callers pass the raw float arrays."""
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        na = np.sqrt(_fold_mul_sum(A, A))
+        nb = np.sqrt(_fold_mul_sum(B, B))
+        return pd.Series(_fold_mul_sum(A, B) / (na * nb))
+
+    return cos
+
+
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.42
 ) -> DataFrame:
     """[EXT] Embedding-cosine near-duplicate pairs, banded-LSH form: the
     registered production path. Candidate pairs share at least one of 8
     4-bit signature bands (equi-join on (band, key) — no cartesian, no
-    broadcast of the corpus); exact cosine verifies candidates only.
+    broadcast of the corpus); exact cosine (vectorized pair UDF)
+    verifies candidates only.
 
     Approximate by construction (recall vs the exact baseline is pinned
     ≥0.85 in tests on this corpus); deterministic, and the oracle
@@ -470,20 +491,13 @@ def embedding_near_dup(
         .distinct()
     )
     a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("emb_d").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
     )
     b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("emb_d").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
     )
-    cos = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b"))
-        / (F.col("norm_a") * F.col("norm_b")),
-        6,
-    )
+    cosf = _pair_cosine_udf()
+    cos = F.round(cosf(F.col("emb_a"), F.col("emb_b")), 6)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1666,3 +1680,96 @@ def incremental_ann_index_query(
 
 
 INCREMENTAL_ANN_SQL = _ivf_pq_sql(samp_pred="vec_id % 2 = 0")
+
+
+SEMANTIC_ROUNDS = 3
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.42, rounds: int = SEMANTIC_ROUNDS
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: connected components over
+    the banded-LSH embedding near-dup graph (`embedding_near_dup` —
+    candidates share a signature band, exact cosine verifies), labels
+    propagated by bounded-round min-label passes exactly like the text
+    path (dedup.dedup_clusters), canonical vector = the component's
+    lowest vec_id. This is the embedding-space twin of MinHash dedup —
+    the pass that removes SEMANTIC duplicates exact/near text matching
+    cannot see. One shuffle per round; rounds bound the component
+    diameter (near-dup components are tiny — pairs/triangles). The pair
+    graph is a per-corpus-snapshot artifact (operators/artifacts.py) —
+    without it every propagation round re-derived the LSH candidate set
+    and its exact-cosine verification from the raw vectors."""
+    from .artifacts import materialize
+
+    edges = materialize(
+        embeddings,
+        f"emb_pairs_t{int(threshold * 1000)}",
+        lambda: embedding_near_dup(embeddings, threshold),
+        "id_a long, id_b long, cosine double",
+    ).select("id_a", "id_b")
+    adj = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = embeddings.select(
+        "vec_id", F.col("vec_id").alias("canonical_vec_id")
+    )
+    prev = None
+    for _ in range(rounds):
+        nbr = (
+            adj.join(
+                labels.select(
+                    F.col("vec_id").alias("id_b"),
+                    F.col("canonical_vec_id").alias("nbr_label"),
+                ),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("vec_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("canonical_vec_id"),
+                    F.coalesce("nbr_min", F.col("canonical_vec_id")),
+                ).alias("canonical_vec_id"),
+            )
+            .persist()  # lazy: one materialization per round at action time
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    return labels
+
+
+def _semantic_dedup_sql() -> str:
+    steps = []
+    prev = "l0"
+    for r in range(1, SEMANTIC_ROUNDS + 1):
+        steps.append(f"""
+n{r} AS (
+  SELECT a.id_a AS vec_id, MIN(l.canon) AS nbr
+  FROM adj a JOIN {prev} l ON l.vec_id = a.id_b
+  GROUP BY a.id_a
+),
+l{r} AS (
+  SELECT l.vec_id, LEAST(l.canon, COALESCE(n.nbr, l.canon)) AS canon
+  FROM {prev} l LEFT JOIN n{r} n USING (vec_id)
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH pairs AS ({EMBEDDING_NEAR_DUP_SQL}),
+adj AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+l0 AS (SELECT vec_id, vec_id AS canon FROM embeddings),
+{','.join(steps)}
+SELECT vec_id, canon AS canonical_vec_id FROM {prev}
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()

@@ -698,3 +698,51 @@ SELECT c.a, c.b, c.n_ab, m.n_a,
 FROM counts c JOIN marg m USING (a)
 WHERE c.n_ab >= {BIGRAM_MIN_COUNT}
 """
+
+
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """The first BPE merge iteration: corpus-wide counts of adjacent
+    character pairs WITHIN whitespace-pretokenized words, top-k by
+    frequency — the statistic a tokenizer trainer computes before its
+    first merge. Pair construction is the narrow zip_with ladder over
+    the char array (no explode until the pair rows); the only wide ops
+    are one (pair -> count) aggregation with map-side combine and the
+    TakeOrderedAndProject top-k (count DESC, pair ASC tie-break)."""
+    toks = F.explode(F.split("text", " ")).alias("tok")
+    chars = F.split(F.col("tok"), "")
+    pairs = F.filter(
+        F.zip_with(
+            chars,
+            F.slice(chars, 2, F.size(chars)),
+            lambda a, b: F.concat(a, b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        documents.select(toks)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(k)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+chars AS (
+  SELECT regexp_split_to_array(tok, '') AS cs FROM toks
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1]))
+    AS pair
+  FROM chars
+)
+SELECT pair, COUNT(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
+"""

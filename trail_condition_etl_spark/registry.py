@@ -800,6 +800,15 @@ def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
 
 
+@query("stream_content_dedup", oracle=streaming_pipeline.STREAM_CONTENT_DEDUP_SQL)
+def q_stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-level streaming dedup: dropDuplicatesWithinWatermark on
+    # sha2(text) lands each distinct content exactly once; the summary
+    # is winner-independent so the oracle recomputes it from the table
+    ensure_engine_conf(spark)
+    return streaming_pipeline.stream_content_dedup_query(spark, sf_dir)
+
+
 @query("stream_static_enrich", oracle=streaming_joins.STREAM_STATIC_ENRICH_SQL)
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-STATIC broadcast enrichment: dim re-broadcast per batch,
@@ -1237,6 +1246,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(embeddings)
+
+
+@query("semantic_dedup", oracle=similarity.SEMANTIC_DEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style: connected components over the banded embedding
+    # near-dup graph, canonical vector per component — the pass that
+    # removes semantic duplicates text matching cannot see
+    (embeddings,) = _tables(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(embeddings)
+
+
+@query("bpe_merge_candidates", oracle=text.BPE_MERGE_CANDIDATES_SQL)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-training statistic: top adjacent char pairs within
+    # words (the first BPE merge iteration), one agg + TakeOrdered
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.bpe_merge_candidates(documents)
 
 
 @query("incremental_ann_index", oracle=similarity.INCREMENTAL_ANN_SQL)
