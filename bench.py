@@ -51,6 +51,8 @@ HEADLINE = [
     # round-3 additions
     "ivf_pq_topk",
     "minhash_near_dup_x64",
+    "ivf_pq_index_probe",
+    "semantic_dedup",
 ]
 
 

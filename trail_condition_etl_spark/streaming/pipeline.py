@@ -312,3 +312,72 @@ SELECT route, COUNT(*) AS n_tasks,
        MIN(event_id) AS min_task_id, MAX(event_id) AS max_task_id
 FROM routed GROUP BY route
 """
+
+
+def stream_content_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level streaming dedup — the CONTENT twin of the task-id
+    dedup (T5): documents arrive as a file stream, and
+    dropDuplicatesWithinWatermark on sha2(text) lands each distinct
+    content exactly once (re-fetched/duplicated content is suppressed in
+    flight, state bounded by the watermark). The registered summary is
+    winner-independent — streaming dedup keeps an arbitrary row per
+    content key, so the output aggregates only content-determined facts
+    (distinct-content count, total distinct chars), which the oracle
+    recomputes from the raw table."""
+    import os
+    import tempfile
+
+    from .. import catalog
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.sha2("text", 256).alias("content_hash"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
+            "_ts"
+        ),
+    )
+    # the arriving stream contains a REDELIVERED copy of every document
+    # (new doc_id, later event time, same content) — the corpus is
+    # exact-dup-free, so without the refetch the dedup would have
+    # nothing to suppress; with it, half the arriving rows drop
+    refetch = base.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        "text",
+        "n_chars",
+        "content_hash",
+        (F.col("_ts") + F.expr("INTERVAL 10 MINUTES")).alias("_ts"),
+    )
+    staged = base.unionByName(refetch)
+    root = tempfile.mkdtemp(prefix="stream_content_dedup_")
+    staging = os.path.join(root, "staging")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    staged.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(staged.schema).parquet(staging)
+    deduped = stream.withWatermark("_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_landed"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+STREAM_CONTENT_DEDUP_SQL = """
+WITH d AS (
+  SELECT text, MIN(n_chars) AS n_chars FROM documents GROUP BY text
+)
+SELECT COUNT(*) AS n_landed, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM d
+"""
