@@ -96,3 +96,33 @@ def test_stratified_sample_rates_are_respected_statistically(spark):
     rest = sum(v for s, v in per_source.items() if s not in ("src0", "src1"))
     rest_total = sum(v for s, v in totals.items() if s not in ("src0", "src1"))
     assert frac0 > rest / rest_total
+
+
+def test_budget_fill_respects_the_quota(spark):
+    from trail_condition_etl_spark.operators import curation
+
+    docs = _docs(spark)
+    out = curation.budget_fill(docs, budget_tokens=1000).collect()
+    assert out, "every source should admit at least one document"
+    for r in out:
+        assert r.tokens_used <= 1000
+        assert r.n_admitted >= 1
+        assert r.best_prio_micros >= r.worst_prio_micros
+
+
+def test_lang_drift_zero_for_a_mirrored_source(spark):
+    """A synthetic source whose language mix EQUALS the corpus mix must
+    score (near-)zero drift; the real skewed sources must not."""
+    from pyspark.sql import functions as F
+
+    from trail_condition_etl_spark.operators import curation
+
+    docs = _docs(spark).select("doc_id", "source", "lang", "text")
+    # one source, all languages in corpus proportion == corpus is one source
+    uniform = docs.withColumn("source", F.lit("all"))
+    row = curation.lang_drift(uniform).collect()
+    assert len(row) == 1 and abs(row[0].chi2_drift) < 1e-9
+    skewed = sorted(
+        curation.lang_drift(docs).collect(), key=lambda r: -r.chi2_drift
+    )
+    assert skewed[0].chi2_drift > 0.0

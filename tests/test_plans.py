@@ -306,3 +306,25 @@ def test_single_shuffle_aggregation_family(spark):
     ]:
         df = _q(spark, name)
         assert plans.count_exchanges(df) <= 1, name
+
+
+def test_budget_fill_single_shuffle(spark):
+    # the admission window (partitionBy source) and the per-source
+    # summary agg share one clustering: exactly one exchange
+    df = _q(spark, "budget_fill")
+    assert plans.count_exchanges(df) == 1
+
+
+def test_bpe_merge_candidates_single_agg(spark):
+    # pair counts partial+final on one exchange; the top-k is
+    # TakeOrderedAndProject, never a global sort
+    df = _q(spark, "bpe_merge_candidates")
+    assert plans.count_exchanges(df) == 1
+    assert not plans.has_single_partition_exchange(df)
+
+
+def test_lang_drift_broadcasts_the_tiny_aggregates(spark):
+    # (source,lang) counts join the source/lang totals by broadcast —
+    # the corpus-sized frame never re-shuffles for the join
+    df = _q(spark, "lang_drift")
+    assert plans.count_broadcasts(df) >= 2

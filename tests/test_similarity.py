@@ -115,3 +115,36 @@ def test_ivf_pq_composition(spark):
     ]
     recall = sum(recalls) / len(recalls)
     assert recall >= 0.1, f"ivf_pq recall@5 {recall:.2f} < 0.1 floor"
+
+
+def test_semantic_dedup_refines_exact_components(spark):
+    """LSH edges are a subset of the exact near-dup edges, so the LSH
+    components must REFINE the exact components: any two vectors the
+    LSH path merges must also be connected under the exact pair set
+    (the approximation may split clusters, never invent merges)."""
+    emb = _emb(spark)
+    lsh_labels = {
+        r.vec_id: r.canonical_vec_id
+        for r in similarity.semantic_dedup(emb).collect()
+    }
+    # brute-force components over the EXACT pair set
+    parent = {v: v for v in lsh_labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in similarity.embedding_near_dup_exact(emb).collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    by_lsh: dict[int, set[int]] = {}
+    for v, c in lsh_labels.items():
+        by_lsh.setdefault(c, set()).add(v)
+    for members in by_lsh.values():
+        exact_roots = {find(v) for v in members}
+        assert len(exact_roots) == 1, (
+            "LSH merged vectors the exact pair set does not connect"
+        )
