@@ -917,3 +917,58 @@ FROM counts c
 JOIN sizes sa ON sa.source = c.source_a
 JOIN sizes sb ON sb.source = c.source_b
 """
+
+
+def dedup_quality_report(documents: DataFrame) -> DataFrame:
+    """Self-measuring quality report for the MinHash+LSH path: pair
+    recall against the exact n-gram-Jaccard ground truth at the dedup
+    threshold, ON the deterministic doc_id%2 sample (the exact path is
+    quadratic — sampled by design; `ann_recall_report` is the embedding
+    twin). Precision is 1 BY CONSTRUCTION — minhash_pairs verifies true
+    Jaccard on every candidate — so the single number that can degrade,
+    and the one this table watches, is banding recall."""
+    truth = (
+        ngram_jaccard_sample(documents)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    approx = (
+        shared_minhash_pairs(documents)
+        .filter((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0))
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = (
+        truth.join(approx, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        n_truth.join(F.broadcast(n_found))
+        .select(
+            "n_truth",
+            "n_found",
+            F.round(
+                F.col("n_found") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("pair_recall"),
+        )
+    )
+
+
+DEDUP_QUALITY_REPORT_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL}) WHERE jaccard >= 0.5
+),
+approx AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_SQL})
+  WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+),
+found AS (
+  SELECT t.doc_a FROM truth t
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.doc_a = t.doc_a AND a.doc_b = t.doc_b)
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       round((SELECT COUNT(*) FROM found)
+             / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS pair_recall
+"""

@@ -1056,6 +1056,15 @@ def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.sample_k_per_group(documents)
 
 
+@query("dedup_quality_report", oracle=dedup.DEDUP_QUALITY_REPORT_SQL)
+def q_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-measuring LSH pair recall vs the exact Jaccard ground truth
+    # on the deterministic sample (precision is 1 by construction —
+    # candidates are Jaccard-verified); the text twin of ann_recall_report
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.dedup_quality_report(documents)
+
+
 @query("dedup_clusters", oracle=dedup.DEDUP_CLUSTERS_SQL)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
