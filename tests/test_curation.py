@@ -126,3 +126,26 @@ def test_lang_drift_zero_for_a_mirrored_source(spark):
         curation.lang_drift(docs).collect(), key=lambda r: -r.chi2_drift
     )
     assert skewed[0].chi2_drift > 0.0
+
+
+def test_lang_drift_counts_missing_languages(spark):
+    """A source with ZERO documents in some corpus language must carry
+    that language's ((0 - p_l)^2 / p_l) term — the inner-join form
+    silently dropped it, understating exactly the feed-broke-entirely
+    drift this monitor exists to catch (and the oracle replays the same
+    semantics, so only this test can see it)."""
+    from pyspark.sql import functions as F
+
+    from trail_condition_etl_spark.operators import curation
+
+    docs = _docs(spark).filter(F.col("lang").isin("en", "zh"))
+    split = docs.withColumn(
+        "source", F.when(F.col("lang") == "en", "only_en").otherwise("other")
+    )
+    rows = {r.source: r for r in curation.lang_drift(split).collect()}
+    # p_zh = fraction of zh docs; the missing-zh term alone is
+    # (0 - p_zh)^2 / p_zh = p_zh, and the en term adds more
+    n = docs.count()
+    p_zh = docs.filter(F.col("lang") == "zh").count() / n
+    assert rows["only_en"].chi2_drift > p_zh * 0.99
+    assert rows["only_en"].n_langs == 1  # only languages PRESENT count

@@ -52,21 +52,37 @@ def corpus_key(df: DataFrame) -> tuple | None:
 
 
 _ARTIFACTS: dict[tuple, str] = {}
+_KIND_ORDER: dict[str, list[tuple]] = {}
+KEEP_PER_KIND = 4  # snapshots retained per artifact kind (LRU beyond this)
 
 
 def materialize(source: DataFrame, kind: str, build_fn, schema: str) -> DataFrame:
     """A DataFrame over the materialized artifact for (kind, snapshot of
     `source`), building it on first use. `build_fn()` must return the
     artifact frame; `schema` pins the read so consumers are immune to
-    inference drift. Falls back to computing inline when `source` has no
-    stable content identity."""
+    inference drift.
+
+    Retention: the newest KEEP_PER_KIND snapshots per kind; older
+    artifact directories are deleted when a new snapshot lands (a
+    process that walks many corpus snapshots would otherwise accumulate
+    one full artifact copy per snapshot on local disk). Falls back to
+    computing inline — lazily PERSISTED, since multi-consumer reuse is
+    the whole point of the artifact — when `source` has no stable
+    content identity to key on."""
+    import shutil
+
     spark = source.sparkSession
     key = corpus_key(source)
     if key is None:
-        return build_fn()
+        return build_fn().persist()
     k = (kind,) + key
     if k not in _ARTIFACTS:
         path = tempfile.mkdtemp(prefix=f"artifact_{kind}_")
         build_fn().write.mode("overwrite").parquet(path)
         _ARTIFACTS[k] = path
+        order = _KIND_ORDER.setdefault(kind, [])
+        order.append(k)
+        while len(order) > KEEP_PER_KIND:
+            old = order.pop(0)
+            shutil.rmtree(_ARTIFACTS.pop(old), ignore_errors=True)
     return spark.read.schema(schema).parquet(_ARTIFACTS[k])

@@ -37,6 +37,13 @@ Scale notes (100 TB):
 Reference parity: the reference has no corpus-curation surface (it is a
 weather ETL); these operators implement the [EXT] LLM-data mandate of
 SURVEY.md §2.11 with the same oracle discipline as the §2 rows.
+
+Cache lifecycle: multi-branch operators here persist() shared
+intermediates LAZILY and never unpersist them inline (deregistering a
+cache before the consumer's action executes forces the subplan to
+recompute per branch). Eviction is the CALLER's seam —
+spark.catalog.clearCache() between queries (bench.py, the test
+fixtures, the verify sweep) or Spark's LRU under memory pressure.
 """
 
 from __future__ import annotations
@@ -819,15 +826,25 @@ def lang_drift(documents: DataFrame) -> DataFrame:
     s_tot = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     l_tot = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     n_tot = documents.count()  # bounded driver scalar (one long)
+    # the FULL source x lang grid (tiny x tiny cross join), not just the
+    # observed pairs: a language a source has ZERO documents in carries
+    # the ((0 - p_l)^2 / p_l) term — dropping it (the inner-join form)
+    # understates exactly the feed-broke-entirely drift this monitor
+    # exists to catch
+    grid = s_tot.crossJoin(F.broadcast(l_tot))
+    n_sl = F.coalesce("n_sl", F.lit(0).cast("long"))
     term = (
-        (F.col("n_sl") / F.col("n_s") - F.col("n_l") / F.lit(n_tot))
-        * (F.col("n_sl") / F.col("n_s") - F.col("n_l") / F.lit(n_tot))
+        (n_sl / F.col("n_s") - F.col("n_l") / F.lit(n_tot))
+        * (n_sl / F.col("n_s") - F.col("n_l") / F.lit(n_tot))
         / (F.col("n_l") / F.lit(n_tot))
     )
     return (
-        sl.join(F.broadcast(s_tot), "source")
-        .join(F.broadcast(l_tot), "lang")
-        .select("source", "lang", term.alias("t"))
+        grid.join(sl, ["source", "lang"], "left")
+        .select(
+            "source",
+            term.alias("t"),
+            (n_sl > 0).alias("present"),
+        )
         .groupBy("source")
         .agg(
             F.round(
@@ -835,7 +852,7 @@ def lang_drift(documents: DataFrame) -> DataFrame:
                 / 1_000_000_000.0,
                 6,
             ).alias("chi2_drift"),
-            F.count(F.lit(1)).alias("n_langs"),
+            F.count(F.when(F.col("present"), F.lit(1))).alias("n_langs"),
         )
     )
 
@@ -847,19 +864,20 @@ WITH sl AS (
 s_tot AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
 l_tot AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
 n_tot AS (SELECT COUNT(*) AS n FROM documents),
+grid AS (SELECT s.source, s.n_s, l.lang, l.n_l FROM s_tot s CROSS JOIN l_tot l),
 terms AS (
-  SELECT sl.source,
-    (sl.n_sl / s_tot.n_s - l_tot.n_l / n_tot.n)
-      * (sl.n_sl / s_tot.n_s - l_tot.n_l / n_tot.n)
-      / (l_tot.n_l / n_tot.n) AS t
-  FROM sl
-  JOIN s_tot USING (source)
-  JOIN l_tot USING (lang)
+  SELECT g.source,
+    (COALESCE(sl.n_sl, 0) / g.n_s - g.n_l / n_tot.n)
+      * (COALESCE(sl.n_sl, 0) / g.n_s - g.n_l / n_tot.n)
+      / (g.n_l / n_tot.n) AS t,
+    COALESCE(sl.n_sl, 0) > 0 AS present
+  FROM grid g
+  LEFT JOIN sl USING (source, lang)
   CROSS JOIN n_tot
 )
 SELECT source,
   round(CAST(SUM(CAST(round(t * 1000000000) AS BIGINT)) AS BIGINT)
         / 1000000000.0, 6) AS chi2_drift,
-  COUNT(*) AS n_langs
+  COUNT(CASE WHEN present THEN 1 END) AS n_langs
 FROM terms GROUP BY source
 """

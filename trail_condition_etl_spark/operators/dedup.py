@@ -419,7 +419,6 @@ def dedup_clusters(
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("canonical_doc_id")
     )
-    prev = None
     for _ in range(rounds):
         nbr = (
             adj.join(
@@ -441,13 +440,15 @@ def dedup_clusters(
         )
         # cut the propagation lineage at the one-row-per-doc label frame
         # (labels feeds BOTH sides of the next round). LAZY persist: the
-        # final action materializes each round's cache exactly once on
-        # first touch — an eager count() per round costs a full job of
-        # fixed overhead and tripled the wall time at sf0.1
+        # final action caches each round on first touch — an eager
+        # count() per round costs a full job of fixed overhead and
+        # tripled the wall time at sf0.1. Intermediate rounds stay
+        # registered until the caller's cache-clear seam (bench/tests
+        # clearCache; Spark's LRU evicts under pressure): unpersisting
+        # them here, BEFORE anything has executed, would deregister the
+        # cache and re-execute round k's subplan 2^k times at the final
+        # action (both sides of every later round re-derive it)
         labels = labels.persist()
-        if prev is not None:
-            prev.unpersist()
-        prev = labels
     return labels
 
 
@@ -733,7 +734,6 @@ def near_dup_pagerank(
     ranks = documents.select(
         "doc_id", F.lit(PR_BASE).cast("long").alias("rank_micro")
     )
-    prev = None
     for _ in range(rounds):
         contrib = (
             adj.join(
@@ -761,11 +761,9 @@ def near_dup_pagerank(
             )
             .persist()
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    # final ranks are materialized; drop the adjacency cache
-    adj.unpersist()
+    # lazy persists: each round's ranks (and adj, reused every round)
+    # cache at first touch inside the caller's action; eviction is the
+    # caller's cache-clear seam (see dedup_clusters)
     return ranks
 
 

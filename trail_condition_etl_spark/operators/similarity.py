@@ -1714,7 +1714,6 @@ def semantic_dedup(
     labels = embeddings.select(
         "vec_id", F.col("vec_id").alias("canonical_vec_id")
     )
-    prev = None
     for _ in range(rounds):
         nbr = (
             adj.join(
@@ -1736,11 +1735,12 @@ def semantic_dedup(
                     F.coalesce("nbr_min", F.col("canonical_vec_id")),
                 ).alias("canonical_vec_id"),
             )
-            .persist()  # lazy: one materialization per round at action time
+            # lazy persist: each round caches at first touch inside the
+            # caller's action; never unpersist before execution (see
+            # dedup.dedup_clusters) — eviction is the caller's
+            # cache-clear seam
+            .persist()
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = labels
     return labels
 
 
