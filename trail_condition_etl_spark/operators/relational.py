@@ -2077,3 +2077,39 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= o_orderdate + INTERVAL 365 DAY
 GROUP BY l_linestatus
 """
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-shaped: revenue delta from removing a discount band —
+    SUM(extendedprice * discount) over a (year, discount band, quantity
+    cap) slice. The pure pushdown probe: every predicate is a range
+    filter that must reach the parquet scan, and the whole query is one
+    partial+final aggregate over the filtered rows."""
+    rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev) / 10000.0, 4).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT
+  round(CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+        AS BIGINT) / 10000.0, 4) AS revenue_delta,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""

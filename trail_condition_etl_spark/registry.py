@@ -201,6 +201,13 @@ def q_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.brand_profit(lineitem, orders, part)
 
 
+@query("forecast_revenue_change", oracle=relational.FORECAST_REVENUE_CHANGE_SQL)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6 shape: all-range-predicate single aggregate (pushdown probe)
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return relational.forecast_revenue_change(lineitem)
+
+
 @query("returned_revenue", oracle=relational.RETURNED_REVENUE_SQL)
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q10 shape: returned-item revenue per customer, exact-integer top-k
