@@ -139,3 +139,50 @@ SELECT event_id, user_id,
       AS seconds_since_purchase
 FROM carried WHERE is_right = 0
 """
+
+
+ASOF_TOLERANCE_S = 3600
+
+
+def last_purchase_before_error_within(
+    events: DataFrame, tolerance_s: int = ASOF_TOLERANCE_S
+) -> DataFrame:
+    """Tolerance-bounded as-of (pandas merge_asof's `tolerance`): the
+    match is kept only when the right row is no STALER than
+    `tolerance_s` — an attribution window, expressed as a residual
+    NULL-out over the same union+window carry (the staleness check
+    cannot prune the carry itself: the most recent purchase is only
+    known after the window pass). Same single key shuffle as the
+    unbounded form."""
+    joined = last_purchase_before_error(events)
+    fresh = F.col("seconds_since_purchase") <= tolerance_s
+    return joined.select(
+        "event_id",
+        "user_id",
+        "error_ts",
+        F.when(fresh, F.col("last_purchase_event_id")).alias(
+            "last_purchase_event_id"
+        ),
+        F.when(fresh, F.col("last_purchase_value")).alias(
+            "last_purchase_value"
+        ),
+        F.when(fresh, F.col("seconds_since_purchase")).alias(
+            "seconds_since_purchase"
+        ),
+        F.coalesce(fresh, F.lit(False)).alias("within_tolerance"),
+    )
+
+
+ASOF_TOLERANCE_SQL = f"""
+WITH base AS ({ASOF_SQL})
+SELECT event_id, user_id, error_ts,
+  CASE WHEN seconds_since_purchase <= {ASOF_TOLERANCE_S}
+       THEN last_purchase_event_id END AS last_purchase_event_id,
+  CASE WHEN seconds_since_purchase <= {ASOF_TOLERANCE_S}
+       THEN last_purchase_value END AS last_purchase_value,
+  CASE WHEN seconds_since_purchase <= {ASOF_TOLERANCE_S}
+       THEN seconds_since_purchase END AS seconds_since_purchase,
+  COALESCE(seconds_since_purchase <= {ASOF_TOLERANCE_S}, FALSE)
+    AS within_tolerance
+FROM base
+"""

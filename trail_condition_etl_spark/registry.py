@@ -677,6 +677,14 @@ def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.string_kit(customer, nation)
 
 
+@query("asof_tolerance", oracle=asof.ASOF_TOLERANCE_SQL)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tolerance-bounded as-of (merge_asof tolerance semantics): matches
+    # staler than the window NULL out after the same union+window carry
+    (events,) = _tables(spark, sf_dir, "events")
+    return asof.last_purchase_before_error_within(events)
+
+
 @query("asof_join", oracle=asof.ASOF_SQL)
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
