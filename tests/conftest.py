@@ -105,3 +105,16 @@ def assert_frames_match(spark_df, ddb_rows, ddb_cols):
     )
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         assert a == b, f"row {i} mismatch:\n  spark : {a}\n  duckdb: {b}"
+
+
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """The documented cache-eviction seam (operators/curation.py module
+    docstring): multi-branch operators persist shared intermediates
+    lazily and never unpersist inline, so the TEST harness — like
+    bench.py and the verify sweep — clears the SQL cache after each
+    test. Without this, ~300 tests accumulate every round-frame and
+    fallback persist in the shared CacheManager for the whole session."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()

@@ -52,8 +52,6 @@ def corpus_key(df: DataFrame) -> tuple | None:
 
 
 _ARTIFACTS: dict[tuple, str] = {}
-_KIND_ORDER: dict[str, list[tuple]] = {}
-KEEP_PER_KIND = 4  # snapshots retained per artifact kind (LRU beyond this)
 
 
 def materialize(source: DataFrame, kind: str, build_fn, schema: str) -> DataFrame:
@@ -62,13 +60,17 @@ def materialize(source: DataFrame, kind: str, build_fn, schema: str) -> DataFram
     artifact frame; `schema` pins the read so consumers are immune to
     inference drift.
 
-    Retention: the newest KEEP_PER_KIND snapshots per kind; older
-    artifact directories are deleted when a new snapshot lands (a
-    process that walks many corpus snapshots would otherwise accumulate
-    one full artifact copy per snapshot on local disk). Falls back to
-    computing inline — lazily PERSISTED, since multi-consumer reuse is
-    the whole point of the artifact — when `source` has no stable
-    content identity to key on."""
+    Retention: artifact directories are removed at PROCESS EXIT (atexit),
+    never mid-process — a lazy frame returned earlier may hold the path
+    in its lineage, and deleting under it would fail that frame's next
+    action (an in-flight LRU cannot see outstanding references). Disk
+    bound: one artifact per (kind, snapshot) seen by the process; at
+    warehouse scale the artifact would live next to the corpus snapshot
+    with the warehouse's own retention, and this temp-dir lifecycle is
+    the local stand-in. Falls back to computing inline — lazily
+    PERSISTED, since multi-consumer reuse is the whole point of the
+    artifact — when `source` has no stable content identity to key on."""
+    import atexit
     import shutil
 
     spark = source.sparkSession
@@ -80,9 +82,5 @@ def materialize(source: DataFrame, kind: str, build_fn, schema: str) -> DataFram
         path = tempfile.mkdtemp(prefix=f"artifact_{kind}_")
         build_fn().write.mode("overwrite").parquet(path)
         _ARTIFACTS[k] = path
-        order = _KIND_ORDER.setdefault(kind, [])
-        order.append(k)
-        while len(order) > KEEP_PER_KIND:
-            old = order.pop(0)
-            shutil.rmtree(_ARTIFACTS.pop(old), ignore_errors=True)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return spark.read.schema(schema).parquet(_ARTIFACTS[k])

@@ -278,7 +278,7 @@ def shared_minhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFr
 
     return materialize(
         documents,
-        f"minhash_pairs_t{int(threshold * 1000)}",
+        f"minhash_pairs_t{threshold!r}",
         lambda: minhash_pairs(documents, threshold),
         "doc_a long, doc_b long, jaccard double",
     )

@@ -1704,7 +1704,7 @@ def semantic_dedup(
 
     edges = materialize(
         embeddings,
-        f"emb_pairs_t{int(threshold * 1000)}",
+        f"emb_pairs_t{threshold!r}",
         lambda: embedding_near_dup(embeddings, threshold),
         "id_a long, id_b long, cosine double",
     ).select("id_a", "id_b")

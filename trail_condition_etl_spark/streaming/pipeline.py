@@ -335,9 +335,14 @@ def stream_content_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.sha2("text", 256).alias("content_hash"),
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
-            "_ts"
-        ),
+        # event times span a BOUNDED minute (doc_id mod 60), not one
+        # second per doc: a corpus-sized span would exceed the 1h
+        # watermark, and if the source ever split the files across
+        # micro-batches, batch-2 rows older than batch-1's watermark
+        # would be dropped outright — losing never-duplicated contents
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.col("doc_id"), F.lit(60))
+        ).alias("_ts"),
     )
     # the arriving stream contains a REDELIVERED copy of every document
     # (new doc_id, later event time, same content) — the corpus is
