@@ -2,12 +2,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+"queries": {name: sec}, "sf": sf, "cold": {...}, "phases": {...}}.
 
 Each query is forced with a noop-format write (computes the full plan,
 collects nothing to the driver), timed after a warm-up pass of the
 catalog so JVM startup and parquet footer reads don't dominate.
-"""
+
+Methodology (VERDICT r3 directive 1): each query runs COLD once — that
+run pays any one-time artifact/index construction (pair graphs, IVF/PQ
+codebooks) that other queries then amortize — followed by
+$SPARK_GRAFT_BENCH_RUNS (default 3) steady-state runs. `queries` and the
+headline total report the MEDIAN steady-state time (what a warehouse
+pays per invocation against a built snapshot); `cold` reports the first
+run, and `phases` isolates {build, probe} for queries whose cold run
+paid a visible build. In-memory caches are cleared between every run, so
+steady state means "artifact on disk, nothing persisted" — the honest
+per-invocation cost."""
 
 from __future__ import annotations
 
@@ -98,20 +108,40 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     spark.createDataFrame([(1, [1.0, 2.0])], "a long, b array<double>").collect()
 
+    from statistics import median
+
+    from trail_condition_etl_spark.operators import artifacts
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = registry.queries()
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
+
+    def one_run(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
         # queries persist() intermediates their lazy results depend on;
-        # without this the sweep accumulates executor storage and later
-        # queries time against earlier queries' leftover caches
-        spark.catalog.clearCache()
+        # clearing between runs keeps every timing honest — steady state
+        # is "artifact on disk, nothing persisted in memory"
+        artifacts.clear_caches(spark)
+        return dt
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        builds_before = artifacts.build_count()
+        first = one_run(fn)
+        steady = median(one_run(fn) for _ in range(n_runs))
+        cold[name] = round(first, 3)
+        timings[name] = round(steady, 3)
+        total += steady
+        if artifacts.build_count() > builds_before and first > steady:
+            phases[name] = {
+                "build": round(first - steady, 3),
+                "probe": round(steady, 3),
+            }
 
     print(
         json.dumps(
@@ -121,6 +151,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "cold": cold,
+                "phases": phases,
             }
         )
     )

@@ -117,4 +117,6 @@ def _clear_spark_cache(request):
     fallback persist in the shared CacheManager for the whole session."""
     yield
     if "spark" in request.fixturenames:
-        request.getfixturevalue("spark").catalog.clearCache()
+        from trail_condition_etl_spark.operators import artifacts
+
+        artifacts.clear_caches(request.getfixturevalue("spark"))

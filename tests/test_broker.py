@@ -1,0 +1,126 @@
+"""Broker transport seam (S5, streaming/broker.py): the kafka-wire test
+double must drive the SAME pipeline to the SAME results as the file
+transport, and the kafka branch's wiring must be pinned without the
+connector jar (absent in this container)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from trail_condition_etl_spark.streaming import broker, pipeline
+from trail_condition_etl_spark.sinks import upsert as upsert_sink
+
+
+def _tasks(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("task_id"),
+        (F.col("id") % 7).cast("int").alias("city_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias(
+            "_enqueued_ts"
+        ),
+        (1 + F.col("id") % 8).cast("int").alias("_delivery_count"),
+    )
+
+
+def _run(spark, stream, root, tag):
+    out = os.path.join(root, f"out_{tag}")
+    q = pipeline.run_pipeline_from_stream(
+        spark,
+        stream,
+        out,
+        os.path.join(root, f"dlq_{tag}"),
+        os.path.join(root, f"ckpt_{tag}"),
+        now=F.to_timestamp(F.lit("2023-11-14 22:14:39")),
+    )
+    q.awaitTermination()
+    return {
+        (r.task_id, r.city_id)
+        for r in upsert_sink.read_upsert_table(spark, out).collect()
+    }
+
+
+def test_wire_double_matches_file_transport(spark):
+    """encode -> wire_files -> decode lands byte-equal task sets with
+    the plain file transport through the full pipeline (dedup, routing,
+    DLQ, upsert)."""
+    root = tempfile.mkdtemp(prefix="broker_seam_")
+    tasks = _tasks(spark)
+    plain = os.path.join(root, "plain")
+    tasks.write.mode("overwrite").parquet(plain)
+    wire_dir = os.path.join(root, "wire")
+    broker.encode_task_envelope(tasks).write.mode("overwrite").parquet(wire_dir)
+
+    file_stream = broker.read_broker_stream(
+        spark,
+        broker.BrokerConfig(kind="files", path=plain, max_per_trigger=None),
+        pipeline.ENVELOPE,
+    )
+    wire_stream = broker.read_broker_stream(
+        spark,
+        broker.BrokerConfig(kind="wire_files", path=wire_dir, max_per_trigger=None),
+        pipeline.ENVELOPE,
+    )
+    got_file = _run(spark, file_stream, root, "file")
+    got_wire = _run(spark, wire_stream, root, "wire")
+    assert got_file and got_file == got_wire
+
+
+def test_decode_routes_malformed_payloads_to_null(spark):
+    """A malformed value decodes to NULL envelope fields instead of
+    failing the stream — the P7 validation filter then DLQs it."""
+    wire = spark.createDataFrame(
+        [(None, b"not json at all", "tasks", 0, 1, None, 0)],
+        broker.KAFKA_WIRE_SCHEMA,
+    )
+    row = broker.decode_task_envelope(wire, pipeline.ENVELOPE).collect()[0]
+    assert row.task_id is None and row._source_offset == 1
+
+
+def test_kafka_branch_wiring():
+    """The option map the kafka branch passes to the reader — pinned as
+    a pure function since the connector jar is not in this container."""
+    conf = broker.BrokerConfig(
+        kind="kafka",
+        bootstrap_servers="broker-1:9092,broker-2:9092",
+        topic="trail-tasks",
+        max_per_trigger=5000,
+        options={"failOnDataLoss": "false"},
+    )
+    opts = broker.kafka_reader_options(conf)
+    assert opts["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert opts["subscribe"] == "trail-tasks"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["kafka.isolation.level"] == "read_committed"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_kafka_branch_raises_clearly_without_connector(spark):
+    """Without the connector jar the kafka branch must fail with an
+    actionable error at stream-construction time, not a stack of
+    ClassNotFoundException later."""
+    conf = broker.BrokerConfig(
+        kind="kafka", bootstrap_servers="localhost:9092", topic="t"
+    )
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        broker.read_broker_stream(spark, conf, pipeline.ENVELOPE)
+
+
+def test_producer_side_key_routing(spark):
+    """All wire rows for one task_id land in one partition (per-key
+    order preservation), offsets dense per partition."""
+    tasks = _tasks(spark, 100)
+    wire = broker.encode_task_envelope(tasks, n_partitions=4)
+    parts = wire.select(
+        F.col("key").cast("string").alias("task_id"), "partition"
+    ).distinct()
+    assert parts.groupBy("task_id").count().filter("count > 1").count() == 0
+    per_part = (
+        wire.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.max("offset").alias("mx"))
+        .collect()
+    )
+    assert all(r.n == r.mx for r in per_part)

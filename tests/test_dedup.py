@@ -105,3 +105,26 @@ def test_pair_graph_artifact_built_once_and_identical(spark):
     }
     shared = {(r.doc_a, r.doc_b, r.jaccard) for r in a.collect()}
     assert inline == shared
+
+
+def test_pair_graph_shared_across_thresholds(spark):
+    """Directive: distinct thresholds over one corpus snapshot must
+    amortize the SAME floor-keyed artifact — the second threshold pays
+    zero LSH builds (artifacts.build_count is flat) and its rows equal
+    the inline computation at that threshold."""
+    from trail_condition_etl_spark.operators import artifacts
+
+    docs = _docs(spark)
+    base = dedup.shared_minhash_pairs(docs, threshold=0.5)
+    base.count()  # force the (possibly first) build
+    before = artifacts.build_count()
+    tighter = dedup.shared_minhash_pairs(docs, threshold=0.8)
+    rows = {(r.doc_a, r.doc_b, r.jaccard) for r in tighter.collect()}
+    assert artifacts.build_count() == before, "second threshold rebuilt the pair graph"
+    inline = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_pairs(docs, threshold=0.8).collect()
+    }
+    assert rows == inline
+    # both thresholds read the same materialized files
+    assert set(tighter.inputFiles()) == set(base.inputFiles())

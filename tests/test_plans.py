@@ -328,3 +328,27 @@ def test_lang_drift_broadcasts_the_tiny_aggregates(spark):
     # the corpus-sized frame never re-shuffles for the join
     df = _q(spark, "lang_drift")
     assert plans.count_broadcasts(df) >= 2
+
+
+def test_driver_sample_prefix_spans_families():
+    """The driver's correctness sweep samples a PREFIX of queries();
+    pin that any 50-prefix covers every operator family and the five
+    queries VERDICT r3 directive 2 names."""
+    from trail_condition_etl_spark import registry
+
+    names = list(registry.queries())
+    assert len(names) == len(registry._QUERIES)
+    head = names[:50]
+    for want in (
+        "minhash_near_dup",
+        "ivf_pq_topk",
+        "semantic_dedup",
+        "stream_roundtrip",
+        "curation_funnel",
+    ):
+        assert want in head, want
+    fams = {registry._family(n) for n in head}
+    assert fams == {
+        "relational", "ann", "dedup", "text", "streaming", "curation",
+        "ingest",
+    }, fams

@@ -148,3 +148,28 @@ def test_semantic_dedup_refines_exact_components(spark):
         assert len(exact_roots) == 1, (
             "LSH merged vectors the exact pair set does not connect"
         )
+
+
+def test_embedding_pair_graph_shared_across_thresholds(spark):
+    """semantic_dedup(0.42) and semantic_dedup(0.6) over one snapshot
+    must share the floor-keyed pair-graph artifact: the second threshold
+    pays zero builds, and its pair set equals the inline banded path at
+    that threshold."""
+    from trail_condition_etl_spark.operators import artifacts
+
+    emb = _emb(spark)
+    a = similarity.shared_embedding_pairs(emb, threshold=0.42)
+    a.count()
+    before = artifacts.build_count()
+    b = similarity.shared_embedding_pairs(emb, threshold=0.6)
+    rows = {(r.id_a, r.id_b, r.cosine) for r in b.collect()}
+    assert artifacts.build_count() == before, "second threshold rebuilt the artifact"
+    inline = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_dup(emb, threshold=0.6).collect()
+    }
+    assert rows == inline
+    assert set(b.inputFiles()) == set(a.inputFiles())
+    # semantic_dedup at the second threshold also stays build-free
+    similarity.semantic_dedup(emb, threshold=0.6).count()
+    assert artifacts.build_count() == before

@@ -264,6 +264,13 @@ WHERE round(n_common * 1.0 / (na.n + nb.n - n_common), 6) >= 0.5
 MINHASH_PAIRS_SQL = _minhash_sql()
 
 
+# The banded candidate set is threshold-INDEPENDENT (the threshold is a
+# final filter on the rounded score), so the artifact is built once at
+# this floor and every threshold >= floor is a filter over the same
+# parquet — a second threshold never re-pays the LSH pass.
+PAIR_GRAPH_FLOOR = 0.3
+
+
 def shared_minhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The near-dup pair graph, materialized ONCE per corpus snapshot
     (operators/artifacts.py) — the single most-reused intermediate in a
@@ -273,15 +280,22 @@ def shared_minhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFr
     parquet artifact instead of re-deriving shingles -> signatures ->
     band join -> Jaccard from raw text on every invocation (the r2
     shape; VERDICT r2 'What's wrong' #2). Results are byte-identical to
-    `minhash_pairs`, so every consumer's oracle is unchanged."""
+    `minhash_pairs`, so every consumer's oracle is unchanged.
+
+    The artifact is keyed at `PAIR_GRAPH_FLOOR`, not the caller's
+    threshold: thresholds >= floor share one build and differ only by
+    the trailing jaccard filter (pinned by test_dedup's no-rebuild
+    assertion); a sub-floor threshold keys its own artifact."""
     from .artifacts import materialize
 
-    return materialize(
+    base_t = min(threshold, PAIR_GRAPH_FLOOR)
+    art = materialize(
         documents,
-        f"minhash_pairs_t{threshold!r}",
-        lambda: minhash_pairs(documents, threshold),
+        f"minhash_pairs_t{base_t!r}",
+        lambda: minhash_pairs(documents, base_t),
         "doc_a long, doc_b long, jaccard double",
     )
+    return art.filter(F.col("jaccard") >= threshold) if threshold > base_t else art
 
 
 def ngram_jaccard_sample(documents: DataFrame, modulo: int = 2) -> DataFrame:
@@ -635,9 +649,10 @@ def incremental_minhash_pairs(spark, documents: DataFrame) -> DataFrame:
     pair sets must equal the one-shot minhash_pairs — the oracle is
     MINHASH_PAIRS_SQL verbatim."""
     import os
-    import tempfile
 
-    root = tempfile.mkdtemp(prefix="dedup_index_")
+    from .artifacts import scratch_dir
+
+    root = scratch_dir("dedup_index_")
     state = os.path.join(root, "sig")
     pairs = os.path.join(root, "pairs")
     for batch in (

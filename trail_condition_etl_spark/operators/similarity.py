@@ -1334,10 +1334,11 @@ def ivf_index_roundtrip_query(
     """Build the index, then answer through it — output is identical to
     `ivf_topk`, so the same SQL oracle checks the whole persisted
     lifecycle (a drift in the write/read path breaks parity)."""
-    import tempfile
+    from .artifacts import materialize_dir
 
-    index_path = tempfile.mkdtemp(prefix="ivf_index_")
-    build_ivf_index(embeddings, index_path)
+    index_path = materialize_dir(
+        embeddings, "ivf_index", lambda p: build_ivf_index(embeddings, p)
+    )
     qs = (
         with_norm(embeddings)
         .join(F.broadcast(_query_ids(embeddings)), "vec_id")
@@ -1458,10 +1459,11 @@ def ivf_pq_index_roundtrip_query(
     """Build the IVF∘PQ index, then answer through it — output identical
     to inline `ivf_pq_topk`, so the same SQL oracle checks the whole
     persisted lifecycle."""
-    import tempfile
+    from .artifacts import materialize_dir
 
-    index_path = tempfile.mkdtemp(prefix="ivf_pq_index_")
-    build_ivf_pq_index(embeddings, index_path)
+    index_path = materialize_dir(
+        embeddings, "ivf_pq_index", lambda p: build_ivf_pq_index(embeddings, p)
+    )
     return ivf_pq_index_probe(
         spark, index_path, _collect_sample(embeddings)[:QUERY_K]
     )
@@ -1666,14 +1668,16 @@ def incremental_ann_index_query(
     probe over the accumulated index. The oracle replays it exactly —
     the SQL training CTEs draw their sample from batch one only, while
     encode and probe run over the full corpus."""
-    import tempfile
+    from .artifacts import materialize_dir
 
-    index_path = tempfile.mkdtemp(prefix="ivf_pq_incr_")
-    for batch in (
-        embeddings.filter(F.col("vec_id") % 2 == 0),
-        embeddings.filter(F.col("vec_id") % 2 == 1),
-    ):
-        merge_ivf_pq_batch(spark, index_path, batch)
+    def _build(p: str) -> None:
+        for batch in (
+            embeddings.filter(F.col("vec_id") % 2 == 0),
+            embeddings.filter(F.col("vec_id") % 2 == 1),
+        ):
+            merge_ivf_pq_batch(spark, p, batch)
+
+    index_path = materialize_dir(embeddings, "ivf_pq_incr", _build)
     return ivf_pq_index_probe(
         spark, index_path, _collect_sample(embeddings)[:QUERY_K]
     )
@@ -1683,6 +1687,31 @@ INCREMENTAL_ANN_SQL = _ivf_pq_sql(samp_pred="vec_id % 2 = 0")
 
 
 SEMANTIC_ROUNDS = 3
+
+# The banded candidate set is threshold-independent (threshold is a
+# final filter over the rounded cosine), so the pair-graph artifact is
+# built once at this floor; every threshold >= floor shares that build
+# and differs only by the trailing filter (no-rebuild pinned in
+# test_similarity). A sub-floor threshold keys its own artifact.
+EMB_PAIR_FLOOR = 0.3
+
+
+def shared_embedding_pairs(
+    embeddings: DataFrame, threshold: float = 0.42
+) -> DataFrame:
+    """`embedding_near_dup` through the per-corpus-snapshot artifact
+    cache (operators/artifacts.py), floor-keyed so distinct thresholds
+    over the same snapshot amortize one LSH band join + cosine verify."""
+    from .artifacts import materialize
+
+    base_t = min(threshold, EMB_PAIR_FLOOR)
+    art = materialize(
+        embeddings,
+        f"emb_pairs_t{base_t!r}",
+        lambda: embedding_near_dup(embeddings, base_t),
+        "id_a long, id_b long, cosine double",
+    )
+    return art.filter(F.col("cosine") >= threshold) if threshold > base_t else art
 
 
 def semantic_dedup(
@@ -1700,14 +1729,7 @@ def semantic_dedup(
     graph is a per-corpus-snapshot artifact (operators/artifacts.py) —
     without it every propagation round re-derived the LSH candidate set
     and its exact-cosine verification from the raw vectors."""
-    from .artifacts import materialize
-
-    edges = materialize(
-        embeddings,
-        f"emb_pairs_t{threshold!r}",
-        lambda: embedding_near_dup(embeddings, threshold),
-        "id_a long, id_b long, cosine double",
-    ).select("id_a", "id_b")
+    edges = shared_embedding_pairs(embeddings, threshold).select("id_a", "id_b")
     adj = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )

@@ -1,0 +1,149 @@
+"""Broker transport seam for the task stream (S5).
+
+The reference's transport is Redis Streams consumer groups
+(fetch-weather/src/tasks.py:97-107, DESIGN.md:35): producers XADD task
+envelopes, consumers XREADGROUP batches. The first thing a production
+user asks of the Spark port is "point this at Kafka" — so the stream
+SOURCE is a seam with three interchangeable transports, all landing in
+the SAME decoded envelope frame that `pipeline.route_envelope` /
+`deduped_task_stream` / the DLQ policy consume (the operator code is
+transport-agnostic):
+
+* ``files``  — parquet file-stream over a staging dir (the TESTDATA.md
+  transport; what every registered query uses);
+* ``kafka``  — ``readStream.format("kafka")`` with the wire frame
+  decoded by `decode_task_envelope`. Requires the
+  spark-sql-kafka connector on the classpath (not baked into this
+  container, so the branch raises a clear error without it);
+* ``wire_files`` — the TEST DOUBLE: a file-stream whose rows carry the
+  EXACT Kafka wire schema (key/value binary, topic, partition, offset,
+  timestamp), produced by `encode_task_envelope`. It drives the same
+  `decode_task_envelope` the kafka branch uses, so the decode path —
+  the only kafka-specific logic — is exercised without the connector.
+
+At 100 TB the kafka branch is the real deployment: one partition per
+shuffle-sized slice of the keyspace, `maxOffsetsPerTrigger` playing the
+dequeue-batch-size role `maxFilesPerTrigger` plays for files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: the columns a Kafka source emits per record (the connector's fixed
+#: output schema), reproduced for the wire-file test double.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset LONG, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+@dataclass
+class BrokerConfig:
+    """Where the task stream comes from. Exactly one transport."""
+
+    kind: str  # "files" | "kafka" | "wire_files"
+    path: str | None = None  # files / wire_files: staging dir
+    bootstrap_servers: str | None = None  # kafka
+    topic: str | None = None  # kafka
+    starting_offsets: str = "earliest"  # kafka
+    max_per_trigger: int | None = 10  # files-per-trigger / offsets-per-trigger
+    options: dict[str, str] = field(default_factory=dict)  # extra passthrough
+
+
+def kafka_reader_options(conf: BrokerConfig) -> dict[str, str]:
+    """The option map the kafka branch passes to the reader — a pure
+    function so tests pin the wiring without needing the connector."""
+    opts = {
+        "kafka.bootstrap.servers": conf.bootstrap_servers or "",
+        "subscribe": conf.topic or "",
+        "startingOffsets": conf.starting_offsets,
+        # effectively-once end-to-end comes from checkpoint + idempotent
+        # upsert, not broker redelivery guarantees — read uncommitted
+        # would reintroduce the reference's ack-before-persist window
+        "kafka.isolation.level": "read_committed",
+    }
+    if conf.max_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(conf.max_per_trigger)
+    opts.update(conf.options)
+    return opts
+
+
+def decode_task_envelope(wire: DataFrame, schema: StructType | str) -> DataFrame:
+    """Kafka wire frame -> decoded task envelope: JSON-decode ``value``
+    against the declared envelope schema, carrying the broker position
+    as ``_source_partition``/``_source_offset`` audit columns (the
+    XREADGROUP message id of the reference). Malformed payloads decode
+    to all-NULL structs, which the pipeline's validation filter (P7)
+    routes to the DLQ rather than crashing the stream."""
+    return wire.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("env"),
+        F.col("partition").alias("_source_partition"),
+        F.col("offset").alias("_source_offset"),
+    ).select("env.*", "_source_partition", "_source_offset")
+
+
+def encode_task_envelope(
+    tasks: DataFrame, topic: str = "tasks", n_partitions: int = 4
+) -> DataFrame:
+    """Task envelope -> Kafka wire frame (the producer side / the test
+    double's file payload): value = JSON bytes of the row, key = task_id
+    bytes (so a real producer partition-routes by key — all redeliveries
+    of one task land in one partition, preserving per-key order),
+    partition/offset assigned deterministically from the key hash so the
+    double is reproducible."""
+    cols = tasks.columns
+    part = F.pmod(F.xxhash64("task_id"), F.lit(n_partitions)).cast("int")
+    return tasks.select(
+        F.col("task_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*cols)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        F.row_number()
+        .over(Window.partitionBy(part).orderBy("task_id"))
+        .cast("long")
+        .alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def read_broker_stream(
+    spark: SparkSession, conf: BrokerConfig, schema: StructType | str
+) -> DataFrame:
+    """S5 through the transport seam: a streaming frame of DECODED task
+    envelopes, whatever the wire. `pipeline.run_pipeline_from_stream`
+    consumes the result identically for every transport."""
+    if conf.kind == "files":
+        reader = spark.readStream.schema(schema)
+        if conf.max_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", conf.max_per_trigger)
+        return reader.parquet(conf.path)
+    if conf.kind == "wire_files":
+        reader = spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        if conf.max_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", conf.max_per_trigger)
+        wire = reader.parquet(conf.path)
+        return decode_task_envelope(wire, schema).drop(
+            "_source_partition", "_source_offset"
+        )
+    if conf.kind == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_reader_options(conf).items():
+            reader = reader.option(k, v)
+        try:
+            wire = reader.load()
+        except Exception as exc:  # connector jar absent in this container
+            raise RuntimeError(
+                "kafka transport requires the spark-sql-kafka connector "
+                "on the classpath (spark.jars.packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+            ) from exc
+        return decode_task_envelope(wire, schema).drop(
+            "_source_partition", "_source_offset"
+        )
+    raise ValueError(f"unknown broker transport: {conf.kind!r}")

@@ -51,11 +51,19 @@ def read_task_stream(
 ) -> DataFrame:
     """S5: consumer-group dequeue -> file-stream source over a staging
     directory; `maxFilesPerTrigger` plays the dequeue batch-size role
-    (reference batch 100 / block 1 s, fetch-weather/src/config.py:39-40)."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(staging_path)
+    (reference batch 100 / block 1 s, fetch-weather/src/config.py:39-40).
+    One branch of the broker transport seam (streaming/broker.py) — a
+    Kafka deployment swaps `BrokerConfig(kind="kafka", ...)` in without
+    touching anything downstream."""
+    from .broker import BrokerConfig, read_broker_stream
+
+    return read_broker_stream(
+        spark,
+        BrokerConfig(
+            kind="files", path=staging_path, max_per_trigger=max_files_per_trigger
+        ),
+        schema,
+    )
 
 
 def route_envelope(
@@ -144,10 +152,41 @@ def run_pipeline_available_now(
     epoch (T1/T2); a crashed micro-batch replays and the idempotent
     upsert absorbs the duplicates.
     """
-    keys = upsert_keys or ["task_id"]
-    stream = deduped_task_stream(
-        read_task_stream(spark, staging_path, ENVELOPE, max_files_per_trigger)
+    return run_pipeline_from_stream(
+        spark,
+        read_task_stream(spark, staging_path, ENVELOPE, max_files_per_trigger),
+        out_table,
+        dlq_path,
+        checkpoint,
+        transform=transform,
+        upsert_keys=upsert_keys,
+        now=now,
+        breaker=breaker,
+        rate_limiter=rate_limiter,
+        metrics_path=metrics_path,
     )
+
+
+def run_pipeline_from_stream(
+    spark: SparkSession,
+    task_stream: DataFrame,
+    out_table: str,
+    dlq_path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    upsert_keys: list[str] | None = None,
+    now: F.Column | None = None,
+    breaker: CircuitBreaker | None = None,
+    rate_limiter: DailyRateLimiter | None = None,
+    metrics_path: str | None = None,
+) -> StreamingQuery:
+    """Transport-agnostic core of the pipeline: takes an already-decoded
+    streaming envelope frame (any streaming/broker.py transport — files,
+    kafka, or the kafka-wire test double) and applies watermark dedup,
+    envelope routing, and the foreachBatch sinks. This is the seam a
+    Kafka deployment calls directly."""
+    keys = upsert_keys or ["task_id"]
+    stream = deduped_task_stream(task_stream)
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         routed = route_envelope(batch, now=now).persist()
@@ -246,9 +285,9 @@ def streaming_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent way — the multi-batch path stays covered by the streaming
     unit tests."""
     import os
-    import tempfile
 
     from .. import catalog
+    from ..operators.artifacts import scratch_dir
 
     events = catalog.load_table(spark, sf_dir, "events")
     anchor = events.agg(F.max("ts").alias("a")).collect()[0]["a"]
@@ -258,7 +297,7 @@ def streaming_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("_enqueued_ts"),
         (1 + F.col("event_id") % 8).cast("int").alias("_delivery_count"),
     )
-    root = tempfile.mkdtemp(prefix="stream_roundtrip_")
+    root = scratch_dir("stream_roundtrip_")
     staging = os.path.join(root, "staging")
     out = os.path.join(root, "out")
     dlq = os.path.join(root, "dlq")
@@ -325,9 +364,9 @@ def stream_content_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-content count, total distinct chars), which the oracle
     recomputes from the raw table."""
     import os
-    import tempfile
 
     from .. import catalog
+    from ..operators.artifacts import scratch_dir
 
     docs = catalog.load_table(spark, sf_dir, "documents")
     base = docs.select(
@@ -356,7 +395,7 @@ def stream_content_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_ts") + F.expr("INTERVAL 10 MINUTES")).alias("_ts"),
     )
     staged = base.unionByName(refetch)
-    root = tempfile.mkdtemp(prefix="stream_content_dedup_")
+    root = scratch_dir("stream_content_dedup_")
     staging = os.path.join(root, "staging")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
