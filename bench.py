@@ -63,6 +63,9 @@ HEADLINE = [
     "minhash_near_dup_x64",
     "ivf_pq_index_probe",
     "semantic_dedup",
+    # round-4 additions
+    "stream_roundtrip_multibatch",
+    "embedding_near_dup",
 ]
 
 

@@ -352,3 +352,21 @@ def test_driver_sample_prefix_spans_families():
         "relational", "ann", "dedup", "text", "streaming", "curation",
         "ingest",
     }, fams
+
+
+def test_paragraph_dedup_two_exchanges_only(spark):
+    """Sub-document dedup: paragraphs explode map-side; the hash-group
+    of para_hash and the per-source rollup are the ONLY wide ops (the
+    first-occurrence join reuses the hash partitioning)."""
+    df = _q(spark, "paragraph_dedup")
+    assert plans.count_exchanges(df) <= 2
+    assert not plans.has_single_partition_exchange(df)
+    assert not plans.uses_python_row_udf(df)
+
+
+def test_pii_scrub_single_rollup_exchange(spark):
+    """Plant + regex scrub + audit are one narrow projection; the only
+    shuffle is the per-source rollup."""
+    df = _q(spark, "pii_scrub")
+    assert plans.count_exchanges(df) <= 1
+    assert not plans.uses_python_row_udf(df)

@@ -496,3 +496,82 @@ def test_upsert_insert_after_delete_all_rebuilds_clean_layout(
     )
     got = {r.k: r.v for r in read_upsert_table(spark, path).collect()}
     assert got == {2: "b2", 6: "f"}
+
+
+# ---------------------------------------------------------------------------
+# concurrent-writer lease + fencing protocol
+# ---------------------------------------------------------------------------
+
+
+def test_lease_tokens_increase_and_commit_records_last(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    upsert.upsert_parquet(spark, table, df, ["k"])
+    first = upsert.last_committed_token(table)
+    upsert.upsert_parquet(
+        spark, table, spark.createDataFrame([(2, "b")], "k int, v string"), ["k"]
+    )
+    assert first is not None and upsert.last_committed_token(table) == first + 1
+    # lease is released after each upsert
+    import os
+
+    assert not os.path.exists(upsert._lock_dir(table))
+
+
+def test_contending_writer_times_out_while_lease_held(tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t")
+    upsert.acquire_table_lease(table)
+    try:
+        with pytest.raises(TimeoutError):
+            upsert.acquire_table_lease(table, wait_s=0.2, sleep=lambda s: None)
+    finally:
+        upsert.release_table_lease(table)
+
+
+def test_expired_lease_is_stolen_and_stale_writer_is_fenced(tmp_path):
+    """Crash recovery + last-writer-wins detection: writer A acquires
+    and 'crashes' (lease expires); writer B steals the claim, commits;
+    A's late commit must raise WriterFencedError, not clobber B."""
+    import os
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    token_a = upsert.acquire_table_lease(table)
+    # age the claim past the TTL (simulated crash of writer A)
+    lock = upsert._lock_dir(table)
+    old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+    os.utime(lock, (old, old))
+    token_b = upsert.acquire_table_lease(table)  # steals, no timeout
+    assert token_b == token_a + 1
+    upsert.record_commit(table, token_b)
+    upsert.release_table_lease(table)
+    with pytest.raises(upsert.WriterFencedError):
+        upsert.record_commit(table, token_a)
+    assert upsert.last_committed_token(table) == token_b
+
+
+def test_serialized_writers_converge(spark, tmp_path):
+    """Two writers upserting disjoint keys through the lease end with
+    the union — the protocol serializes them, neither is lost."""
+    table = str(tmp_path / "t")
+    upsert.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        ["k"],
+    )
+    upsert.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"],
+    )
+    rows = {
+        (r.k, r.v)
+        for r in upsert.read_upsert_table(spark, table).collect()
+    }
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}

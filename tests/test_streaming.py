@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from trail_condition_etl_spark.sinks import upsert
 from trail_condition_etl_spark.streaming import joins, pipeline
+from conftest import SF_DIR
 
 NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
@@ -339,3 +340,24 @@ def test_scd2_maintenance_repairs_history_on_late_event(spark, tmp_path):
         ("error", 5, 10, False),
         ("view", 10, None, True),
     ]
+
+
+def test_multibatch_roundtrip_is_rerun_deterministic(spark):
+    """Two independent runs (fresh staging/checkpoint each — scratch
+    dirs differ, so file->batch assignment can differ) must summarize
+    identically: bounded event-time span + byte-identical redeliveries
+    make the landed set split-order independent."""
+    from trail_condition_etl_spark.streaming.pipeline import (
+        streaming_roundtrip_multibatch_query,
+    )
+
+    a = {
+        tuple(r)
+        for r in streaming_roundtrip_multibatch_query(spark, SF_DIR).collect()
+    }
+    b = {
+        tuple(r)
+        for r in streaming_roundtrip_multibatch_query(spark, SF_DIR).collect()
+    }
+    assert a == b
+    assert all(r[-1] == 3 for r in a), a  # n_batches column

@@ -41,9 +41,11 @@ SURVEY.md §2.11 with the same oracle discipline as the §2 rows.
 Cache lifecycle: multi-branch operators here persist() shared
 intermediates LAZILY and never unpersist them inline (deregistering a
 cache before the consumer's action executes forces the subplan to
-recompute per branch). Eviction is the CALLER's seam —
-spark.catalog.clearCache() between queries (bench.py, the test
-fixtures, the verify sweep) or Spark's LRU under memory pressure.
+recompute per branch). Eviction is the CALLER's seam — call
+`operators.artifacts.clear_caches(spark)` between logical units of work
+(bench.py, the test fixtures and the verify sweep all do), which also
+drops the artifact layer's memoized fallbacks; Spark's LRU still evicts
+under memory pressure for callers that never do.
 """
 
 from __future__ import annotations

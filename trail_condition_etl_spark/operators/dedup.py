@@ -985,3 +985,91 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
        round((SELECT COUNT(*) FROM found)
              / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS pair_recall
 """
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (sub-document granularity)
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 12
+
+
+def paragraph_dedup_report(documents: DataFrame) -> DataFrame:
+    """[EXT] Paragraph-level exact dedup, the sub-document pass web-scale
+    curation runs BEFORE document-level near-dup (boilerplate headers,
+    navigation text and license blocks repeat across documents that are
+    otherwise unique — document-granularity dedup cannot see them).
+
+    The corpus has no newline structure, so a "paragraph" is a fixed
+    window of PARA_TOKENS tokens. Each distinct paragraph content keeps
+    only its FIRST occurrence (min (doc_id, para_ix) position — the
+    deterministic winner); the report aggregates survival per source.
+
+    Scale shape: paragraphs explode map-side; the dedup groups by a
+    sha2 hash of the paragraph (32-byte shuffle key, like exact_dedup),
+    the join back is on the same key (one partitioning reused), and the
+    final per-source rollup is small. Never an all-pairs anything."""
+    toks = F.split("text", " ")
+    base = documents.select("doc_id", "source", toks.alias("t"))
+    last_ix = F.floor((F.size("t") - 1) / PARA_TOKENS).cast("int")
+    paras = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), last_ix),
+                lambda i: F.array_join(
+                    F.slice("t", i * PARA_TOKENS + 1, PARA_TOKENS), " "
+                ),
+            )
+        ).alias("para_ix", "para"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("para_ix").cast("long").alias("para_ix"),
+        F.sha2("para", 256).alias("para_hash"),
+        (F.col("doc_id") * 100_000 + F.col("para_ix")).alias("pos"),
+    )
+    firsts = paras.groupBy("para_hash").agg(F.min("pos").alias("first_pos"))
+    return (
+        paras.join(firsts, "para_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(
+                (F.col("pos") != F.col("first_pos")).cast("long")
+            ).alias("n_dropped"),
+        )
+        .withColumn(
+            "drop_rate",
+            F.round(F.col("n_dropped") / F.col("n_paras"), 6),
+        )
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+paras AS (
+  SELECT doc_id, source,
+         CAST(unnest(range(0, (len(t)-1)//{PARA_TOKENS} + 1)) AS BIGINT)
+           AS para_ix,
+         unnest(list_transform(range(0, (len(t)-1)//{PARA_TOKENS} + 1),
+                i -> array_to_string(
+                       list_slice(t, i*{PARA_TOKENS} + 1,
+                                  i*{PARA_TOKENS} + {PARA_TOKENS}), ' ')))
+           AS para
+  FROM toks
+),
+pos AS (
+  SELECT source, para, doc_id * 100000 + para_ix AS pos FROM paras
+),
+firsts AS (SELECT para, MIN(pos) AS first_pos FROM pos GROUP BY para)
+SELECT source, COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN pos = first_pos THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       round(SUM(CASE WHEN pos = first_pos THEN 0 ELSE 1 END) * 1.0
+             / COUNT(*), 6) AS drop_rate
+FROM pos JOIN firsts USING (para) GROUP BY source
+"""

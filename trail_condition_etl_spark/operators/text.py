@@ -746,3 +746,102 @@ pairs AS (
 SELECT pair, COUNT(*) AS n FROM pairs
 GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns kept to syntax with IDENTICAL semantics in Java regex (Spark)
+# and RE2 (DuckDB): literal chars, char classes, bounded repetition.
+EMAIL_RE = "user[0-9]+@example\\.com"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_scrub_report(documents: DataFrame) -> DataFrame:
+    """[EXT] PII redaction pass + per-source audit, the pre-training
+    compliance step every corpus pipeline runs before packing: replace
+    email/phone matches with typed placeholder tokens and report how
+    much was removed, per source.
+
+    The shipped corpus is synthetic and PII-free, so the query PLANTS
+    deterministic PII first (doc_id-keyed emails on every 5th doc,
+    phone numbers on every 7th) and then scrubs it — the operator under
+    test is the scrub+audit, and the oracle replays plant and scrub
+    identically. All narrow per-row regex work in one projection; the
+    only shuffle is the final per-source rollup."""
+    planted = documents.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = planted.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length("text").alias("len_before"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("text", EMAIL_RE, "[EMAIL]"),
+                PHONE_RE,
+                "[PHONE]",
+            )
+        ).alias("len_after"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum(F.col("len_before") - F.col("len_after")).alias("chars_removed"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN doc_id % 5 = 0 THEN
+        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      WHEN doc_id % 7 = 0 THEN
+        text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE text
+    END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+    length(text) AS len_before,
+    length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g')) AS len_after
+  FROM planted
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       CAST(SUM(len_before - len_after) AS BIGINT) AS chars_removed
+FROM scrubbed GROUP BY source
+"""

@@ -815,6 +815,15 @@ def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.streaming_roundtrip_query(spark, sf_dir)
 
 
+@query(
+    "stream_roundtrip_multibatch",
+    oracle=streaming_pipeline.STREAMING_ROUNDTRIP_MULTIBATCH_SQL,
+)
+def q_stream_roundtrip_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    return streaming_pipeline.streaming_roundtrip_multibatch_query(spark, sf_dir)
+
+
 @query("stream_content_dedup", oracle=streaming_pipeline.STREAM_CONTENT_DEDUP_SQL)
 def q_stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content-level streaming dedup: dropDuplicatesWithinWatermark on
@@ -1007,6 +1016,22 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _tables(spark, sf_dir, "documents")
     return text.doc_fingerprint(documents)
+
+
+@query("paragraph_dedup", oracle=dedup.PARAGRAPH_DEDUP_SQL)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sub-document dedup: repeated boilerplate paragraphs keep only
+    # their first occurrence; per-source survival report
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_report(documents)
+
+
+@query("pii_scrub", oracle=text.PII_SCRUB_SQL)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant deterministic emails/phones, scrub with typed placeholders,
+    # audit redactions per source
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return text.pii_scrub_report(documents)
 
 
 @query("exact_dedup", oracle=dedup.EXACT_DEDUP_SQL)
@@ -1355,14 +1380,14 @@ _SAMPLE_HEAD = [
     "shipping_priority", "region_volume",
     # text dedup family
     "minhash_near_dup", "minhash_near_dup_x64", "exact_dedup",
-    "canonical_docs", "dedup_clusters", "incremental_near_dup",
+    "canonical_docs", "dedup_clusters", "paragraph_dedup",
     # ANN / embeddings family
     "ivf_pq_topk", "semantic_dedup", "cosine_topk", "pq_topk",
     "embedding_near_dup", "ivf_pq_index_probe", "incremental_ann_index",
     "ann_recall_report",
     # streaming family
-    "stream_roundtrip", "stream_content_dedup", "stateful_sessions",
-    "stream_windowed_agg", "stream_attribution",
+    "stream_roundtrip", "stream_roundtrip_multibatch",
+    "stream_content_dedup", "stateful_sessions", "stream_windowed_agg",
     # curation family
     "curation_funnel", "budget_fill", "lang_drift", "decontaminate",
     "pack_sequences",
@@ -1388,7 +1413,7 @@ _FAMILY_PATTERNS: list[tuple[str, tuple[str, ...]]] = [
                   "sample", "repetition", "overlap")),
     ("text", ("token", "quality", "language", "fingerprint", "tfidf",
               "ngram", "chunk", "bpe", "heavy_hitters", "search",
-              "index", "retrieval")),
+              "index", "retrieval", "pii")),
     ("ingest", ("ingest", "dlq", "scheduler", "task", "json", "variant",
                 "datetime", "roundtrip", "schema")),
 ]

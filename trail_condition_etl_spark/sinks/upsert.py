@@ -68,6 +68,121 @@ def retry_with_backoff(
     raise last
 
 
+# ---------------------------------------------------------------------------
+# Concurrent-writer protocol (lease + fencing token).
+#
+# The compact-then-swap merge is single-writer by construction: two
+# writers racing the same bucket directories would interleave their
+# dynamic-partition overwrites and corrupt the table. A 100 TB warehouse
+# has concurrent writers, so every upsert runs under a CLAIM + FENCE
+# protocol:
+#
+# * claim — `mkdir(table.lock)` is the atomic claim (POSIX mkdir either
+#   creates or fails; on an object store this becomes a conditional PUT
+#   / DynamoDB item, the same seam Delta's S3 LogStore uses). The claim
+#   is a LEASE: a holder that crashes mid-upsert leaves the dir behind,
+#   and any writer may steal a claim older than `LOCK_LEASE_TTL_S`.
+# * fence — each acquisition increments a monotone token
+#   (`table.fence`). A commit records its token (`table.commit`); a
+#   writer whose lease was stolen carries a SMALLER token than the last
+#   commit and must abort (`WriterFencedError`) instead of clobbering
+#   the newer state — last-writer-wins is DETECTED, never silent.
+#
+# Honest limits (the ADR part): plain parquet gives no atomic
+# data+token commit, so a fenced writer that dies between its fence
+# check and its job commit can still interleave — closing that window
+# needs the storage layer to check tokens at commit (Delta/Iceberg's
+# transaction log; SURVEY §7 records the decision not to take the
+# dependency). The protocol here bounds the damage to exactly the
+# window the table format would close, and every detection path is
+# tested (test_sinks.py).
+# ---------------------------------------------------------------------------
+
+LOCK_LEASE_TTL_S = 60.0
+
+
+class WriterFencedError(RuntimeError):
+    """This writer's lease was stolen and a newer writer has committed;
+    its merge output is stale and must not be published."""
+
+
+def _lock_dir(table_path: str) -> str:
+    return table_path.rstrip("/") + ".lock"
+
+
+def _fence_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".fence"
+
+
+def _commit_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".commit"
+
+
+def acquire_table_lease(
+    table_path: str,
+    ttl_s: float = LOCK_LEASE_TTL_S,
+    wait_s: float = 10.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Claim the table's writer lease; returns this writer's fencing
+    token. Blocks up to `wait_s` for a live holder; steals claims older
+    than `ttl_s` (crashed holder)."""
+    lock = _lock_dir(table_path)
+    deadline = time.monotonic() + wait_s
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # released between the mkdir and the stat
+            if age > ttl_s:
+                shutil.rmtree(lock, ignore_errors=True)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"writer lease busy after {wait_s}s: {lock}"
+                )
+            sleep(0.05)
+    fence = _fence_path(table_path)
+    try:
+        with open(fence) as f:
+            token = int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        token = 0
+    token += 1
+    with open(fence, "w") as f:
+        f.write(str(token))
+    return token
+
+
+def release_table_lease(table_path: str) -> None:
+    shutil.rmtree(_lock_dir(table_path), ignore_errors=True)
+
+
+def last_committed_token(table_path: str) -> int | None:
+    try:
+        with open(_commit_path(table_path)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def record_commit(table_path: str, token: int) -> None:
+    """Publish this writer's commit, refusing if a NEWER token already
+    committed (the stolen-lease / stale-writer detection)."""
+    committed = last_committed_token(table_path)
+    if committed is not None and committed >= token:
+        raise WriterFencedError(
+            f"writer token {token} is stale: token {committed} already "
+            f"committed to {table_path} (lease was stolen mid-upsert)"
+        )
+    with open(_commit_path(table_path), "w") as f:
+        f.write(str(token))
+
+
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     return df.withColumn(
         "pk_bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
@@ -104,7 +219,11 @@ def upsert_parquet(
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """MERGE-style upsert keyed on `keys`: new rows win over existing
-    rows with the same key; untouched buckets are not rewritten."""
+    rows with the same key; untouched buckets are not rewritten. Runs
+    under the writer lease + fencing protocol (see module banner): two
+    concurrent upserters serialize on the claim, and a writer whose
+    lease was stolen mid-merge aborts with `WriterFencedError` rather
+    than publishing over the newer commit."""
     new_b = _with_bucket(new_rows, keys, n_buckets)
 
     def attempt() -> None:
@@ -123,10 +242,15 @@ def upsert_parquet(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         _write_merged(merged, table_path)
 
-    # the whole read-merge-write closure retries: each attempt re-reads
-    # current table state, and a failed attempt never commits, so the
-    # retry is idempotent (T1 semantics survive the retry loop)
-    retry_with_backoff(attempt)
+    token = acquire_table_lease(table_path)
+    try:
+        # the whole read-merge-write closure retries: each attempt
+        # re-reads current table state, and a failed attempt never
+        # commits, so the retry is idempotent (T1 survives the retries)
+        retry_with_backoff(attempt)
+        record_commit(table_path, token)
+    finally:
+        release_table_lease(table_path)
 
 
 def _write_merged(merged: DataFrame, table_path: str) -> None:
@@ -265,4 +389,9 @@ def upsert_parquet_with_deletes(
                 table_path
             )
 
-    retry_with_backoff(attempt)
+    token = acquire_table_lease(table_path)
+    try:
+        retry_with_backoff(attempt)
+        record_commit(table_path, token)
+    finally:
+        release_table_lease(table_path)

@@ -353,6 +353,103 @@ FROM routed GROUP BY route
 """
 
 
+def streaming_roundtrip_multibatch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The roundtrip pipeline across ≥3 REAL micro-batches — the
+    cross-batch watermark/dedup semantics (T2/T4/T5) as a driver-visible
+    row, where `stream_roundtrip` deliberately pins a single batch.
+
+    Determinism despite unspecified file->batch assignment (the
+    596c44b technique, twice over):
+    * event times span a BOUNDED hour, far inside the 24 h watermark, so
+      no batch order can ever advance the watermark past another batch's
+      rows — nothing is late, nothing is dropped;
+    * the injected redeliveries are byte-IDENTICAL rows (same task_id,
+      same enqueue time, same delivery count), so whichever copy the
+      cross-batch dedup state keeps, the surviving row is the same; the
+      idempotent upsert absorbs any same-key rewrite.
+    The summary adds `n_batches` (non-empty epochs observed via the
+    metrics table): staging is written as 6 files, maxFilesPerTrigger=2,
+    so exactly 3 — the oracle pins it, proving the run was multi-batch."""
+    import os
+
+    from .. import catalog
+    from ..operators.artifacts import scratch_dir
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    staged = events.select(
+        F.col("event_id").cast("string").alias("task_id"),
+        F.col("user_id").cast("int").alias("city_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.col("event_id"), F.lit(3600))
+        ).alias("_enqueued_ts"),
+        (1 + F.col("event_id") % 8).cast("int").alias("_delivery_count"),
+    )
+    redelivered = staged.filter(F.col("task_id").cast("long") % 3 == 0)
+    root = scratch_dir("stream_multibatch_")
+    staging = os.path.join(root, "staging")
+    out = os.path.join(root, "out")
+    dlq = os.path.join(root, "dlq")
+    ckpt = os.path.join(root, "ckpt")
+    metrics = os.path.join(root, "metrics")
+    staged.unionByName(redelivered).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    anchor = F.timestamp_seconds(F.lit(1_700_000_000 + 3599))
+    q = run_pipeline_available_now(
+        spark,
+        staging,
+        out,
+        dlq,
+        ckpt,
+        now=anchor,
+        max_files_per_trigger=2,
+        metrics_path=metrics,
+    )
+    q.awaitTermination()
+    n_batches = (
+        spark.read.parquet(metrics)
+        .filter(F.col("n_processed") + F.col("n_rejected") > 0)
+        .select(F.countDistinct("epoch_id"))
+        .collect()[0][0]
+    )
+    processed = spark.read.parquet(out).select(
+        F.lit("process").alias("route"),
+        F.col("task_id").cast("long").alias("tid"),
+    )
+    rejected = spark.read.parquet(dlq).select(
+        F.col("error.exception_type").alias("route"),
+        F.col("task_id").cast("long").alias("tid"),
+    )
+    return (
+        processed.unionByName(rejected)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.min("tid").alias("min_task_id"),
+            F.max("tid").alias("max_task_id"),
+        )
+        .withColumn("n_batches", F.lit(int(n_batches)).cast("int"))
+    )
+
+
+STREAMING_ROUNDTRIP_MULTIBATCH_SQL = """
+WITH env AS (
+  SELECT event_id, CAST(1 + event_id % 8 AS INT) AS dc FROM events
+),
+routed AS (
+  SELECT event_id,
+    CASE WHEN dc > 6 THEN 'dlq_poison' ELSE 'process' END AS route
+  FROM env
+)
+SELECT route, COUNT(*) AS n_tasks,
+       MIN(event_id) AS min_task_id, MAX(event_id) AS max_task_id,
+       CAST(3 AS INT) AS n_batches
+FROM routed GROUP BY route
+"""
+
+
 def stream_content_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-level streaming dedup — the CONTENT twin of the task-id
     dedup (T5): documents arrive as a file stream, and
