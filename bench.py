@@ -63,9 +63,13 @@ HEADLINE = [
     "minhash_near_dup_x64",
     "ivf_pq_index_probe",
     "semantic_dedup",
-    # round-4 additions
-    "stream_roundtrip_multibatch",
+    # round-4 additions (streaming roundtrips are deliberately NOT
+    # headlined: their cost is micro-batch/state-store machinery over a
+    # synthetic redelivery storm, not query throughput — same reason
+    # stream_roundtrip never was)
     "embedding_near_dup",
+    "paragraph_dedup",
+    "pii_scrub",
 ]
 
 

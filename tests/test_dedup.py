@@ -128,3 +128,16 @@ def test_pair_graph_shared_across_thresholds(spark):
     assert rows == inline
     # both thresholds read the same materialized files
     assert set(tighter.inputFiles()) == set(base.inputFiles())
+
+
+def test_x64_pair_graph_artifact_identical_to_inline(spark):
+    docs = _docs(spark)
+    shared = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.shared_minhash_pairs_x64(docs).collect()
+    }
+    inline = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_pairs(docs, use_xxhash=True).collect()
+    }
+    assert shared == inline and shared

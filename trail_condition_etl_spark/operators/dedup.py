@@ -298,6 +298,24 @@ def shared_minhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFr
     return art.filter(F.col("jaccard") >= threshold) if threshold > base_t else art
 
 
+def shared_minhash_pairs_x64(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """The 64-bit-id production variant through the same floor-keyed
+    artifact cache — one xxhash64 LSH pass per corpus snapshot, every
+    later invocation is a filter over the parquet artifact."""
+    from .artifacts import materialize
+
+    base_t = min(threshold, PAIR_GRAPH_FLOOR)
+    art = materialize(
+        documents,
+        f"minhash_pairs_x64_t{base_t!r}",
+        lambda: minhash_pairs(documents, base_t, use_xxhash=True),
+        "doc_a long, doc_b long, jaccard double",
+    )
+    return art.filter(F.col("jaccard") >= threshold) if threshold > base_t else art
+
+
 def ngram_jaccard_sample(documents: DataFrame, modulo: int = 2) -> DataFrame:
     """Brute-force n-gram Jaccard on a deterministic sample (doc_id %
     modulo == 0) — the quadratic baseline that validates the LSH path.

