@@ -124,3 +124,41 @@ def test_producer_side_key_routing(spark):
         .collect()
     )
     assert all(r.n == r.mx for r in per_part)
+
+
+def test_wire_sink_roundtrips_through_decode(spark):
+    """Producer side: a streaming envelope frame written through the
+    wire_files sink must decode back (via the same decode the kafka
+    source branch uses) to exactly the input task set."""
+    root = tempfile.mkdtemp(prefix="broker_sink_")
+    tasks = _tasks(spark, 30)
+    staging = os.path.join(root, "staging")
+    tasks.write.mode("overwrite").parquet(staging)
+    stream = broker.read_broker_stream(
+        spark,
+        broker.BrokerConfig(kind="files", path=staging, max_per_trigger=None),
+        pipeline.ENVELOPE,
+    )
+    wire_out = os.path.join(root, "wire_out")
+    q = broker.write_broker_stream(
+        stream,
+        broker.BrokerConfig(kind="wire_files", path=wire_out, topic="out"),
+        os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    decoded = broker.decode_task_envelope(
+        spark.read.parquet(wire_out), pipeline.ENVELOPE
+    )
+    got = {(r.task_id, r.city_id, r._delivery_count) for r in decoded.collect()}
+    want = {(r.task_id, r.city_id, r._delivery_count) for r in tasks.collect()}
+    assert got == want
+
+
+def test_kafka_sink_wiring():
+    conf = broker.BrokerConfig(
+        kind="kafka", bootstrap_servers="b:9092", topic="out-topic"
+    )
+    opts = broker.kafka_writer_options(conf)
+    assert opts["topic"] == "out-topic"
+    assert opts["kafka.enable.idempotence"] == "true"
+    assert opts["kafka.acks"] == "all"

@@ -575,3 +575,37 @@ def test_serialized_writers_converge(spark, tmp_path):
         for r in upsert.read_upsert_table(spark, table).collect()
     }
     assert rows == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_racing_writers_serialize_through_lease(spark, tmp_path):
+    """Two THREADS race upsert_parquet on one table: the lease must
+    serialize them (no corrupted mixed layout, no lost upsert) and both
+    commits must land — the union of both key sets is the final state."""
+    import threading
+
+    table = str(tmp_path / "t")
+    # seed so both racers take the merge path, not the fresh-table path
+    upsert.upsert_parquet(
+        spark, table, spark.createDataFrame([(0, "seed")], "k int, v string"), ["k"]
+    )
+    errs = []
+
+    def write(lo: int):
+        try:
+            df = spark.createDataFrame(
+                [(lo + i, f"w{lo}") for i in range(8)], "k int, v string"
+            )
+            upsert.upsert_parquet(spark, table, df, ["k"])
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=write, args=(100,))
+    t2 = threading.Thread(target=write, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    rows = {(r.k, r.v) for r in upsert.read_upsert_table(spark, table).collect()}
+    expect = {(0, "seed")}
+    expect |= {(100 + i, "w100") for i in range(8)}
+    expect |= {(200 + i, "w200") for i in range(8)}
+    assert rows == expect
+    assert upsert.last_committed_token(table) == 3

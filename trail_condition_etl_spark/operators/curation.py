@@ -883,3 +883,104 @@ SELECT source,
   COUNT(CASE WHEN present THEN 1 END) AS n_langs
 FROM terms GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curated snapshot (filter -> dedup -> decontaminate -> split
+# -> MATERIALIZE), manifest read back from the written files
+# ---------------------------------------------------------------------------
+
+
+def curated_snapshot(documents: DataFrame) -> DataFrame:
+    """[EXT] The curation pipeline's terminal step: actually WRITE the
+    curated corpus. Survivors are the intersection of three oracle-
+    checked stages, each reused unchanged — exact-dedup winners
+    (dedup.exact_dedup), near-dup cluster canonicals
+    (dedup.dedup_clusters over the shared pair-graph artifact), and
+    uncontaminated train docs (decontaminate: held-out docs themselves
+    are excluded — eval data never lands in a training snapshot). The
+    split assignment is the registered hash split; the snapshot is
+    written PARTITIONED BY SPLIT (the layout a trainer consumes — one
+    directory per split, prunable), and the returned manifest is
+    aggregated from a READ-BACK of the written files, so the query pins
+    the whole write/read lifecycle, not just the plan.
+
+    Scale shape: three doc_id-keyed joins sharing one key (AQE reuses
+    the clustering), a map-side split expression, one partitioned write.
+    Nothing fact-sized shuffles more than the dedup stages already did.
+    """
+    import os
+
+    from .artifacts import scratch_dir
+    from .dedup import dedup_clusters, exact_dedup
+
+    winners = exact_dedup(documents).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    canon = (
+        dedup_clusters(documents)
+        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+        .select("doc_id")
+    )
+    clean = (
+        decontaminate(documents)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    bucket = char_poly_hash(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
+    ) % 100
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+    survivors = (
+        documents.join(winners, "doc_id")
+        .join(canon, "doc_id")
+        .join(clean, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            split.alias("split"),
+        )
+    )
+    out = os.path.join(scratch_dir("curated_snapshot_"), "snapshot")
+    survivors.write.partitionBy("split").mode("overwrite").parquet(out)
+    return (
+        documents.sparkSession.read.parquet(out)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _curated_snapshot_sql() -> str:
+    from .dedup import DEDUP_CLUSTERS_SQL
+
+    h = char_poly_hash_sql(f"CAST(d.doc_id AS VARCHAR) || ':{SPLIT_SALT}'")
+    lo, hi = SPLIT_BOUNDS
+    return f"""
+WITH clusters AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL})),
+decon AS (SELECT * FROM ({DECONTAMINATE_SQL})),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+survivors AS (
+  SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+         CASE WHEN ({h}) % 100 < {lo} THEN 'train'
+              WHEN ({h}) % 100 < {hi} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d
+  JOIN winners w ON w.doc_id = d.doc_id
+  JOIN clusters c ON c.doc_id = d.doc_id AND c.canonical_doc_id = d.doc_id
+  JOIN (SELECT doc_id AS x_doc_id, contaminated FROM decon) x
+    ON x.x_doc_id = d.doc_id AND NOT x.contaminated
+)
+SELECT split, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM survivors GROUP BY split, source
+"""
+
+
+CURATED_SNAPSHOT_SQL = _curated_snapshot_sql()

@@ -1232,6 +1232,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_funnel(documents)
 
 
+@query("curated_snapshot", oracle=curation.CURATED_SNAPSHOT_SQL)
+def q_curated_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the curation pipeline's terminal materialization: exact winners ∩
+    # near-dup canonicals ∩ uncontaminated, written partitioned by
+    # split, manifest aggregated from the read-back
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.curated_snapshot(documents)
+
+
 @query("decontaminate", oracle=curation.DECONTAMINATE_SQL)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination: distinct held-out gram ids broadcast,
@@ -1392,8 +1401,8 @@ _SAMPLE_HEAD = [
     "stream_roundtrip", "stream_roundtrip_multibatch",
     "stream_content_dedup", "stateful_sessions", "stream_windowed_agg",
     # curation family
-    "curation_funnel", "budget_fill", "lang_drift", "decontaminate",
-    "pack_sequences",
+    "curation_funnel", "curated_snapshot", "budget_fill", "lang_drift",
+    "decontaminate",
     # text analysis
     "token_stats", "quality_score", "language_id",
     "bpe_merge_candidates", "tfidf_topk", "hybrid_retrieval",

@@ -147,3 +147,78 @@ def read_broker_stream(
             "_source_partition", "_source_offset"
         )
     raise ValueError(f"unknown broker transport: {conf.kind!r}")
+
+
+def kafka_writer_options(conf: BrokerConfig) -> dict[str, str]:
+    """Option map for the kafka SINK branch (pure function, pinned by
+    tests without the connector)."""
+    opts = {
+        "kafka.bootstrap.servers": conf.bootstrap_servers or "",
+        "topic": conf.topic or "",
+        # idempotent producer: broker-side dedup of producer retries —
+        # the transport half of the effectively-once story (the
+        # checkpoint + idempotent upsert is the processing half)
+        "kafka.enable.idempotence": "true",
+        "kafka.acks": "all",
+    }
+    opts.update(conf.options)
+    return opts
+
+
+def write_broker_stream(
+    stream: DataFrame,
+    conf: BrokerConfig,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """S6 through the transport seam: publish a streaming envelope frame
+    back to a broker (the reference's producer XADD half). ``kafka``
+    serializes key=task_id / value=JSON(row) through the connector;
+    ``wire_files`` is the test double — the SAME key/value encoding
+    written as parquet wire rows via foreachBatch (offset assignment is
+    a per-batch window, legal inside foreachBatch where the batch is a
+    static frame); ``files`` appends the decoded frame as plain parquet.
+    """
+    cols = stream.columns
+    if conf.kind == "kafka":
+        out = stream.select(
+            F.col("task_id").cast("string").cast("binary").alias("key"),
+            F.to_json(F.struct(*cols)).cast("binary").alias("value"),
+        )
+        writer = out.writeStream.format("kafka")
+        for k, v in kafka_writer_options(conf).items():
+            writer = writer.option(k, v)
+        writer = writer.option("checkpointLocation", checkpoint)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        try:
+            return writer.start()
+        except Exception as exc:
+            raise RuntimeError(
+                "kafka transport requires the spark-sql-kafka connector "
+                "on the classpath (spark.jars.packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+            ) from exc
+    if conf.kind == "wire_files":
+
+        def emit(batch: DataFrame, epoch_id: int) -> None:
+            encode_task_envelope(batch, topic=conf.topic or "tasks").write.mode(
+                "append"
+            ).parquet(conf.path)
+
+        writer = stream.writeStream.foreachBatch(emit).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+    if conf.kind == "files":
+        writer = (
+            stream.writeStream.format("parquet")
+            .option("path", conf.path)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+    raise ValueError(f"unknown broker transport: {conf.kind!r}")
