@@ -70,6 +70,8 @@ HEADLINE = [
     "embedding_near_dup",
     "paragraph_dedup",
     "pii_scrub",
+    "curated_snapshot",
+    "split_leakage",
 ]
 
 

@@ -984,3 +984,144 @@ FROM survivors GROUP BY split, source
 
 
 CURATED_SNAPSHOT_SQL = _curated_snapshot_sql()
+
+
+# ---------------------------------------------------------------------------
+# cross-split near-dup leakage audit
+# ---------------------------------------------------------------------------
+
+
+def split_leakage(documents: DataFrame) -> DataFrame:
+    """[EXT] Near-duplicate leakage across train/val/test: a random hash
+    split CANNOT see near-duplicates, so paraphrases of one document
+    land in different splits and the eval set leaks into training —
+    the reason production pipelines split by CLUSTER, not by document.
+    This audit counts near-dup pairs straddling each (split_a, split_b)
+    combination; the off-diagonal counts are the leak.
+
+    The pair graph is the shared per-snapshot artifact (one LSH pass);
+    the split is the registered hash assignment recomputed map-side on
+    both endpoints — two broadcast-sized joins, no new fact shuffle."""
+    from .dedup import shared_minhash_pairs
+
+    bucket = char_poly_hash(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
+    ) % 100
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+    assign = documents.select("doc_id", split.alias("split"))
+    pairs = shared_minhash_pairs(documents).select("doc_a", "doc_b")
+    sided = (
+        pairs.join(assign.toDF("doc_a", "split_a"), "doc_a")
+        .join(assign.toDF("doc_b", "split_b"), "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_a"),
+            F.greatest("split_a", "split_b").alias("split_b"),
+        )
+    )
+    return sided.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).withColumn(
+        "leaks", F.col("split_a") != F.col("split_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import MINHASH_PAIRS_SQL
+
+    def h(col: str) -> str:
+        return char_poly_hash_sql(f"CAST({col} AS VARCHAR) || ':{SPLIT_SALT}'")
+
+    lo, hi = SPLIT_BOUNDS
+
+    def split_case(col: str) -> str:
+        return (
+            f"CASE WHEN ({h(col)}) % 100 < {lo} THEN 'train' "
+            f"WHEN ({h(col)}) % 100 < {hi} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_SQL})),
+sided AS (
+  SELECT LEAST({split_case('doc_a')}, {split_case('doc_b')}) AS split_a,
+         GREATEST({split_case('doc_a')}, {split_case('doc_b')}) AS split_b
+  FROM pairs
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       split_a <> split_b AS leaks
+FROM sided GROUP BY split_a, split_b
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+def cluster_split_leakage(documents: DataFrame) -> DataFrame:
+    """[EXT] The fix for `split_leakage`: assign splits by the NEAR-DUP
+    CLUSTER's canonical id, not the document id — every member of a
+    component lands in one split, so cross-split near-dup pairs are
+    zero BY CONSTRUCTION (the off-diagonal rows vanish; the oracle
+    proves it, not just asserts it). Same artifact-backed pair graph,
+    one extra doc_id-keyed join against the cluster labels."""
+    from .dedup import dedup_clusters, shared_minhash_pairs
+
+    labels = dedup_clusters(documents)
+    bucket = char_poly_hash(
+        F.concat_ws(
+            ":", F.col("canonical_doc_id").cast("string"), F.lit(SPLIT_SALT)
+        )
+    ) % 100
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+    assign = labels.select("doc_id", split.alias("split"))
+    pairs = shared_minhash_pairs(documents).select("doc_a", "doc_b")
+    sided = (
+        pairs.join(assign.toDF("doc_a", "split_a"), "doc_a")
+        .join(assign.toDF("doc_b", "split_b"), "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_a"),
+            F.greatest("split_a", "split_b").alias("split_b"),
+        )
+    )
+    return sided.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).withColumn(
+        "leaks", F.col("split_a") != F.col("split_b")
+    )
+
+
+def _cluster_split_leakage_sql() -> str:
+    from .dedup import DEDUP_CLUSTERS_SQL, MINHASH_PAIRS_SQL
+
+    h = char_poly_hash_sql(
+        f"CAST(canonical_doc_id AS VARCHAR) || ':{SPLIT_SALT}'"
+    )
+    lo, hi = SPLIT_BOUNDS
+    return f"""
+WITH clusters AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL})),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN ({h}) % 100 < {lo} THEN 'train'
+              WHEN ({h}) % 100 < {hi} THEN 'val'
+              ELSE 'test' END AS split
+  FROM clusters
+),
+pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_SQL})),
+sided AS (
+  SELECT LEAST(a.split, b.split) AS split_a,
+         GREATEST(a.split, b.split) AS split_b
+  FROM pairs p
+  JOIN assign a ON a.doc_id = p.doc_a
+  JOIN assign b ON b.doc_id = p.doc_b
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       split_a <> split_b AS leaks
+FROM sided GROUP BY split_a, split_b
+"""
+
+
+CLUSTER_SPLIT_LEAKAGE_SQL = _cluster_split_leakage_sql()

@@ -1232,6 +1232,22 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_funnel(documents)
 
 
+@query("split_leakage", oracle=curation.SPLIT_LEAKAGE_SQL)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs straddling train/val/test — the leak a random hash
+    # split cannot see; pair graph from the shared artifact
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.split_leakage(documents)
+
+
+@query("cluster_split_leakage", oracle=curation.CLUSTER_SPLIT_LEAKAGE_SQL)
+def q_cluster_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fix: split by cluster canonical — cross-split pairs vanish by
+    # construction, and the oracle proves it
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return curation.cluster_split_leakage(documents)
+
+
 @query("curated_snapshot", oracle=curation.CURATED_SNAPSHOT_SQL)
 def q_curated_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the curation pipeline's terminal materialization: exact winners ∩
