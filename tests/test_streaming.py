@@ -361,3 +361,61 @@ def test_multibatch_roundtrip_is_rerun_deterministic(spark):
     }
     assert a == b
     assert all(r[-1] == 3 for r in a), a  # n_batches column
+
+
+def test_dlq_redrive_reprocesses_to_convergence(spark, tmp_path):
+    """R4 end-to-end: expired tasks land in the DLQ retryable; a redrive
+    job re-stages them with a fresh enqueue time; a SECOND AvailableNow
+    run (same out table, new staging epoch) processes them. Final table
+    = originally-processable ∪ redriven; poison rows stay dead."""
+    import os
+
+    root = str(tmp_path)
+    now = dt.datetime(2024, 1, 10, 12, 0, 0)
+    old = now - dt.timedelta(days=3)  # expired (>24h)
+    rows = [
+        ("t1", 1, now, 1),            # processable
+        ("t2", 2, old, 1),            # expired -> DLQ retryable
+        ("t3", 3, now, 99),           # poison -> DLQ permanent
+    ]
+    staging = os.path.join(root, "staging")
+    out = os.path.join(root, "out")
+    dlq = os.path.join(root, "dlq")
+    _tasks(spark, rows).write.mode("overwrite").parquet(staging)
+    q = pipeline.run_pipeline_available_now(
+        spark, staging, out, dlq,
+        os.path.join(root, "ckpt1"),
+        now=F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S"))),
+        max_files_per_trigger=None,
+    )
+    q.awaitTermination()
+    assert {r.task_id for r in upsert.read_upsert_table(spark, out).collect()} == {"t1"}
+
+    # redrive: eligible rows re-enter the staging dir as FRESH tasks
+    # (new enqueue time, delivery count reset — the reference's redrive
+    # contract), consumed by a new checkpoint epoch
+    redrive = upsert.redrive_candidates(spark, dlq).select(
+        "task_id",
+        "city_id",
+        F.to_timestamp(
+            F.lit(now.strftime("%Y-%m-%d %H:%M:%S"))
+        ).alias("_enqueued_ts"),
+        F.lit(1).cast("int").alias("_delivery_count"),
+    )
+    assert {r.task_id for r in redrive.collect()} == {"t2"}
+    restage = os.path.join(root, "staging2")
+    redrive.write.mode("overwrite").parquet(restage)
+    q2 = pipeline.run_pipeline_available_now(
+        spark, restage, out, dlq,
+        os.path.join(root, "ckpt2"),
+        now=F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S"))),
+        max_files_per_trigger=None,
+    )
+    q2.awaitTermination()
+    final = {r.task_id for r in upsert.read_upsert_table(spark, out).collect()}
+    assert final == {"t1", "t2"}
+    # poison stays dead: not redriven, not in the table
+    assert {
+        r.task_id
+        for r in upsert.redrive_candidates(spark, dlq).collect()
+    } == {"t2"}  # t3 is safe_to_retry=false, never eligible

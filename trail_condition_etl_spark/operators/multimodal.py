@@ -399,3 +399,90 @@ FROM chunks
 
 
 EMBED_CHUNKS_SQL = _embed_sql()
+
+
+# ---------------------------------------------------------------------------
+# audio windowing (VAD-style framing over the stubbed decode)
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 32  # samples per analysis window
+
+
+def audio_window_features(documents: DataFrame) -> DataFrame:
+    """[EXT] Audio analysis-window features over the documents-derived
+    media table: the framing/feature plumbing of a voice-activity /
+    audio-quality pipeline (fixed windows -> per-window energy +
+    zero-crossing count), with the CODEC decode stubbed to the
+    deterministic byte->sample map `s_i = ascii(char_i) - 128` (the
+    text bytes ARE the payload bytes — media_from_documents encodes
+    UTF-8). Real deployments swap the decode for the codec seam
+    (decode_stub); everything downstream — windowing, energy,
+    crossings — is exact integer column math and stays as-is.
+
+    Plan: one narrow projection builds samples and windows per row
+    (transform/slice/aggregate inside codegen), posexplode emits one
+    row per window — no shuffle at all until a consumer aggregates."""
+    samples = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c) - 128
+    )
+    audio = documents.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("asset_id"), samples.alias("s")
+    )
+    n_win = F.floor((F.size("s") - 1) / AUDIO_WINDOW).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_win),
+        lambda i: F.slice("s", i * AUDIO_WINDOW + 1, AUDIO_WINDOW),
+    )
+    per_win = audio.select(
+        "asset_id", F.posexplode(windows).alias("window_ix", "w")
+    )
+    energy = F.aggregate(
+        "w", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x
+    )
+    # zero crossings: sign changes between adjacent samples (zip_with
+    # of the window against its shift; null tail filtered by the concat)
+    signs = F.transform("w", lambda x: (x >= 0).cast("int"))
+    crossings = F.aggregate(
+        F.zip_with(
+            signs,
+            F.slice(signs, 2, F.size(signs)),
+            lambda a, b: F.when(b.isNull(), 0).otherwise(
+                (a != b).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per_win.select(
+        "asset_id",
+        F.col("window_ix").cast("long").alias("window_ix"),
+        F.size("w").cast("long").alias("n_samples"),
+        energy.alias("energy"),
+        crossings.alias("n_crossings"),
+    )
+
+
+AUDIO_WINDOW_SQL = f"""
+WITH audio AS (
+  SELECT doc_id AS asset_id,
+         list_transform(string_split(text, ''), c -> ascii(c) - 128) AS s
+  FROM documents WHERE doc_id % 3 = 1
+),
+win AS (
+  SELECT asset_id,
+         CAST(unnest(range(0, (len(s)-1)//{AUDIO_WINDOW} + 1)) AS BIGINT)
+           AS window_ix,
+         unnest(list_transform(range(0, (len(s)-1)//{AUDIO_WINDOW} + 1),
+                i -> s[i*{AUDIO_WINDOW} + 1 : i*{AUDIO_WINDOW} + {AUDIO_WINDOW}]))
+           AS w
+  FROM audio
+)
+SELECT asset_id, window_ix,
+  CAST(len(w) AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(w, x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+    AS energy,
+  CAST(COALESCE(list_sum(list_transform(range(1, len(w)),
+        i -> CASE WHEN (w[i] >= 0) <> (w[i+1] >= 0) THEN 1 ELSE 0 END)), 0)
+       AS BIGINT) AS n_crossings
+FROM win
+"""

@@ -849,6 +849,14 @@ def q_embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.embed_chunks_query(documents)
 
 
+@query("audio_window_features", oracle=multimodal.AUDIO_WINDOW_SQL)
+def q_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VAD-style audio framing: fixed windows -> exact integer energy +
+    # zero-crossing counts; codec decode is the stubbed seam
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.audio_window_features(documents)
+
+
 @query("media_resize", oracle=multimodal.MEDIA_RESIZE_SQL)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal resize stage: Arrow-batched mapInPandas over binary
