@@ -134,9 +134,12 @@ def main() -> None:
         artifacts.clear_caches(spark)
         return dt
 
+    from trail_condition_etl_spark import plans
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
+    plan_audit: dict[str, dict] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
@@ -151,6 +154,17 @@ def main() -> None:
                 "build": round(first - steady, 3),
                 "probe": round(steady, 3),
             }
+        # plan-quality evidence, computed OUTSIDE the timed region: the
+        # steady-state physical plan each number was measured against
+        df = fn(spark, sf_dir)
+        plan_audit[name] = {
+            "exchanges": plans.count_exchanges(df),
+            "broadcasts": plans.count_broadcasts(df),
+            "py_row_udf": plans.uses_python_row_udf(df),
+            "single_partition_exchange": plans.has_single_partition_exchange(df),
+            "cartesian": "CartesianProduct" in plans.simple_plan(df),
+        }
+        artifacts.clear_caches(spark)
 
     print(
         json.dumps(
@@ -163,6 +177,7 @@ def main() -> None:
                 "runs": n_runs,
                 "cold": cold,
                 "phases": phases,
+                "plan_audit": plan_audit,
             }
         )
     )
