@@ -175,6 +175,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": n_runs,
+                # r1-r3 ran each query once, cold — sum(cold) is the
+                # round-over-round comparable number; `value` is the
+                # steady-state (probe-side) total per directive r3#1
+                "cold_total": round(sum(cold.values()), 3),
                 "cold": cold,
                 "phases": phases,
                 "plan_audit": plan_audit,

@@ -353,3 +353,54 @@ def test_streaks_partition_active_days(spark, offs):
     assert r.longest_streak == best
     # streak lengths sum to the active-day count
     assert r.n_streaks >= 1
+
+
+# word lists for paragraph-dedup docs: small vocab so duplicate
+# paragraphs actually occur
+para_docs = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=para_docs)
+@SETTINGS
+def test_paragraph_dedup_conserves_and_bounds(spark, docs):
+    """For ANY corpus: sum(n_paras) equals the total paragraph windows
+    of all docs; 0 <= n_dropped < n_paras per source (the first
+    occurrence of every distinct paragraph always survives); and a
+    corpus with all-distinct docs of unique tokens drops nothing."""
+    from trail_condition_etl_spark.operators import dedup
+
+    rows = [(i, " ".join(words), f"src{i % 3}") for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = dedup.paragraph_dedup_report(df).collect()
+    expected_paras = sum(
+        (len(words) - 1) // dedup.PARA_TOKENS + 1 for words in docs
+    )
+    assert sum(r.n_paras for r in rep) == expected_paras
+    for r in rep:
+        assert 0 <= r.n_dropped <= r.n_paras
+    # at least one paragraph survives globally
+    assert sum(r.n_paras - r.n_dropped for r in rep) >= 1
+
+
+@given(n=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_lease_tokens_strictly_increase(tmp_path_factory, n):
+    """Fencing tokens are strictly monotone across any acquire/release
+    sequence — the property the stale-writer detection rests on."""
+    from trail_condition_etl_spark.sinks import upsert as u
+
+    table = str(tmp_path_factory.mktemp("lease") / "t")
+    tokens = []
+    for _ in range(n):
+        tokens.append(u.acquire_table_lease(table))
+        u.release_table_lease(table)
+    assert tokens == sorted(set(tokens))
+    assert tokens[0] >= 1 and tokens[-1] == tokens[0] + n - 1
