@@ -109,6 +109,24 @@ def test_kafka_branch_raises_clearly_without_connector(spark):
         broker.read_broker_stream(spark, conf, pipeline.ENVELOPE)
 
 
+def test_connector_remap_spares_unrelated_errors():
+    """Only the jar-absent failure mode maps to the install hint; a bad
+    option / auth / checkpoint error from the kafka branch must surface
+    as ITSELF, not send the operator hunting for an installed jar."""
+    assert broker._missing_connector(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find data source: kafka")
+    )
+    assert broker._missing_connector(
+        Exception("java.lang.ClassNotFoundException: kafka.DefaultSource")
+    )
+    assert not broker._missing_connector(
+        Exception("Invalid value for option 'subscribe'")
+    )
+    assert not broker._missing_connector(
+        Exception("checkpointLocation is not writable: /no/such/dir")
+    )
+
+
 def test_producer_side_key_routing(spark):
     """All wire rows for one task_id land in one partition (per-key
     order preservation), offsets dense per partition."""

@@ -609,3 +609,104 @@ def test_racing_writers_serialize_through_lease(spark, tmp_path):
     expect |= {(200 + i, "w200") for i in range(8)}
     assert rows == expect
     assert upsert.last_committed_token(table) == 3
+
+
+def test_stale_writer_cannot_release_thiefs_lock(tmp_path):
+    """Ownership-checked release: writer A (lease stolen) must not
+    delete writer B's lock — otherwise a third writer C could acquire
+    and interleave with B."""
+    import os
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    token_a = upsert.acquire_table_lease(table)
+    lock = upsert._lock_dir(table)
+    old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+    os.utime(lock, (old, old))
+    token_b = upsert.acquire_table_lease(table)  # B steals
+    upsert.release_table_lease(table, token_a)  # A's release is a no-op
+    assert os.path.isdir(lock)
+    with pytest.raises(TimeoutError):  # C cannot sneak in past B's lock
+        upsert.acquire_table_lease(table, wait_s=0.1, sleep=lambda s: None)
+    upsert.release_table_lease(table, token_b)  # B's own release works
+    assert not os.path.exists(lock)
+
+
+def test_expired_lease_steal_has_single_winner(tmp_path):
+    """N contenders racing one expired lease: the atomic rename-aside
+    steal lets exactly ONE win; the rest observe a live fresh lock and
+    time out rather than double-holding."""
+    import os
+    import threading
+    import time
+
+    table = str(tmp_path / "t")
+    upsert.acquire_table_lease(table)  # crashed holder
+    lock = upsert._lock_dir(table)
+    old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+    os.utime(lock, (old, old))
+    wins, losses = [], []
+
+    def contend():
+        try:
+            wins.append(upsert.acquire_table_lease(table, wait_s=0.3))
+        except TimeoutError:
+            losses.append(1)
+
+    threads = [threading.Thread(target=contend) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 3
+    assert upsert._lease_owner(table) == str(wins[0])
+
+
+def test_fenced_writer_aborts_before_destructive_write(spark, tmp_path, monkeypatch):
+    """The fence is checked BEFORE each attempt's write: a writer whose
+    token is older than the last commit must abort without rewriting any
+    bucket (no clobber-then-detect)."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    upsert.upsert_parquet(
+        spark, table, spark.createDataFrame([(1, "a")], "k int, v string"), ["k"]
+    )
+    # a newer writer committed out-of-band (simulates the stolen-lease
+    # interleaving: our next token will be older than this commit)
+    upsert.record_commit(table, 99)
+    writes = []
+    monkeypatch.setattr(
+        upsert, "_write_merged", lambda df, p: writes.append(p)
+    )
+    with pytest.raises(upsert.WriterFencedError):
+        upsert.upsert_parquet(
+            spark,
+            table,
+            spark.createDataFrame([(2, "b")], "k int, v string"),
+            ["k"],
+        )
+    assert writes == []  # aborted pre-write, table untouched
+    assert {r.k for r in upsert.read_upsert_table(spark, table).collect()} == {1}
+    # and the fencing abort was NOT retried into more attempts
+    assert upsert.last_committed_token(table) == 99
+
+
+def test_marker_files_are_written_atomically(spark, tmp_path):
+    """fence/commit markers go through temp + os.replace: after any
+    number of upserts no .tmp litter remains and both files parse."""
+    import os
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        upsert.upsert_parquet(
+            spark,
+            table,
+            spark.createDataFrame([(i, "v")], "k int, v string"),
+            ["k"],
+        )
+    parent = os.path.dirname(upsert._fence_path(table))
+    assert not [e for e in os.listdir(parent) if ".tmp." in e]
+    assert upsert.last_committed_token(table) == 3

@@ -85,9 +85,20 @@ def clear_caches(spark: SparkSession | None = None) -> None:
     is the library-level eviction seam; bench/verify call it between
     queries, and a long-lived embedding service would call it per
     corpus snapshot. File-backed artifacts are NOT touched — they are
-    disk-bounded (one per (kind, snapshot)) and removed at process exit."""
+    disk-bounded (one per (kind, snapshot)) and removed at process exit.
+
+    The memoized fallbacks are unpersisted explicitly (not just dropped
+    from the dict): without a session argument there is no clearCache()
+    sweep, and dropping the only reference would strand their cached
+    blocks in Spark's CacheManager until LRU pressure."""
     with _LOCK:
+        dropped = list(_FALLBACKS.values())
         _FALLBACKS.clear()
+    for _src, frame in dropped:
+        try:
+            frame.unpersist()
+        except Exception:  # session already stopped: nothing to release
+            pass
     if spark is not None:
         spark.catalog.clearCache()
 

@@ -586,21 +586,42 @@ SPLIT_SALT = "split-v1"
 SPLIT_BOUNDS = (80, 90)  # train < 80 <= val < 90 <= test
 
 
-def dataset_split(documents: DataFrame) -> DataFrame:
-    """Deterministic train/val/test split: bucket = cross-engine char
-    hash of "<doc_id>:<salt>" mod 100 (operators/hashing.py — pure
-    map-side arithmetic, no shuffle for the assignment, stable under
-    corpus growth and engine choice). One aggregate over (split, lang)
-    reports the resulting composition."""
+def split_assignment(id_col) -> F.Column:
+    """THE split expression: bucket = cross-engine char hash of
+    "<id>:<salt>" mod 100 → train/val/test by SPLIT_BOUNDS. Single
+    definition shared by every split consumer (dataset_split,
+    curated_snapshot, the leakage audits) so the registered split and
+    its audits can never desynchronize."""
     from .hashing import char_poly_hash
 
     bucket = char_poly_hash(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
+        F.concat_ws(":", id_col.cast("string"), F.lit(SPLIT_SALT))
     ) % 100
     lo, hi = SPLIT_BOUNDS
-    split = (
+    return (
         F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
     )
+
+
+def split_case_sql(expr: str) -> str:
+    """DuckDB form of `split_assignment` — the same single definition
+    for every oracle that references the split."""
+    from .hashing import char_poly_hash_sql
+
+    h = char_poly_hash_sql(f"CAST({expr} AS VARCHAR) || ':{SPLIT_SALT}'")
+    lo, hi = SPLIT_BOUNDS
+    return (
+        f"CASE WHEN ({h}) % 100 < {lo} THEN 'train' "
+        f"WHEN ({h}) % 100 < {hi} THEN 'val' ELSE 'test' END"
+    )
+
+
+def dataset_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test split (`split_assignment` — pure
+    map-side arithmetic, no shuffle for the assignment, stable under
+    corpus growth and engine choice). One aggregate over (split, lang)
+    reports the resulting composition."""
+    split = split_assignment(F.col("doc_id"))
     return (
         documents.select(split.alias("split"), "lang", "n_chars")
         .groupBy("split", "lang")
@@ -612,14 +633,8 @@ def dataset_split(documents: DataFrame) -> DataFrame:
 
 
 def _dataset_split_sql() -> str:
-    from .hashing import char_poly_hash_sql
-
-    h = char_poly_hash_sql(f"CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'")
-    lo, hi = SPLIT_BOUNDS
     return f"""
-SELECT CASE WHEN ({h}) % 100 < {lo} THEN 'train'
-            WHEN ({h}) % 100 < {hi} THEN 'val'
-            ELSE 'test' END AS split,
+SELECT {split_case_sql('doc_id')} AS split,
        lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
@@ -927,13 +942,7 @@ def curated_snapshot(documents: DataFrame) -> DataFrame:
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    bucket = char_poly_hash(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
-    ) % 100
-    lo, hi = SPLIT_BOUNDS
-    split = (
-        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
-    )
+    split = split_assignment(F.col("doc_id"))
     survivors = (
         documents.join(winners, "doc_id")
         .join(canon, "doc_id")
@@ -960,17 +969,13 @@ def curated_snapshot(documents: DataFrame) -> DataFrame:
 def _curated_snapshot_sql() -> str:
     from .dedup import DEDUP_CLUSTERS_SQL
 
-    h = char_poly_hash_sql(f"CAST(d.doc_id AS VARCHAR) || ':{SPLIT_SALT}'")
-    lo, hi = SPLIT_BOUNDS
     return f"""
 WITH clusters AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL})),
 decon AS (SELECT * FROM ({DECONTAMINATE_SQL})),
 winners AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
 survivors AS (
   SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
-         CASE WHEN ({h}) % 100 < {lo} THEN 'train'
-              WHEN ({h}) % 100 < {hi} THEN 'val'
-              ELSE 'test' END AS split
+         {split_case_sql('d.doc_id')} AS split
   FROM documents d
   JOIN winners w ON w.doc_id = d.doc_id
   JOIN clusters c ON c.doc_id = d.doc_id AND c.canonical_doc_id = d.doc_id
@@ -991,28 +996,12 @@ CURATED_SNAPSHOT_SQL = _curated_snapshot_sql()
 # ---------------------------------------------------------------------------
 
 
-def split_leakage(documents: DataFrame) -> DataFrame:
-    """[EXT] Near-duplicate leakage across train/val/test: a random hash
-    split CANNOT see near-duplicates, so paraphrases of one document
-    land in different splits and the eval set leaks into training —
-    the reason production pipelines split by CLUSTER, not by document.
-    This audit counts near-dup pairs straddling each (split_a, split_b)
-    combination; the off-diagonal counts are the leak.
-
-    The pair graph is the shared per-snapshot artifact (one LSH pass);
-    the split is the registered hash assignment recomputed map-side on
-    both endpoints — two broadcast-sized joins, no new fact shuffle."""
-    from .dedup import shared_minhash_pairs
-
-    bucket = char_poly_hash(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
-    ) % 100
-    lo, hi = SPLIT_BOUNDS
-    split = (
-        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
-    )
-    assign = documents.select("doc_id", split.alias("split"))
-    pairs = shared_minhash_pairs(documents).select("doc_a", "doc_b")
+def _pair_leakage_report(
+    pairs: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """Count near-dup pairs per unordered (split_a, split_b) side pair —
+    the shared tail of both leakage audits (they differ only in how
+    `assign` maps doc_id → split)."""
     sided = (
         pairs.join(assign.toDF("doc_a", "split_a"), "doc_a")
         .join(assign.toDF("doc_b", "split_b"), "doc_b")
@@ -1028,25 +1017,36 @@ def split_leakage(documents: DataFrame) -> DataFrame:
     )
 
 
+def split_leakage(documents: DataFrame) -> DataFrame:
+    """[EXT] Near-duplicate leakage across train/val/test: a random hash
+    split CANNOT see near-duplicates, so paraphrases of one document
+    land in different splits and the eval set leaks into training —
+    the reason production pipelines split by CLUSTER, not by document.
+    This audit counts near-dup pairs straddling each (split_a, split_b)
+    combination; the off-diagonal counts are the leak.
+
+    The pair graph is the shared per-snapshot artifact (one LSH pass);
+    the split is the registered hash assignment recomputed map-side on
+    both endpoints — two broadcast-sized joins, no new fact shuffle."""
+    from .dedup import shared_minhash_pairs
+
+    assign = documents.select(
+        "doc_id", split_assignment(F.col("doc_id")).alias("split")
+    )
+    pairs = shared_minhash_pairs(documents).select("doc_a", "doc_b")
+    return _pair_leakage_report(pairs, assign)
+
+
 def _split_leakage_sql() -> str:
     from .dedup import MINHASH_PAIRS_SQL
-
-    def h(col: str) -> str:
-        return char_poly_hash_sql(f"CAST({col} AS VARCHAR) || ':{SPLIT_SALT}'")
-
-    lo, hi = SPLIT_BOUNDS
-
-    def split_case(col: str) -> str:
-        return (
-            f"CASE WHEN ({h(col)}) % 100 < {lo} THEN 'train' "
-            f"WHEN ({h(col)}) % 100 < {hi} THEN 'val' ELSE 'test' END"
-        )
 
     return f"""
 WITH pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_SQL})),
 sided AS (
-  SELECT LEAST({split_case('doc_a')}, {split_case('doc_b')}) AS split_a,
-         GREATEST({split_case('doc_a')}, {split_case('doc_b')}) AS split_b
+  SELECT LEAST({split_case_sql('doc_a')}, {split_case_sql('doc_b')})
+           AS split_a,
+         GREATEST({split_case_sql('doc_a')}, {split_case_sql('doc_b')})
+           AS split_b
   FROM pairs
 )
 SELECT split_a, split_b, COUNT(*) AS n_pairs,
@@ -1068,46 +1068,20 @@ def cluster_split_leakage(documents: DataFrame) -> DataFrame:
     from .dedup import dedup_clusters, shared_minhash_pairs
 
     labels = dedup_clusters(documents)
-    bucket = char_poly_hash(
-        F.concat_ws(
-            ":", F.col("canonical_doc_id").cast("string"), F.lit(SPLIT_SALT)
-        )
-    ) % 100
-    lo, hi = SPLIT_BOUNDS
-    split = (
-        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    assign = labels.select(
+        "doc_id", split_assignment(F.col("canonical_doc_id")).alias("split")
     )
-    assign = labels.select("doc_id", split.alias("split"))
     pairs = shared_minhash_pairs(documents).select("doc_a", "doc_b")
-    sided = (
-        pairs.join(assign.toDF("doc_a", "split_a"), "doc_a")
-        .join(assign.toDF("doc_b", "split_b"), "doc_b")
-        .select(
-            F.least("split_a", "split_b").alias("split_a"),
-            F.greatest("split_a", "split_b").alias("split_b"),
-        )
-    )
-    return sided.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-    ).withColumn(
-        "leaks", F.col("split_a") != F.col("split_b")
-    )
+    return _pair_leakage_report(pairs, assign)
 
 
 def _cluster_split_leakage_sql() -> str:
     from .dedup import DEDUP_CLUSTERS_SQL, MINHASH_PAIRS_SQL
 
-    h = char_poly_hash_sql(
-        f"CAST(canonical_doc_id AS VARCHAR) || ':{SPLIT_SALT}'"
-    )
-    lo, hi = SPLIT_BOUNDS
     return f"""
 WITH clusters AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL})),
 assign AS (
-  SELECT doc_id,
-         CASE WHEN ({h}) % 100 < {lo} THEN 'train'
-              WHEN ({h}) % 100 < {hi} THEN 'val'
-              ELSE 'test' END AS split
+  SELECT doc_id, {split_case_sql('canonical_doc_id')} AS split
   FROM clusters
 ),
 pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_SQL})),

@@ -1044,9 +1044,15 @@ def paragraph_dedup_report(documents: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "source",
-        F.col("para_ix").cast("long").alias("para_ix"),
         F.sha2("para", 256).alias("para_hash"),
-        (F.col("doc_id") * 100_000 + F.col("para_ix")).alias("pos"),
+        # first-occurrence winner as a lexicographic STRUCT min — a
+        # scalar doc_id*K + para_ix encoding collides once a document
+        # has >= K paragraph windows (million-token docs are routine in
+        # web corpora); struct ordering is collision-free at any length
+        F.struct(
+            F.col("doc_id").cast("long").alias("d"),
+            F.col("para_ix").cast("long").alias("p"),
+        ).alias("pos"),
     )
     firsts = paras.groupBy("para_hash").agg(F.min("pos").alias("first_pos"))
     return (
@@ -1081,7 +1087,10 @@ paras AS (
   FROM toks
 ),
 pos AS (
-  SELECT source, para, doc_id * 100000 + para_ix AS pos FROM paras
+  SELECT source, para,
+         struct_pack(d := CAST(doc_id AS BIGINT),
+                     p := CAST(para_ix AS BIGINT)) AS pos
+  FROM paras
 ),
 firsts AS (SELECT para, MIN(pos) AS first_pos FROM pos GROUP BY para)
 SELECT source, COUNT(*) AS n_paras,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Callable
 from typing import TypeVar
 
@@ -50,16 +51,21 @@ def retry_with_backoff(
     max_attempts: int = MAX_WRITE_ATTEMPTS,
     base_delay_s: float = BACKOFF_BASE_S,
     sleep: Callable[[float], None] = time.sleep,
+    fatal: tuple[type[BaseException], ...] = (),
 ) -> T:
     """Bounded exponential backoff (0.5s, 1s, ...), re-raising the last
     error. Safe to wrap the whole read-merge-write closure: Spark's
     output committer only swaps partition directories at job COMMIT, so
     a failed attempt leaves the previous table state intact and the
-    retry re-reads it."""
+    retry re-reads it. Exceptions in `fatal` propagate immediately —
+    retrying a fencing abort would just re-run a write that must not
+    happen."""
     last: Exception | None = None
     for attempt in range(max_attempts):
         try:
             return fn()
+        except fatal:
+            raise
         except Exception as exc:  # noqa: BLE001 — sink boundary
             last = exc
             if attempt < max_attempts - 1:
@@ -87,6 +93,20 @@ def retry_with_backoff(
 #   writer whose lease was stolen carries a SMALLER token than the last
 #   commit and must abort (`WriterFencedError`) instead of clobbering
 #   the newer state — last-writer-wins is DETECTED, never silent.
+#
+# Race hardening (all paths tested in test_sinks.py):
+# * steals go through an atomic `os.rename(lock, lock.stale.<nonce>)` —
+#   exactly ONE of N contenders racing an expired lease wins the rename
+#   (the rest see ENOENT and re-contend), so two stealers can never both
+#   believe they hold the lease;
+# * the lock dir records its holder's token (`owner` file); release and
+#   commit are OWNERSHIP-CHECKED, so a writer whose lease was stolen
+#   cannot delete the new holder's lock or publish its stale commit;
+# * every merge attempt re-checks the fence BEFORE its destructive
+#   write, so a stale writer aborts pre-write in the common case rather
+#   than clobbering first and detecting after;
+# * fence/commit marker files are written via temp + os.replace — a
+#   concurrent reader never observes a truncated/empty token file.
 #
 # Honest limits (the ADR part): plain parquet gives no atomic
 # data+token commit, so a fenced writer that dies between its fence
@@ -118,6 +138,26 @@ def _commit_path(table_path: str) -> str:
     return table_path.rstrip("/") + ".commit"
 
 
+def _atomic_write_text(path: str, text: str) -> None:
+    """Write a marker file so readers see either the old or the new
+    content, never a truncated/empty file (temp + atomic os.replace;
+    on an object store this is a conditional PUT)."""
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def _lease_owner(table_path: str) -> str | None:
+    """Token recorded inside the lock dir by its current holder, or None
+    when the lock is absent / not yet stamped."""
+    try:
+        with open(os.path.join(_lock_dir(table_path), "owner")) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
 def acquire_table_lease(
     table_path: str,
     ttl_s: float = LOCK_LEASE_TTL_S,
@@ -126,7 +166,9 @@ def acquire_table_lease(
 ) -> int:
     """Claim the table's writer lease; returns this writer's fencing
     token. Blocks up to `wait_s` for a live holder; steals claims older
-    than `ttl_s` (crashed holder)."""
+    than `ttl_s` (crashed holder). A steal renames the stale lock aside
+    first — rename is atomic, so of N contenders racing the same expired
+    lease exactly one wins and the rest re-contend for the fresh mkdir."""
     lock = _lock_dir(table_path)
     deadline = time.monotonic() + wait_s
     while True:
@@ -139,7 +181,12 @@ def acquire_table_lease(
             except OSError:
                 continue  # released between the mkdir and the stat
             if age > ttl_s:
-                shutil.rmtree(lock, ignore_errors=True)
+                stale = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock, stale)
+                except OSError:
+                    continue  # another contender won the steal
+                shutil.rmtree(stale, ignore_errors=True)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -153,12 +200,24 @@ def acquire_table_lease(
     except (OSError, ValueError):
         token = 0
     token += 1
-    with open(fence, "w") as f:
-        f.write(str(token))
+    _atomic_write_text(fence, str(token))
+    # stamp ownership so release/commit can detect a stolen lease
+    try:
+        _atomic_write_text(os.path.join(lock, "owner"), str(token))
+    except OSError:
+        pass  # lock stolen in the stamping window; fence check catches it
     return token
 
 
-def release_table_lease(table_path: str) -> None:
+def release_table_lease(table_path: str, token: int | None = None) -> None:
+    """Release the lease. With `token`, the release is OWNERSHIP-CHECKED:
+    a writer whose lease was stolen (the lock now carries a different
+    owner token) must NOT delete the new holder's lock — doing so would
+    let a third writer acquire and interleave with the thief."""
+    if token is not None:
+        owner = _lease_owner(table_path)
+        if owner is not None and owner != str(token):
+            return  # stolen: the lock belongs to someone else now
     shutil.rmtree(_lock_dir(table_path), ignore_errors=True)
 
 
@@ -170,17 +229,30 @@ def last_committed_token(table_path: str) -> int | None:
         return None
 
 
-def record_commit(table_path: str, token: int) -> None:
-    """Publish this writer's commit, refusing if a NEWER token already
-    committed (the stolen-lease / stale-writer detection)."""
+def check_fence(table_path: str, token: int) -> None:
+    """Abort (WriterFencedError) if this writer is stale: a newer (or
+    equal, from a racing committer) token already committed, or the lock
+    dir is now owned by a different token (lease stolen mid-merge).
+    Called BEFORE every destructive write and again at commit."""
     committed = last_committed_token(table_path)
     if committed is not None and committed >= token:
         raise WriterFencedError(
             f"writer token {token} is stale: token {committed} already "
             f"committed to {table_path} (lease was stolen mid-upsert)"
         )
-    with open(_commit_path(table_path), "w") as f:
-        f.write(str(token))
+    owner = _lease_owner(table_path)
+    if owner is not None and owner != str(token):
+        raise WriterFencedError(
+            f"writer token {token} lost its lease to token {owner} on "
+            f"{table_path}; aborting before publishing stale output"
+        )
+
+
+def record_commit(table_path: str, token: int) -> None:
+    """Publish this writer's commit, refusing if the writer is fenced
+    (the stolen-lease / stale-writer detection)."""
+    check_fence(table_path, token)
+    _atomic_write_text(_commit_path(table_path), str(token))
 
 
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -223,10 +295,13 @@ def upsert_parquet(
     under the writer lease + fencing protocol (see module banner): two
     concurrent upserters serialize on the claim, and a writer whose
     lease was stolen mid-merge aborts with `WriterFencedError` rather
-    than publishing over the newer commit."""
+    than publishing over the newer commit — the fence is re-checked
+    BEFORE each attempt's destructive write, not just at commit."""
     new_b = _with_bucket(new_rows, keys, n_buckets)
+    token = acquire_table_lease(table_path)
 
     def attempt() -> None:
+        check_fence(table_path, token)
         if _is_fresh_table(table_path):
             _replace_table(new_b.dropDuplicates(keys), table_path)
             return
@@ -242,15 +317,15 @@ def upsert_parquet(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         _write_merged(merged, table_path)
 
-    token = acquire_table_lease(table_path)
     try:
         # the whole read-merge-write closure retries: each attempt
         # re-reads current table state, and a failed attempt never
-        # commits, so the retry is idempotent (T1 survives the retries)
-        retry_with_backoff(attempt)
+        # commits, so the retry is idempotent (T1 survives the retries).
+        # Fencing aborts are NOT retried — a stale writer must stop.
+        retry_with_backoff(attempt, fatal=(WriterFencedError,))
         record_commit(table_path, token)
     finally:
-        release_table_lease(table_path)
+        release_table_lease(table_path, token)
 
 
 def _write_merged(merged: DataFrame, table_path: str) -> None:
@@ -346,8 +421,10 @@ def upsert_parquet_with_deletes(
     ch_b = _with_bucket(changes, keys, n_buckets)
     live = ch_b.filter(~F.col(tombstone_col)).drop(tombstone_col)
     dead_keys = ch_b.filter(F.col(tombstone_col)).select(*keys).distinct()
+    token = acquire_table_lease(table_path)
 
     def attempt() -> None:
+        check_fence(table_path, token)
         if _is_fresh_table(table_path):
             _replace_table(
                 live.dropDuplicates(keys).join(dead_keys, keys, "left_anti"),
@@ -389,9 +466,8 @@ def upsert_parquet_with_deletes(
                 table_path
             )
 
-    token = acquire_table_lease(table_path)
     try:
-        retry_with_backoff(attempt)
+        retry_with_backoff(attempt, fatal=(WriterFencedError,))
         record_commit(table_path, token)
     finally:
-        release_table_lease(table_path)
+        release_table_lease(table_path, token)

@@ -112,6 +112,27 @@ def encode_task_envelope(
     )
 
 
+_CONNECTOR_HINT = (
+    "kafka transport requires the spark-sql-kafka connector "
+    "on the classpath (spark.jars.packages "
+    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+)
+
+
+def _missing_connector(exc: Exception) -> bool:
+    """True only for the jar-absent failure mode. Any OTHER error from
+    the kafka branch (bad option, unwritable checkpoint, auth
+    misconfig) must propagate as itself — remapping it to 'install the
+    connector' would send the operator hunting for a jar that is
+    already there."""
+    msg = str(exc)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source" in msg
+        or "ClassNotFoundException" in msg
+    )
+
+
 def read_broker_stream(
     spark: SparkSession, conf: BrokerConfig, schema: StructType | str
 ) -> DataFrame:
@@ -137,12 +158,10 @@ def read_broker_stream(
             reader = reader.option(k, v)
         try:
             wire = reader.load()
-        except Exception as exc:  # connector jar absent in this container
-            raise RuntimeError(
-                "kafka transport requires the spark-sql-kafka connector "
-                "on the classpath (spark.jars.packages "
-                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
-            ) from exc
+        except Exception as exc:
+            if _missing_connector(exc):  # jar absent in this container
+                raise RuntimeError(_CONNECTOR_HINT) from exc
+            raise
         return decode_task_envelope(wire, schema).drop(
             "_source_partition", "_source_offset"
         )
@@ -194,11 +213,9 @@ def write_broker_stream(
         try:
             return writer.start()
         except Exception as exc:
-            raise RuntimeError(
-                "kafka transport requires the spark-sql-kafka connector "
-                "on the classpath (spark.jars.packages "
-                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
-            ) from exc
+            if _missing_connector(exc):  # jar absent in this container
+                raise RuntimeError(_CONNECTOR_HINT) from exc
+            raise
     if conf.kind == "wire_files":
 
         def emit(batch: DataFrame, epoch_id: int) -> None:
