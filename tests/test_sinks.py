@@ -694,6 +694,54 @@ def test_fenced_writer_aborts_before_destructive_write(spark, tmp_path, monkeypa
     assert upsert.last_committed_token(table) == 99
 
 
+def test_steal_mid_merge_fences_the_retry(spark, tmp_path, monkeypatch):
+    """End-to-end stolen-lease interleaving: writer A's merge write
+    fails mid-flight while writer B steals the expired lease, completes
+    a full upsert and commits. A's RETRY must hit the pre-write fence
+    check and abort with WriterFencedError — never re-publishing over
+    B — and the final table is exactly B's outcome."""
+    import os
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    upsert.upsert_parquet(
+        spark, table, spark.createDataFrame([(0, "seed")], "k int, v string"), ["k"]
+    )
+    real_write = upsert._write_merged
+    state = {"stolen": False}
+
+    def hijack(df, path):
+        if not state["stolen"]:
+            state["stolen"] = True
+            # age A's lease past TTL and run B's complete upsert inline
+            lock = upsert._lock_dir(table)
+            old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+            os.utime(lock, (old, old))
+            upsert.upsert_parquet(
+                spark,
+                table,
+                spark.createDataFrame([(2, "from_b")], "k int, v string"),
+                ["k"],
+            )
+            raise IOError("A's write died under the concurrent overwrite")
+        real_write(df, path)
+
+    monkeypatch.setattr(upsert, "_write_merged", hijack)
+    with pytest.raises(upsert.WriterFencedError):
+        upsert.upsert_parquet(
+            spark,
+            table,
+            spark.createDataFrame([(1, "from_a")], "k int, v string"),
+            ["k"],
+        )
+    rows = {(r.k, r.v) for r in upsert.read_upsert_table(spark, table).collect()}
+    assert rows == {(0, "seed"), (2, "from_b")}  # A never published
+    # tokens: seed=1, A=2 (fenced), B=3 (committed)
+    assert upsert.last_committed_token(table) == 3
+
+
 def test_marker_files_are_written_atomically(spark, tmp_path):
     """fence/commit markers go through temp + os.replace: after any
     number of upserts no .tmp litter remains and both files parse."""
