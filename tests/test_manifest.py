@@ -1,0 +1,201 @@
+"""Manifest-committed table format (sinks/manifest.py): atomic commit,
+snapshot isolation, time travel, fenced-abort totality, vacuum, and
+concurrent-writer serialization."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from trail_condition_etl_spark.sinks import manifest as mf
+from trail_condition_etl_spark.sinks import upsert
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _state(spark, table, version=None):
+    return {
+        (r.k, r.v)
+        for r in mf.read_manifest_table(spark, table, version).collect()
+    }
+
+
+def test_upsert_merge_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = mf.manifest_upsert(spark, table, _df(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=4)
+    v2 = mf.manifest_upsert(spark, table, _df(spark, [(2, "B"), (3, "c")]), ["k"], n_buckets=4)
+    assert (v1, v2) == (1, 2)
+    assert _state(spark, table) == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel: version 1 still readable, byte-identical
+    assert _state(spark, table, version=1) == {(1, "a"), (2, "b")}
+
+
+def test_new_rows_win_and_rerun_is_idempotent(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    batch = _df(spark, [(1, "A"), (2, "b")])
+    mf.manifest_upsert(spark, table, batch, ["k"], n_buckets=4)
+    first = _state(spark, table)
+    mf.manifest_upsert(spark, table, batch, ["k"], n_buckets=4)  # redelivery
+    assert _state(spark, table) == first == {(1, "A"), (2, "b")}
+
+
+def test_failed_write_changes_nothing(spark, tmp_path, monkeypatch):
+    """A writer that dies ANYWHERE before the manifest publish leaves
+    the table byte-identical — the half-written segment is orphan data
+    no manifest references (the window compact-then-swap cannot close)."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    before = _state(spark, table)
+
+    def boom(table_path, manifest, token):
+        raise IOError("died between data write and manifest publish")
+
+    monkeypatch.setattr(mf, "_publish_manifest", boom)
+    with pytest.raises(IOError):
+        mf.manifest_upsert(
+            spark, table, _df(spark, [(9, "x")]), ["k"], n_buckets=4
+        )
+    monkeypatch.undo()
+    assert _state(spark, table) == before
+    assert mf.list_versions(table) == [1]
+    # the orphan segment exists until vacuum sweeps it
+    segs = os.listdir(os.path.join(table, "data"))
+    assert len(segs) > 1
+    removed = mf.vacuum(table)
+    assert removed >= 1
+    assert _state(spark, table) == before  # vacuum never touches live data
+
+
+def test_fenced_writer_aborts_totally(spark, tmp_path):
+    """A stale writer (lease stolen, newer commit landed) must abort
+    with ZERO table effect — unlike the parquet-overwrite path, not
+    even a transient interleaving is possible."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    upsert.record_commit(table, 99)  # a newer writer committed out-of-band
+    with pytest.raises(upsert.WriterFencedError):
+        mf.manifest_upsert(
+            spark, table, _df(spark, [(2, "b")]), ["k"], n_buckets=4
+        )
+    assert _state(spark, table) == {(1, "a")}
+    assert mf.list_versions(table) == [1]
+
+
+def test_vacuum_respects_time_travel_horizon(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(3):
+        mf.manifest_upsert(
+            spark, table, _df(spark, [(i, f"v{i}")]), ["k"], n_buckets=4
+        )
+    assert mf.list_versions(table) == [1, 2, 3]
+    mf.vacuum(table, keep_last=2)
+    assert mf.list_versions(table) == [2, 3]
+    assert _state(spark, table, version=2) == {(0, "v0"), (1, "v1")}
+    assert _state(spark, table) == {(0, "v0"), (1, "v1"), (2, "v2")}
+    with pytest.raises(FileNotFoundError):
+        mf.read_manifest(table, 1)
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    """A reader that resolved its manifest BEFORE a commit keeps reading
+    the old snapshot: the plan references immutable segment files, so
+    the commit cannot tear it."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    pinned = mf.read_manifest_table(spark, table)  # resolves manifest v1
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "A2")]), ["k"], n_buckets=4)
+    assert {(r.k, r.v) for r in pinned.collect()} == {(1, "a")}
+    assert _state(spark, table) == {(1, "A2")}
+
+
+def test_racing_writers_serialize_and_union(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(0, "seed")]), ["k"], n_buckets=4)
+    errs = []
+
+    def write(lo):
+        try:
+            mf.manifest_upsert(
+                spark,
+                table,
+                _df(spark, [(lo + i, f"w{lo}") for i in range(4)]),
+                ["k"],
+                n_buckets=4,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=write, args=(10,))
+    t2 = threading.Thread(target=write, args=(20,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    expect = {(0, "seed")}
+    expect |= {(10 + i, "w10") for i in range(4)}
+    expect |= {(20 + i, "w20") for i in range(4)}
+    assert _state(spark, table) == expect
+    assert mf.list_versions(table) == [1, 2, 3]
+
+
+def test_untouched_buckets_carry_by_reference(spark, tmp_path):
+    """Copy-on-write IO bound: a commit touching one bucket reuses the
+    other buckets' segment dirs verbatim (zero bytes rewritten)."""
+    table = str(tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(32)]
+    mf.manifest_upsert(spark, table, _df(spark, rows), ["k"], n_buckets=8)
+    m1 = mf.read_manifest(table)
+    one = _df(spark, [(0, "PATCHED")])
+    mf.manifest_upsert(spark, table, one, ["k"], n_buckets=8)
+    m2 = mf.read_manifest(table)
+    # the patched key's bucket moved to a new segment; every other
+    # bucket entry is the SAME path as in manifest v1
+    b0 = (
+        one.withColumn(
+            "b", F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")
+        ).collect()[0].b
+    )
+    moved = {b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"].get(b)}
+    assert moved == {str(b0)}
+    got = {(r.k, r.v) for r in mf.read_manifest_table(spark, table).collect()}
+    assert got == {(i, "PATCHED" if i == 0 else f"v{i}") for i in range(32)}
+
+
+def test_tombstone_deletes_merge_triad(spark, tmp_path):
+    """CDC triad on the ACID path: one commit inserts, updates and
+    deletes; a bucket whose rows all die drops out of the manifest; a
+    re-run of the same change batch is a no-op (idempotent)."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"],
+        n_buckets=4,
+    )
+    changes = spark.createDataFrame(
+        [(2, "B2", False), (3, None, True), (4, "d", False)],
+        "k int, v string, _deleted boolean",
+    )
+    mf.manifest_upsert(
+        spark, table, changes, ["k"], n_buckets=4, tombstone_col="_deleted"
+    )
+    assert _state(spark, table) == {(1, "a"), (2, "B2"), (4, "d")}
+    mf.manifest_upsert(  # redelivered change batch converges
+        spark, table, changes, ["k"], n_buckets=4, tombstone_col="_deleted"
+    )
+    assert _state(spark, table) == {(1, "a"), (2, "B2"), (4, "d")}
+    # and the pre-delete snapshot is still time-travel readable
+    assert _state(spark, table, version=1) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_delete_all_leaves_schema_true_empty_table(spark, tmp_path):
+    """Upserting after all rows merge away (0-row batch into fresh
+    table) reads back as an empty frame with the schema intact."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, []).limit(0), ["k"], n_buckets=4
+    )
+    out = mf.read_manifest_table(spark, table)
+    assert out.columns == ["k", "v"] and out.count() == 0

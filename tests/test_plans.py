@@ -77,6 +77,12 @@ def test_no_single_partition_exchange_anywhere(spark):
         assert not plans.has_single_partition_exchange(df), (
             f"{name} plans an Exchange SinglePartition (global sort)"
         )
+        # same pass, second global invariant: nothing registered may
+        # plan a CartesianProduct (the labeled quadratic baselines are
+        # broadcast-nested-loop, never both-sides-shuffled cartesians)
+        assert "CartesianProduct" not in plans.simple_plan(df), (
+            f"{name} plans a CartesianProduct"
+        )
 
 
 def test_partition_pruning_reaches_the_scan(spark):

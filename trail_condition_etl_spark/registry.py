@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .session import ensure_engine_conf
+from .sinks import manifest as manifest_sink
 from .sinks import partitioned
 from .sources import files as file_sources
 from .streaming import joins as streaming_joins
@@ -807,6 +808,15 @@ def q_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dlq_redrive_query(spark, sf_dir)
 
 
+@query("manifest_merge", oracle=manifest_sink.MANIFEST_MERGE_SQL)
+def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ACID table format (manifest-committed copy-on-write parquet):
+    # two MERGE commits + time-travel read of both versions, the atomic
+    # alternative to the compact-then-swap upsert (sinks/manifest.py)
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_merge_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->
@@ -1432,7 +1442,8 @@ _SAMPLE_HEAD = [
     "bpe_merge_candidates", "tfidf_topk", "hybrid_retrieval",
     # sketches / timeseries / warehouse / scale layout
     "approx_distinct", "cms_estimate", "ohlc_bars", "ewma_daily",
-    "sessionize", "scd2_build", "price_histogram", "asof_join",
+    "sessionize", "scd2_build", "manifest_merge", "price_histogram",
+    "asof_join",
     "bucketed_join", "partition_pruning", "skew_join",
     # ingestion / pipeline
     "ingest_flatten", "dlq_routing", "task_dedup", "datetime_kit",

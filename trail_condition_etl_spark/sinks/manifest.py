@@ -1,0 +1,323 @@
+"""Manifest-committed table format: ACID upsert over plain parquet.
+
+The compact-then-swap upsert (sinks/upsert.py) rewrites bucket
+directories IN PLACE under a lease — correct for a single writer, and
+fencing DETECTS a stolen lease, but plain dynamic-partition overwrite
+has no atomic data+token commit, so a fenced writer that dies between
+its fence check and its job commit can still interleave (the documented
+honest-limit window; upsert.py module banner). This module closes that
+window the way Delta/Iceberg do, reduced to its essential mechanics:
+
+* data files are IMMUTABLE. Each commit writes its output to a private
+  segment directory (`data/seg-<nonce>/pk_bucket=N/...`) that no reader
+  references yet — a writer that dies mid-write changes NOTHING;
+* the table state is a MANIFEST (`_manifests/0000000N.json`): a map
+  bucket -> segment dir plus the schema and the committing writer's
+  fencing token. Publishing the next manifest version is the ONE atomic
+  commit point (temp + `os.replace`; on an object store, a conditional
+  PUT — the same seam Delta's commit service and Iceberg's catalog
+  swap provide);
+* readers resolve the LATEST manifest once and read only the files it
+  references: snapshot isolation for free (a concurrent commit cannot
+  tear a read — the reader's manifest still references the old
+  segments, which are immutable and only removed by an explicit
+  `vacuum`). Old versions stay readable => time travel.
+
+The reference's upsert claim is server-side MERGE semantics
+(DESIGN.md:41, fetch-weather/src/weather.py:25-32); this is that claim
+made transactional at the storage layer. IO stays proportional to the
+touched buckets (copy-on-write per bucket, untouched buckets' segment
+dirs carry over into the next manifest by reference, zero bytes moved).
+
+Concurrency: commits run under the SAME lease + fencing protocol as
+upsert.py (`acquire_table_lease` / `check_fence` / `record_commit`),
+but here a fenced abort is total — the stale writer's segment is
+orphaned data no manifest references, swept by `vacuum`, and the table
+never saw a byte of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .upsert import (
+    DEFAULT_BUCKETS,
+    WriterFencedError,
+    _with_bucket,
+    acquire_table_lease,
+    check_fence,
+    record_commit,
+    release_table_lease,
+    retry_with_backoff,
+)
+
+
+def _manifest_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_manifests")
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_path), f"{version:08d}.json")
+
+
+def list_versions(table_path: str) -> list[int]:
+    """Committed manifest versions, ascending. [] for a fresh table."""
+    try:
+        entries = os.listdir(_manifest_dir(table_path))
+    except OSError:
+        return []
+    return sorted(
+        int(e.removesuffix(".json")) for e in entries if e.endswith(".json")
+    )
+
+
+def read_manifest(table_path: str, version: int | None = None) -> dict | None:
+    """The manifest for `version` (default: latest). None when the table
+    has no commits yet."""
+    if version is None:
+        versions = list_versions(table_path)
+        if not versions:
+            return None
+        version = versions[-1]
+    with open(_manifest_path(table_path, version)) as f:
+        return json.load(f)
+
+
+def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
+    """THE commit point: atomically place the next manifest version.
+    Fence-checked immediately before the replace; a version file that
+    already exists is evidence of a racing commit => fenced abort (the
+    orphaned segment is left for `vacuum`)."""
+    check_fence(table_path, token)
+    dest = _manifest_path(table_path, manifest["version"])
+    if os.path.exists(dest):
+        raise WriterFencedError(
+            f"manifest version {manifest['version']} already committed to "
+            f"{table_path}: a racing writer published first"
+        )
+    os.makedirs(_manifest_dir(table_path), exist_ok=True)
+    tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, dest)
+
+
+def manifest_upsert(
+    spark: SparkSession,
+    table_path: str,
+    new_rows: DataFrame,
+    keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    tombstone_col: str | None = None,
+) -> int:
+    """MERGE-style upsert with an atomic commit: new rows win over
+    existing rows with the same key; untouched buckets carry over by
+    reference. With `tombstone_col`, rows flagged true DELETE their key
+    instead (the full insert/update/delete MERGE triad, mirroring
+    `upsert.upsert_parquet_with_deletes` on the ACID path — a bucket
+    whose rows all die simply drops out of the next manifest). Returns
+    the committed version. A failure ANYWHERE before the manifest
+    publish leaves the table byte-identical (the segment dir is
+    unreferenced orphan data for `vacuum`)."""
+    token = acquire_table_lease(table_path)
+    if tombstone_col is not None:
+        live = new_rows.filter(~F.col(tombstone_col)).drop(tombstone_col)
+        dead_keys = (
+            new_rows.filter(F.col(tombstone_col)).select(*keys).distinct()
+        )
+        # all changed keys (live or dead) evict the old row; live rows
+        # minus dead keys are what lands
+        changed_keys = new_rows.select(*keys).distinct()
+        upserts = live.dropDuplicates(keys).join(dead_keys, keys, "left_anti")
+    else:
+        changed_keys = new_rows.select(*keys).distinct()
+        upserts = new_rows.dropDuplicates(keys)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        buckets_n = mf["n_buckets"] if mf else n_buckets
+        new_b = _with_bucket(upserts, keys, buckets_n)
+        if mf is None:
+            merged = new_b
+            carried: dict[str, str] = {}
+        else:
+            touched = [
+                r.pk_bucket
+                for r in _with_bucket(changed_keys, keys, buckets_n)
+                .select("pk_bucket")
+                .distinct()
+                .collect()
+            ]
+            old_dirs = [
+                os.path.join(table_path, mf["buckets"][str(b)])
+                for b in touched
+                if str(b) in mf["buckets"]
+            ]
+            carried = {
+                b: d
+                for b, d in mf["buckets"].items()
+                if int(b) not in set(touched)
+            }
+            if old_dirs:
+                existing = spark.read.schema(
+                    _data_schema(mf)
+                ).parquet(*old_dirs)
+                kept = existing.join(changed_keys, keys, "left_anti")
+                merged = _with_bucket(kept, keys, buckets_n).unionByName(
+                    new_b
+                )
+            else:
+                merged = new_b
+        seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
+        seg_abs = os.path.join(table_path, seg)
+        merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(
+            seg_abs
+        )
+        buckets = dict(carried)
+        for e in os.listdir(seg_abs):
+            if e.startswith("pk_bucket="):
+                buckets[e.split("=", 1)[1]] = os.path.join(seg, e)
+        manifest = {
+            "version": (mf["version"] if mf else 0) + 1,
+            "token": token,
+            "n_buckets": buckets_n,
+            "schema": merged.drop("pk_bucket").schema.json(),
+            "buckets": buckets,
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(attempt, fatal=(WriterFencedError,))
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
+def _data_schema(manifest: dict) -> StructType:
+    return StructType.fromJson(json.loads(manifest["schema"]))
+
+
+def read_manifest_table(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read of the table at `version` (default:
+    latest). The returned plan references exactly the segment dirs that
+    manifest pinned — a commit landing mid-query cannot tear the read,
+    and old versions stay readable until `vacuum` (time travel)."""
+    mf = read_manifest(table_path, version)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    schema = _data_schema(mf)
+    dirs = [os.path.join(table_path, d) for d in mf["buckets"].values()]
+    if not dirs:  # every row deleted/never written: schema-true empty frame
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> int:
+    """Remove segment dirs unreferenced by the newest `keep_last`
+    manifests (and the older manifests themselves): orphans from failed
+    or fenced commits, plus versions aged out of the time-travel
+    horizon. Returns the number of segment dirs removed. Readers pinned
+    to a retained version are safe — their segments survive."""
+    versions = list_versions(table_path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    referenced: set[str] = set()
+    for v in keep:
+        mf = read_manifest(table_path, v)
+        for d in mf["buckets"].values():
+            # reference the SEGMENT root (data/seg-x), not the bucket leaf
+            referenced.add(d.split(os.sep)[1])
+    data_dir = os.path.join(table_path, "data")
+    removed = 0
+    try:
+        entries = os.listdir(data_dir)
+    except OSError:
+        entries = []
+    for e in entries:
+        if e not in referenced:
+            shutil.rmtree(os.path.join(data_dir, e), ignore_errors=True)
+            removed += 1
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(table_path, v))
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# registered query: two-commit merge + time travel, DuckDB-checkable
+# ---------------------------------------------------------------------------
+
+
+def manifest_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The manifest lifecycle as an oracle-checked query: commit a
+    base snapshot of documents-derived rows, then a second commit that
+    UPDATES half the base keys and INSERTS a disjoint set; read BOTH
+    versions back (time travel) and aggregate per (version, source).
+    Version 1 must show only the base rows, version 2 the merged state —
+    proving atomic commit, update-wins merge semantics, and snapshot
+    isolation in one driver-visible row set."""
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    table = os.path.join(scratch_dir("manifest_table_"), "t")
+    manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
+    manifest_upsert(
+        spark, table, updates.unionByName(inserts), ["doc_id"], n_buckets=8
+    )
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .withColumn("version", F.lit(version))
+        )
+
+    return agg(read_manifest_table(spark, table, version=1), 1).unionByName(
+        agg(read_manifest_table(spark, table, version=2), 2)
+    )
+
+
+MANIFEST_MERGE_SQL = """
+WITH v1 AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       1 AS version
+FROM v1 GROUP BY source
+UNION ALL
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       2 AS version
+FROM v2 GROUP BY source
+"""

@@ -111,11 +111,14 @@ def retry_with_backoff(
 # Honest limits (the ADR part): plain parquet gives no atomic
 # data+token commit, so a fenced writer that dies between its fence
 # check and its job commit can still interleave — closing that window
-# needs the storage layer to check tokens at commit (Delta/Iceberg's
-# transaction log; SURVEY §7 records the decision not to take the
-# dependency). The protocol here bounds the damage to exactly the
-# window the table format would close, and every detection path is
-# tested (test_sinks.py).
+# needs the storage layer to make the commit itself atomic.
+# `sinks/manifest.py` IS that storage layer in this repo: immutable
+# segment files + an atomically-published manifest (Delta/Iceberg's
+# essential mechanics without the dependency SURVEY §7 declined), where
+# a fenced abort is total. This in-place overwrite path remains for
+# tables that must stay plain directory-of-parquet; the protocol here
+# bounds the damage to exactly the window the manifest format closes,
+# and every detection path is tested (test_sinks.py).
 # ---------------------------------------------------------------------------
 
 LOCK_LEASE_TTL_S = 60.0
