@@ -72,6 +72,7 @@ HEADLINE = [
     "pii_scrub",
     "curated_snapshot",
     "split_leakage",
+    "manifest_merge",
 ]
 
 

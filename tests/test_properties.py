@@ -390,6 +390,76 @@ def test_paragraph_dedup_conserves_and_bounds(spark, docs):
     assert sum(r.n_paras - r.n_dropped for r in rep) >= 1
 
 
+# change batches for the manifest MERGE model test: each batch is a
+# list of (key, value, deleted) — small key space so updates, deletes
+# of absent keys, and within-batch duplicates all actually occur
+merge_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.sampled_from(["a", "b", "c"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=merge_batches)
+@SETTINGS
+def test_manifest_merge_matches_dict_model(spark, tmp_path_factory, batches):
+    """Model-based MERGE semantics: ANY sequence of change batches
+    (inserts, updates, tombstone deletes, deletes of absent keys,
+    within-batch duplicate keys) applied through manifest_upsert ends in
+    the same state as the obvious dict model, every intermediate version
+    stays time-travel readable, and versions number 1..n."""
+    from trail_condition_etl_spark.sinks import manifest as mfmt
+
+    table = str(tmp_path_factory.mktemp("mf") / "t")
+    model: dict[int, str] = {}
+    snapshots = []
+    for batch in batches:
+        df = spark.createDataFrame(
+            batch, "k int, v string, _deleted boolean"
+        )
+        mfmt.manifest_upsert(
+            spark, table, df, ["k"], n_buckets=4, tombstone_col="_deleted"
+        )
+        # model: per key, the batch's FIRST row wins (dropDuplicates
+        # keeps one arbitrary row; the engine's choice only matters when
+        # a key repeats with DIFFERENT payloads, which we avoid asserting
+        # on by checking key sets there); deletes beat upserts on a key
+        dead = {k for k, _v, d in batch if d}
+        live = {}
+        for k, v, d in batch:
+            if not d and k not in live:
+                live[k] = v
+        for k in set(dead) | set(live):
+            model.pop(k, None)
+        for k, v in live.items():
+            if k not in dead:
+                model[k] = v
+        snapshots.append(dict(model))
+    assert mfmt.list_versions(table) == list(range(1, len(batches) + 1))
+    for version, snap in enumerate(snapshots, start=1):
+        got = {
+            r.k: r.v
+            for r in mfmt.read_manifest_table(spark, table, version).collect()
+        }
+        ambiguous = {
+            k
+            for batch in batches[:version]
+            for k, _v, d in batch
+            if not d and sum(1 for k2, _v2, d2 in batch if k2 == k and not d2) > 1
+        }
+        assert set(got) == set(snap)
+        for k in set(snap) - ambiguous:
+            assert got[k] == snap[k], (version, k)
+
+
 @given(n=st.integers(min_value=1, max_value=6))
 @SETTINGS
 def test_lease_tokens_strictly_increase(tmp_path_factory, n):

@@ -90,6 +90,51 @@ def test_transform_hook_applies(spark, tmp_path):
     assert rows[0].city_sq == 81
 
 
+def test_manifest_table_sink_is_acid_across_incremental_runs(spark, tmp_path):
+    """table_format='manifest': each epoch is one atomic manifest
+    commit. Incremental runs merge (new rows win), every pre-run
+    snapshot stays time-travel readable, and a reader pinned before the
+    second run still sees the first run's state (snapshot isolation) —
+    the exactly-once story with the ACID table as the terminal sink."""
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    staging = tmp_path / "staging"
+    out = str(tmp_path / "facts")
+    fresh = NOW - dt.timedelta(hours=1)
+    _tasks(
+        spark, [("t-1", 1, fresh, 1), ("t-2", 2, fresh, 1)]
+    ).write.mode("append").parquet(str(staging))
+    q = pipeline.run_pipeline_available_now(
+        spark, str(staging), out, str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"), table_format="manifest",
+    )
+    q.awaitTermination(120)
+    v_after_run1 = mf.list_versions(out)[-1]
+    pinned = mf.read_manifest_table(spark, out)  # resolved BEFORE run 2
+
+    # second incremental run: t-1 redelivered (merges), t-3 new
+    _tasks(
+        spark, [("t-1", 1, fresh, 2), ("t-3", 3, fresh, 1)]
+    ).write.mode("append").parquet(str(staging))
+    q = pipeline.run_pipeline_available_now(
+        spark, str(staging), out, str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"), table_format="manifest",
+    )
+    q.awaitTermination(120)
+
+    latest = {
+        r.task_id for r in mf.read_manifest_table(spark, out).collect()
+    }
+    assert latest == {"t-1", "t-2", "t-3"}
+    # snapshot isolation: the pinned reader still sees run 1's state
+    assert {r.task_id for r in pinned.collect()} == {"t-1", "t-2"}
+    # and run 1's version is still time-travel readable by number
+    assert {
+        r.task_id
+        for r in mf.read_manifest_table(spark, out, v_after_run1).collect()
+    } == {"t-1", "t-2"}
+
+
 def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
     """Clicks and purchases staged as SEPARATE files, consumed one file
     per micro-batch: the purchase arrives in a later batch than its

@@ -143,6 +143,7 @@ def run_pipeline_available_now(
     breaker: CircuitBreaker | None = None,
     rate_limiter: DailyRateLimiter | None = None,
     metrics_path: str | None = None,
+    table_format: str = "parquet",
 ) -> StreamingQuery:
     """EP2/EP3 skeleton as one incremental pass (T9 Trigger.AvailableNow):
     staged tasks -> watermark dedup -> envelope routing -> foreachBatch
@@ -164,6 +165,7 @@ def run_pipeline_available_now(
         breaker=breaker,
         rate_limiter=rate_limiter,
         metrics_path=metrics_path,
+        table_format=table_format,
     )
 
 
@@ -179,13 +181,30 @@ def run_pipeline_from_stream(
     breaker: CircuitBreaker | None = None,
     rate_limiter: DailyRateLimiter | None = None,
     metrics_path: str | None = None,
+    table_format: str = "parquet",
 ) -> StreamingQuery:
     """Transport-agnostic core of the pipeline: takes an already-decoded
     streaming envelope frame (any streaming/broker.py transport — files,
     kafka, or the kafka-wire test double) and applies watermark dedup,
     envelope routing, and the foreachBatch sinks. This is the seam a
-    Kafka deployment calls directly."""
+    Kafka deployment calls directly.
+
+    `table_format="manifest"` lands micro-batches in the ACID table
+    (sinks/manifest.py) instead of the in-place parquet upsert: each
+    epoch becomes one atomic manifest commit, so a crash mid-epoch
+    leaves the previous snapshot intact and checkpoint replay of the
+    same batch converges (idempotent MERGE) — exactly-once end-to-end
+    with readers snapshot-isolated from in-flight epochs."""
     keys = upsert_keys or ["task_id"]
+    if table_format == "manifest":
+        from ..sinks import manifest as manifest_sink
+
+        def sink_upsert(sess, path, df, ks):
+            manifest_sink.manifest_upsert(sess, path, df, ks)
+    elif table_format == "parquet":
+        sink_upsert = upsert_sink.upsert_parquet
+    else:
+        raise ValueError(f"unknown table_format: {table_format!r}")
     stream = deduped_task_stream(task_stream)
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -235,7 +254,7 @@ def run_pipeline_from_stream(
                 good = transform(good)
             if not good.isEmpty():
                 guard(
-                    lambda: upsert_sink.upsert_parquet(
+                    lambda: sink_upsert(
                         batch.sparkSession, out_table, good, keys
                     )
                 )
