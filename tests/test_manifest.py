@@ -190,6 +190,97 @@ def test_tombstone_deletes_merge_triad(spark, tmp_path):
     assert _state(spark, table, version=1) == {(1, "a"), (2, "b"), (3, "c")}
 
 
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """After N streaming-style commits a bucket's rows scatter over N
+    segment files; optimize_table rewrites the snapshot into ONE file
+    per bucket, state byte-identical, prior versions untouched until
+    vacuum."""
+    table = str(tmp_path / "t")
+    for i in range(5):
+        mf.manifest_upsert(
+            spark, table, _df(spark, [(i, f"v{i}"), (100 + i, "x")]), ["k"],
+            n_buckets=4,
+        )
+    before = _state(spark, table)
+    m_before = mf.read_manifest(table)
+    segs_before = {d.split(os.sep)[1] for d in m_before["buckets"].values()}
+    assert len(segs_before) > 1  # scattered across per-epoch segments
+    v = mf.optimize_table(spark, table)
+    assert v == 6
+    m_after = mf.read_manifest(table)
+    segs_after = {d.split(os.sep)[1] for d in m_after["buckets"].values()}
+    assert len(segs_after) == 1  # one fresh segment
+    for d in m_after["buckets"].values():
+        files = [
+            f
+            for f in os.listdir(os.path.join(table, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # exactly one file per bucket
+    assert _state(spark, table) == before
+    assert _state(spark, table, version=5) == before  # old version intact
+    mf.vacuum(table)  # superseded segments age out
+    assert _state(spark, table) == before
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A batch may ADD columns (old rows read back NULL) or OMIT
+    existing ones (landed NULL) — the manifest schema is the running
+    union, per-version (old snapshots keep their narrower schema)."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double"
+    )
+    mf.manifest_upsert(spark, table, wide, ["k"], n_buckets=4)
+    got = {
+        r.k: (r.v, r.score)
+        for r in mf.read_manifest_table(spark, table).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # a later batch WITHOUT the new column still lands (NULL-filled)
+    mf.manifest_upsert(spark, table, _df(spark, [(3, "c")]), ["k"], n_buckets=4)
+    got = {
+        r.k: (r.v, r.score)
+        for r in mf.read_manifest_table(spark, table).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5), 3: ("c", None)}
+    # time travel: version 1 still reads with its original 2-col schema
+    assert mf.read_manifest_table(spark, table, 1).columns == ["k", "v"]
+
+
+def test_every_row_lives_in_its_hash_bucket(spark, tmp_path):
+    """Physical-layout invariant: after any mix of commits and a
+    compaction, every row's file path carries the pk_bucket its key
+    hashes to — the property touched-bucket pruning relies on."""
+    table = str(tmp_path / "t")
+    for i in range(3):
+        mf.manifest_upsert(
+            spark, table,
+            _df(spark, [(i * 7 + j, f"b{i}") for j in range(6)]), ["k"],
+            n_buckets=4,
+        )
+    mf.optimize_table(spark, table)
+    m = mf.read_manifest(table)
+    dirs = [os.path.join(table, d) for d in m["buckets"].values()]
+    misplaced = (
+        spark.read.schema(mf._data_schema(m)).parquet(*dirs)
+        .withColumn(
+            "dir_bucket",
+            F.regexp_extract(F.input_file_name(), r"pk_bucket=(\d+)", 1).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "hash_bucket",
+            F.pmod(F.xxhash64("k"), F.lit(m["n_buckets"])).cast("int"),
+        )
+        .filter(F.col("dir_bucket") != F.col("hash_bucket"))
+        .count()
+    )
+    assert misplaced == 0
+
+
 def test_delete_all_leaves_schema_true_empty_table(spark, tmp_path):
     """Upserting after all rows merge away (0-row batch into fresh
     table) reads back as an empty frame with the schema intact."""

@@ -171,8 +171,12 @@ def manifest_upsert(
                     _data_schema(mf)
                 ).parquet(*old_dirs)
                 kept = existing.join(changed_keys, keys, "left_anti")
+                # additive schema evolution (Delta's mergeSchema): a
+                # batch may ADD columns (old rows read back NULL there)
+                # or omit existing ones (landed NULL) — the manifest's
+                # schema is the union, recorded at commit
                 merged = _with_bucket(kept, keys, buckets_n).unionByName(
-                    new_b
+                    new_b, allowMissingColumns=True
                 )
             else:
                 merged = new_b
@@ -185,11 +189,22 @@ def manifest_upsert(
         for e in os.listdir(seg_abs):
             if e.startswith("pk_bucket="):
                 buckets[e.split("=", 1)[1]] = os.path.join(seg, e)
+        # the recorded schema is the RUNNING UNION (prior columns keep
+        # their position; a narrow batch must not shed columns earlier
+        # commits added — their segments still carry the data)
+        schema = merged.drop("pk_bucket").schema
+        if mf is not None:
+            prev = _data_schema(mf)
+            have = {f.name for f in prev.fields}
+            schema = StructType(
+                prev.fields + [f for f in schema.fields if f.name not in have]
+            )
         manifest = {
             "version": (mf["version"] if mf else 0) + 1,
             "token": token,
             "n_buckets": buckets_n,
-            "schema": merged.drop("pk_bucket").schema.json(),
+            "keys": keys,
+            "schema": schema.json(),
             "buckets": buckets,
         }
         _publish_manifest(table_path, manifest, token)
@@ -222,6 +237,58 @@ def read_manifest_table(
     if not dirs:  # every row deleted/never written: schema-true empty frame
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*dirs)
+
+
+def optimize_table(spark: SparkSession, table_path: str) -> int:
+    """Small-file compaction (Delta's OPTIMIZE): a streaming sink
+    commits one segment per epoch, so a bucket's live rows end up
+    scattered across many small files — the classic small-file problem
+    that murders scan throughput at scale. Rewrites the CURRENT snapshot
+    into one fresh segment (every bucket exactly one dir) and commits it
+    as a new version; readers of older versions are untouched, and the
+    superseded segments age out via `vacuum`. Returns the new version."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        current = read_manifest_table(spark, table_path)
+        # hash-repartition on the bucket column => each bucket's rows
+        # land in exactly one task => exactly one file per bucket dir
+        merged = _with_bucket(current, mf["keys"], mf["n_buckets"]).repartition(
+            mf["n_buckets"], "pk_bucket"
+        )
+        seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
+        seg_abs = os.path.join(table_path, seg)
+        merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(
+            seg_abs
+        )
+        buckets = {
+            e.split("=", 1)[1]: os.path.join(seg, e)
+            for e in os.listdir(seg_abs)
+            if e.startswith("pk_bucket=")
+        }
+        manifest = {
+            "version": mf["version"] + 1,
+            "token": token,
+            "n_buckets": mf["n_buckets"],
+            "keys": mf["keys"],
+            "schema": mf["schema"],
+            "buckets": buckets,
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(attempt, fatal=(WriterFencedError,))
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
 
 
 def vacuum(table_path: str, keep_last: int = 1) -> int:
