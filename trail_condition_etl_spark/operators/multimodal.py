@@ -6,12 +6,13 @@ Design: media BYTES ride in a `payload` BinaryType column next to a
 Arrow-batched `mapInPandas` stages so bytes never round-trip through
 Python row-at-a-time.
 
-The actual codec work is STUBBED (image/audio libraries are not in this
-container): `decode_stub` raises NotImplementedError unless
-`fake=True`, in which case it produces a deterministic fake decode
-(dimensions from the metadata, checksum features from the bytes) so the
-Spark-side plumbing — schema, batch iteration, partition-preserving
-shape — is real and tested end-to-end.
+Codecs: WAV / PNG / BMP decode for real (operators/codecs.py — stdlib
+wave/zlib/struct + numpy, no external libraries), dispatched by magic
+bytes. Formats that genuinely need a codec library (JPEG/MP3/H.264)
+stay behind `decode_stub`, which raises NotImplementedError unless
+`fake=True` (the deterministic fake decode keeps the Spark-side
+plumbing — schema, batch iteration, partition-preserving shape —
+testable for those too).
 
 Scale notes: mapInPandas streams Arrow batches (no full-partition
 materialization); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds
@@ -36,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -72,23 +74,58 @@ FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mean_byte", DoubleType()),
+        # True when a REAL decoder ran (WAV/PNG/BMP magic matched);
+        # width/height then come from the payload itself, not the meta
+        StructField("decoded", BooleanType()),
     ]
 )
 
 
 def decode_stub(payload: bytes, media_type: str, fake: bool) -> dict[str, Any]:
-    """The codec seam. Real implementation would dispatch to PIL/ffmpeg;
-    here either raises (honest stub) or derives deterministic fake
-    features from the bytes."""
+    """The codec seam for formats WITHOUT a real decoder here
+    (JPEG/MP3/H.264 — see `decode_media` for the formats with one):
+    either raises (honest stub) or derives deterministic fake features
+    from the bytes."""
     if not fake:
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake=True for the deterministic test decode"
+            "no real decoder for this payload (JPEG/MP3/H.264 need a "
+            "codec library); WAV/PNG/BMP decode for real via "
+            "operators/codecs.py — pass fake=True for the deterministic "
+            "test decode of other formats"
         )
     return {
         "checksum": hashlib.sha256(payload).hexdigest()[:16],
         "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
     }
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool) -> dict[str, Any]:
+    """Dispatch: REAL decode when the magic bytes match a supported
+    format (WAV/PNG/BMP), the stub seam otherwise. Real decodes report
+    `decoded=True` plus format-true dimensions/duration alongside the
+    byte-level features."""
+    from . import codecs
+
+    kind = codecs.sniff(payload)
+    base = {
+        "checksum": hashlib.sha256(payload).hexdigest()[:16],
+        "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
+        "decoded": False,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+    }
+    if kind == "wav":
+        d = codecs.wav_decode(payload)
+        base.update(decoded=True, duration_ms=d["duration_ms"])
+        return base
+    if kind in ("png", "bmp"):
+        d = codecs.image_decode(payload)
+        base.update(decoded=True, width=d["width"], height=d["height"])
+        return base
+    stub = decode_stub(payload, media_type, fake)
+    base.update(stub)
+    return base
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -101,17 +138,20 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             feats = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                d = decode_stub(payload, row["media_type"], fake_decode)
+                d = decode_media(payload, row["media_type"], fake_decode)
                 meta = row["meta"]
+                meta_w = None if meta is None else meta["width"]
+                meta_h = None if meta is None else meta["height"]
                 feats.append(
                     {
                         "asset_id": row["asset_id"],
                         "media_type": row["media_type"],
                         "n_bytes": len(payload),
                         "checksum": d["checksum"],
-                        "width": None if meta is None else meta["width"],
-                        "height": None if meta is None else meta["height"],
+                        "width": d["width"] if d["decoded"] else meta_w,
+                        "height": d["height"] if d["decoded"] else meta_h,
                         "mean_byte": d["mean_byte"],
+                        "decoded": d["decoded"],
                     }
                 )
             yield pd.DataFrame(feats, columns=[f.name for f in FEATURES_SCHEMA])
@@ -307,6 +347,228 @@ SELECT asset_id,
             * 1000 AS BIGINT) AS frame_ts_ms
 FROM media
 WHERE media_type = 'video' AND duration_ms >= 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL codec paths (operators/codecs.py): image resize, WAV roundtrip
+# ---------------------------------------------------------------------------
+
+IMAGE_RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("format", StringType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 320, target_h: int = 240
+) -> DataFrame:
+    """REAL image resize: payloads whose magic bytes decode (PNG/BMP)
+    are decoded, nearest-neighbor resampled in numpy, and re-encoded in
+    their source format; rows that don't decode are dropped (they
+    belong to the stub seam). Arrow-batched mapInPandas, pixel math
+    vectorized per image."""
+    import numpy as np
+
+    from . import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_RESIZED_SCHEMA]
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                kind = codecs.sniff(payload)
+                if kind not in ("png", "bmp"):
+                    continue
+                d = codecs.image_decode(payload)
+                nw = min(d["width"], target_w)
+                nh = min(d["height"], target_h)
+                px = codecs.resize_nn(d["pixels"], nw, nh)
+                out = (
+                    codecs.png_encode(px)
+                    if kind == "png"
+                    else codecs.bmp_encode(px)
+                )
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "format": kind,
+                        "new_width": nw,
+                        "new_height": nh,
+                        "payload": out,
+                        "pixel_sum": int(np.asarray(px, dtype=np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, IMAGE_RESIZED_SCHEMA)
+
+
+WAV_RATE = 8000
+
+WAV_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("energy", LongType()),
+        StructField("n_crossings", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def wav_roundtrip_query(documents: DataFrame) -> DataFrame:
+    """[EXT] REAL audio codec end-to-end: text-derived int16 samples
+    (`s_i = (ascii(c_i) * 37) % 256 - 128` — mixed signs so zero
+    crossings are non-trivial) are encoded to genuine RIFF/WAVE bytes
+    (codecs.wav_encode) and decoded back through the real parser
+    (codecs.wav_decode); the emitted features are exact integers the
+    DuckDB oracle replays from the same source characters — proving the
+    container roundtrips samples losslessly, not just that two fakes
+    agree. One Arrow-batched mapInPandas stage, no shuffle."""
+    import numpy as np
+
+    from . import codecs
+
+    audio = documents.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("asset_id"), "text"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAV_ROUNDTRIP_SCHEMA]
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                chars = np.frombuffer(
+                    row["text"].encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                samples = ((chars * 37) % 256 - 128).astype(np.int16)
+                wav = codecs.wav_encode(samples, WAV_RATE)
+                d = codecs.wav_decode(wav)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "n_samples": d["n_samples"],
+                        "sample_rate": d["sample_rate"],
+                        "duration_ms": d["duration_ms"],
+                        "energy": d["energy"],
+                        "n_crossings": d["n_crossings"],
+                        "peak": d["peak"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return audio.mapInPandas(batches, WAV_ROUNDTRIP_SCHEMA)
+
+
+WAV_ROUNDTRIP_SQL = f"""
+WITH audio AS (
+  SELECT doc_id AS asset_id,
+         list_transform(string_split(text, ''),
+                        c -> (ascii(c) * 37) % 256 - 128) AS s
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT asset_id,
+  CAST(len(s) AS BIGINT) AS n_samples,
+  {WAV_RATE} AS sample_rate,
+  CAST(len(s) AS BIGINT) * 1000 // {WAV_RATE} AS duration_ms,
+  CAST(COALESCE(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)), 0)
+       AS BIGINT) AS energy,
+  CAST(COALESCE(list_sum(list_transform(range(1, len(s)),
+        i -> CASE WHEN (s[i] >= 0) <> (s[i+1] >= 0) THEN 1 ELSE 0 END)), 0)
+       AS BIGINT) AS n_crossings,
+  CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT)
+    AS peak
+FROM audio
+"""
+
+
+PNG_W = 24  # fixed roundtrip image width (3-channel rows)
+
+PNG_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_png_gt", BooleanType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def png_roundtrip_query(documents: DataFrame) -> DataFrame:
+    """[EXT] REAL image codec end-to-end: the document's leading
+    `h*W*3` bytes become an (h, W, 3) uint8 image, encoded to genuine
+    PNG bytes (zlib IDAT + CRC chunks) and decoded back through the
+    real parser; `pixel_sum` over the decoded pixels must equal the sum
+    the DuckDB oracle computes from the raw characters — the decode
+    reverses the encode bit-exactly on corpus-scale data. `n_png_gt`
+    additionally pins that a real (compressed, chunked) container was
+    produced, not a passthrough: header+chunk overhead makes tiny PNGs
+    BIGGER than raw, so the pinned fact is container-shaped size, not
+    compression."""
+    import numpy as np
+
+    from . import codecs
+
+    docs = documents.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("n_chars") >= 3 * PNG_W)
+    ).select(F.col("doc_id").alias("asset_id"), "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PNG_ROUNDTRIP_SCHEMA]
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = np.frombuffer(
+                    row["text"].encode("ascii"), dtype=np.uint8
+                )
+                h = data.size // (PNG_W * 3)
+                px = data[: h * PNG_W * 3].reshape(h, PNG_W, 3)
+                png = codecs.png_encode(px)
+                d = codecs.png_decode(png)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_png_gt": len(png) > 44,  # sig+IHDR+IEND shell
+                        "pixel_sum": int(
+                            d["pixels"].astype(np.int64).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(batches, PNG_ROUNDTRIP_SCHEMA)
+
+
+PNG_ROUNDTRIP_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS asset_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS b
+  FROM documents WHERE doc_id % 3 = 0 AND n_chars >= {3 * PNG_W}
+)
+SELECT asset_id,
+  {PNG_W} AS width,
+  CAST(len(b) // {PNG_W * 3} AS INTEGER) AS height,
+  3 AS channels,
+  TRUE AS n_png_gt,
+  CAST(list_sum(list_transform(
+        range(1, (len(b) // {PNG_W * 3}) * {PNG_W * 3} + 1),
+        i -> CAST(b[i] AS BIGINT))) AS BIGINT) AS pixel_sum
+FROM img
 """
 
 

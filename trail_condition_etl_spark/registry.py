@@ -867,6 +867,24 @@ def q_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_window_features(documents)
 
 
+@query("wav_roundtrip", oracle=multimodal.WAV_ROUNDTRIP_SQL)
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio codec end-to-end: samples -> RIFF/WAVE bytes
+    # (codecs.wav_encode) -> real parse (wav_decode) -> exact integer
+    # features the oracle replays from the source characters
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.wav_roundtrip_query(documents)
+
+
+@query("png_roundtrip", oracle=multimodal.PNG_ROUNDTRIP_SQL)
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image codec end-to-end: bytes -> PNG encode (zlib+CRC
+    # chunks) -> real decode -> pixel sum the oracle replays from the
+    # source characters (lossless roundtrip proven at corpus scale)
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return multimodal.png_roundtrip_query(documents)
+
+
 @query("media_resize", oracle=multimodal.MEDIA_RESIZE_SQL)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal resize stage: Arrow-batched mapInPandas over binary
