@@ -73,6 +73,7 @@ HEADLINE = [
     "curated_snapshot",
     "split_leakage",
     "manifest_merge",
+    "wav_roundtrip",
 ]
 
 
