@@ -249,6 +249,37 @@ def test_additive_schema_evolution(spark, tmp_path):
     assert mf.read_manifest_table(spark, table, 1).columns == ["k", "v"]
 
 
+def test_table_changes_classifies_cdc_triad(spark, tmp_path):
+    """Change feed between versions: inserts/updates/deletes classified
+    from snapshot CONTENT (a re-upserted identical row is no change),
+    across non-adjacent versions too."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"],
+        n_buckets=4,
+    )
+    changes = spark.createDataFrame(
+        # update 2, delete 3, insert 4, re-upsert 1 unchanged
+        [(2, "B2", False), (3, None, True), (4, "d", False), (1, "a", False)],
+        "k int, v string, _deleted boolean",
+    )
+    mf.manifest_upsert(
+        spark, table, changes, ["k"], n_buckets=4, tombstone_col="_deleted"
+    )
+    got = {
+        (r.k, r.change_type)
+        for r in mf.table_changes(spark, table, 1, 2).collect()
+    }
+    assert got == {(2, "update"), (3, "delete"), (4, "insert")}
+    # third commit; the 1->3 diff composes (2's update persists, 5 new)
+    mf.manifest_upsert(spark, table, _df(spark, [(5, "e")]), ["k"], n_buckets=4)
+    got = {
+        (r.k, r.change_type)
+        for r in mf.table_changes(spark, table, 1).collect()  # to latest
+    }
+    assert got == {(2, "update"), (3, "delete"), (4, "insert"), (5, "insert")}
+
+
 def test_every_row_lives_in_its_hash_bucket(spark, tmp_path):
     """Physical-layout invariant: after any mix of commits and a
     compaction, every row's file path carries the pk_bucket its key

@@ -817,6 +817,15 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.manifest_merge_query(spark, sf_dir)
 
 
+@query("manifest_changes", oracle=manifest_sink.MANIFEST_CHANGES_SQL)
+def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC change feed between two manifest versions: content-based
+    # insert/update/delete diff of the immutable snapshots (no change
+    # log needed), one keyed full-outer join
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_changes_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->

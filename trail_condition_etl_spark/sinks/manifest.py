@@ -291,6 +291,46 @@ def optimize_table(spark: SparkSession, table_path: str) -> int:
         release_table_lease(table_path, token)
 
 
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC change feed between two committed versions (Delta's
+    `table_changes` reduced to its semantics): keys present only in the
+    newer snapshot are `insert`, only in the older are `delete`, present
+    in both with differing non-key content are `update`; byte-identical
+    rows are excluded — the classification is CONTENT-based, computed
+    from the two immutable snapshots, so it needs no per-commit change
+    log. Comparison covers the columns common to both versions (additive
+    schema evolution: a column only the newer version has cannot differ
+    on old rows by definition). One keyed full-outer join."""
+    mf_to = read_manifest(table_path, to_version)
+    if mf_to is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    keys = mf_to["keys"]
+    old = read_manifest_table(spark, table_path, from_version)
+    new = read_manifest_table(spark, table_path, mf_to["version"])
+    common = [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(*keys, F.struct(*common).alias("_old"))
+    n = new.select(*keys, F.struct(*common).alias("_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), "insert")
+        .when(F.col("_new").isNull(), "delete")
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), "update")
+        .otherwise("none")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "none")
+        .select(*keys, "change_type")
+    )
+
+
 def vacuum(table_path: str, keep_last: int = 1) -> int:
     """Remove segment dirs unreferenced by the newest `keep_last`
     manifests (and the older manifests themselves): orphans from failed
@@ -364,6 +404,40 @@ def manifest_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_manifest_table(spark, table, version=1), 1).unionByName(
         agg(read_manifest_table(spark, table, version=2), 2)
     )
+
+
+def manifest_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The CDC change feed as an oracle-checked query: same
+    two-commit table as `manifest_merge`, then `table_changes(1, 2)` —
+    the %3==1 docs surface as inserts, the %6==0 docs (whose n_chars
+    doubled) as updates, and the untouched %3==0 docs are absent. The
+    oracle derives the same classification from the documents table
+    directly, so the content-based diff is pinned end-to-end."""
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    table = os.path.join(scratch_dir("manifest_cdc_"), "t")
+    manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
+    manifest_upsert(
+        spark, table, updates.unionByName(inserts), ["doc_id"], n_buckets=8
+    )
+    return table_changes(spark, table, 1, 2)
+
+
+MANIFEST_CHANGES_SQL = """
+SELECT doc_id, 'insert' AS change_type FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'update' AS change_type FROM documents
+WHERE doc_id % 6 = 0 AND n_chars <> 0
+"""
 
 
 MANIFEST_MERGE_SQL = """
