@@ -1469,9 +1469,11 @@ _SAMPLE_HEAD = [
     "bpe_merge_candidates", "tfidf_topk", "hybrid_retrieval",
     # sketches / timeseries / warehouse / scale layout
     "approx_distinct", "cms_estimate", "ohlc_bars", "ewma_daily",
-    "sessionize", "scd2_build", "manifest_merge", "price_histogram",
-    "asof_join",
+    "sessionize", "scd2_build", "manifest_merge", "manifest_changes",
+    "price_histogram", "asof_join",
     "bucketed_join", "partition_pruning", "skew_join",
+    # real media codecs
+    "wav_roundtrip", "png_roundtrip",
     # ingestion / pipeline
     "ingest_flatten", "dlq_routing", "task_dedup", "datetime_kit",
 ]
