@@ -280,6 +280,29 @@ def test_table_changes_classifies_cdc_triad(spark, tmp_path):
     assert got == {(2, "update"), (3, "delete"), (4, "insert"), (5, "insert")}
 
 
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """Change feed spans evolved schemas: comparison covers the columns
+    COMMON to both versions, so a widening commit classifies rows by
+    their shared content — a row whose common columns are unchanged is
+    no change even though the new version carries an extra column."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=4
+    )
+    wide = spark.createDataFrame(
+        # k=1: v unchanged (only the NEW column differs -> no change);
+        # k=2: v changes -> update; k=3: insert
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0)],
+        "k int, v string, score double",
+    )
+    mf.manifest_upsert(spark, table, wide, ["k"], n_buckets=4)
+    got = {
+        (r.k, r.change_type)
+        for r in mf.table_changes(spark, table, 1, 2).collect()
+    }
+    assert got == {(2, "update"), (3, "insert")}
+
+
 def test_every_row_lives_in_its_hash_bucket(spark, tmp_path):
     """Physical-layout invariant: after any mix of commits and a
     compaction, every row's file path carries the pk_bucket its key

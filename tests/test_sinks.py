@@ -742,6 +742,27 @@ def test_steal_mid_merge_fences_the_retry(spark, tmp_path, monkeypatch):
     assert upsert.last_committed_token(table) == 3
 
 
+def test_ownership_check_fences_before_thief_commits(tmp_path):
+    """check_fence detects a stolen lease from the lock's OWNER token
+    alone — the stale writer aborts pre-write even when the thief has
+    not committed yet (earlier than commit-token fencing can catch)."""
+    import os
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    token_a = upsert.acquire_table_lease(table)
+    lock = upsert._lock_dir(table)
+    old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+    os.utime(lock, (old, old))
+    token_b = upsert.acquire_table_lease(table)  # B steals, commits NOTHING
+    upsert.check_fence(table, token_b)  # B itself is fine
+    with pytest.raises(upsert.WriterFencedError):
+        upsert.check_fence(table, token_a)  # A is fenced by ownership alone
+    upsert.release_table_lease(table, token_b)
+
+
 def test_marker_files_are_written_atomically(spark, tmp_path):
     """fence/commit markers go through temp + os.replace: after any
     number of upserts no .tmp litter remains and both files parse."""
