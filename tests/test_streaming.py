@@ -135,6 +135,52 @@ def test_manifest_table_sink_is_acid_across_incremental_runs(spark, tmp_path):
     } == {"t-1", "t-2"}
 
 
+def test_manifest_sink_small_file_lifecycle(spark, tmp_path):
+    """The small-file story end-to-end: many one-file micro-batches
+    each commit a segment; OPTIMIZE compacts the snapshot to one file
+    per bucket and vacuum drops the per-epoch segments — state
+    byte-identical throughout. This is the maintenance cycle a
+    long-running streaming deployment runs on the ACID table."""
+    import os
+
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    staging = tmp_path / "staging"
+    out = str(tmp_path / "facts")
+    fresh = NOW - dt.timedelta(hours=1)
+    for i in range(6):  # one parquet file per batch
+        _tasks(spark, [(f"t-{i}", i, fresh, 1)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(staging))
+    q = pipeline.run_pipeline_available_now(
+        spark, str(staging), out, str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        table_format="manifest",
+    )
+    q.awaitTermination(240)
+    versions = mf.list_versions(out)
+    assert len(versions) >= 3  # several epochs committed atomically
+    before = {
+        r.task_id for r in mf.read_manifest_table(spark, out).collect()
+    }
+    assert before == {f"t-{i}" for i in range(6)}
+    mf.optimize_table(spark, out)
+    removed = mf.vacuum(out)
+    assert removed >= len(versions) - 1  # per-epoch segments swept
+    m = mf.read_manifest(out)
+    for d in m["buckets"].values():
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    after = {
+        r.task_id for r in mf.read_manifest_table(spark, out).collect()
+    }
+    assert after == before
+
+
 def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
     """Clicks and purchases staged as SEPARATE files, consumed one file
     per micro-batch: the purchase arrives in a later batch than its
