@@ -42,7 +42,7 @@ def test_wav_rejects_unsupported_width():
         codecs.wav_decode(buf.getvalue())
 
 
-@pytest.mark.parametrize("shape", [(13, 17, 3), (8, 9), (5, 6, 4)])
+@pytest.mark.parametrize("shape", [(13, 17, 3), (8, 9), (5, 6, 4), (4, 5, 2)])
 def test_png_roundtrip(shape):
     px = np.random.default_rng(3).integers(0, 256, size=shape, dtype=np.uint8)
     out = codecs.png_decode(codecs.png_encode(px))
@@ -116,6 +116,27 @@ def test_resize_nn_exact_sampling():
     for y in range(5):
         for x in range(4):
             assert np.array_equal(out[y, x], px[(y * 12) // 5, (x * 10) // 4])
+
+
+def test_sniff_false_positive_falls_back_to_stub():
+    """Document text starting 'BM'/'RIFF' sniffs like a media format
+    but must NOT crash the pipeline: decode_media falls back to the
+    stub features (sniffing is a heuristic, not validation), and
+    resize_images skips the row."""
+    for text in (b"BMW recall notice for 2024 models", b"BM25 scoring notes",
+                 b"RIFFle through the archives WAVEring"):
+        d = multimodal.decode_media(text, "image", fake=True)
+        assert not d["decoded"] and d["width"] is None
+    # honest stub still raises for undecodable payloads when fake=False
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"BM25 scoring notes", "image", fake=False)
+
+
+def test_resize_images_skips_sniff_false_positives(spark):
+    rows = [(0, "image", bytearray(b"BM garbage that is not a bitmap"),
+             (9, 9, None, "txt"))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    assert multimodal.resize_images(media).count() == 0
 
 
 def test_sniff_and_decode_media_dispatch():

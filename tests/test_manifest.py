@@ -87,6 +87,24 @@ def test_fenced_writer_aborts_totally(spark, tmp_path):
     assert mf.list_versions(table) == [1]
 
 
+def test_publish_never_clobbers_an_existing_version(spark, tmp_path):
+    """The commit point is no-clobber (os.link, not os.replace): a
+    stalled writer that lost the race publishes into an existing
+    version file and must get a fenced abort with the winner's manifest
+    byte-identical — never a silently replaced commit."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    winner = mf.read_manifest(table, 1)
+    loser = dict(winner, token=999, buckets={"0": "data/seg-bogus/pk_bucket=0"})
+    with pytest.raises(upsert.WriterFencedError):
+        mf._publish_manifest(table, loser, token=999)
+    assert mf.read_manifest(table, 1) == winner  # untouched
+    # and the temp file was cleaned up either way
+    assert not [
+        e for e in os.listdir(mf._manifest_dir(table)) if ".tmp." in e
+    ]
+
+
 def test_vacuum_respects_time_travel_horizon(spark, tmp_path):
     table = str(tmp_path / "t")
     for i in range(3):
@@ -281,17 +299,20 @@ def test_table_changes_classifies_cdc_triad(spark, tmp_path):
 
 
 def test_table_changes_across_schema_evolution(spark, tmp_path):
-    """Change feed spans evolved schemas: comparison covers the columns
-    COMMON to both versions, so a widening commit classifies rows by
-    their shared content — a row whose common columns are unchanged is
-    no change even though the new version carries an extra column."""
+    """Change feed spans evolved schemas and reconstructs the target:
+    comparison covers the NEW version's full non-key schema with the
+    old side NULL-filled for added columns, so a row whose only change
+    is the newly-added column IS an update (replaying the feed on v1
+    yields v2); a row untouched by the widening commit is no change."""
     table = str(tmp_path / "t")
     mf.manifest_upsert(
-        spark, table, _df(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=4
+        spark, table, _df(spark, [(0, "z"), (1, "a"), (2, "b")]), ["k"],
+        n_buckets=4,
     )
     wide = spark.createDataFrame(
-        # k=1: v unchanged (only the NEW column differs -> no change);
-        # k=2: v changes -> update; k=3: insert
+        # k=1: v unchanged but NEW column set -> update (content differs
+        # under the new schema); k=2: v changes -> update; k=3: insert;
+        # k=0 untouched -> absent from the feed
         [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0)],
         "k int, v string, score double",
     )
@@ -300,7 +321,7 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
         (r.k, r.change_type)
         for r in mf.table_changes(spark, table, 1, 2).collect()
     }
-    assert got == {(2, "update"), (3, "insert")}
+    assert got == {(1, "update"), (2, "update"), (3, "insert")}
 
 
 def test_every_row_lives_in_its_hash_bucket(spark, tmp_path):

@@ -100,7 +100,9 @@ def png_encode(pixels: np.ndarray) -> bytes:
         flat = px
     else:
         h, w, c = px.shape
-        color = {1: 0, 3: 2, 4: 6}[c]
+        # every channel count the decoder can produce re-encodes:
+        # gray / gray+alpha / RGB / RGBA
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
         flat = px.reshape(h, w * c)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))

@@ -103,10 +103,16 @@ def decode_media(payload: bytes, media_type: str, fake: bool) -> dict[str, Any]:
     """Dispatch: REAL decode when the magic bytes match a supported
     format (WAV/PNG/BMP), the stub seam otherwise. Real decodes report
     `decoded=True` plus format-true dimensions/duration alongside the
-    byte-level features."""
+    byte-level features.
+
+    A payload that SNIFFS like a format but fails to decode (magic-byte
+    coincidence — document text starting "BM..." sniffs as BMP — or a
+    corrupt/unsupported variant like 16-bit PNG) falls back to the stub
+    seam instead of crashing the job: sniffing is a 2-8 byte heuristic,
+    not a validation. The checksum/byte-mean are computed exactly once
+    here; the stub's fake branch is only the raise-or-allow gate."""
     from . import codecs
 
-    kind = codecs.sniff(payload)
     base = {
         "checksum": hashlib.sha256(payload).hexdigest()[:16],
         "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
@@ -115,16 +121,20 @@ def decode_media(payload: bytes, media_type: str, fake: bool) -> dict[str, Any]:
         "height": None,
         "duration_ms": None,
     }
-    if kind == "wav":
-        d = codecs.wav_decode(payload)
-        base.update(decoded=True, duration_ms=d["duration_ms"])
-        return base
-    if kind in ("png", "bmp"):
-        d = codecs.image_decode(payload)
-        base.update(decoded=True, width=d["width"], height=d["height"])
-        return base
-    stub = decode_stub(payload, media_type, fake)
-    base.update(stub)
+    kind = codecs.sniff(payload)
+    try:
+        if kind == "wav":
+            d = codecs.wav_decode(payload)
+            base.update(decoded=True, duration_ms=d["duration_ms"])
+            return base
+        if kind in ("png", "bmp"):
+            d = codecs.image_decode(payload)
+            base.update(decoded=True, width=d["width"], height=d["height"])
+            return base
+    except Exception:  # noqa: BLE001 — sniff false-positive or corrupt file
+        pass
+    if not fake:
+        decode_stub(payload, media_type, fake=False)  # honest raise
     return base
 
 
@@ -387,7 +397,10 @@ def resize_images(
                 kind = codecs.sniff(payload)
                 if kind not in ("png", "bmp"):
                     continue
-                d = codecs.image_decode(payload)
+                try:
+                    d = codecs.image_decode(payload)
+                except Exception:  # noqa: BLE001 — sniff false-positive
+                    continue
                 nw = min(d["width"], target_w)
                 nh = min(d["height"], target_h)
                 px = codecs.resize_nn(d["pixels"], nw, nh)

@@ -91,22 +91,27 @@ def read_manifest(table_path: str, version: int | None = None) -> dict | None:
 
 
 def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
-    """THE commit point: atomically place the next manifest version.
-    Fence-checked immediately before the replace; a version file that
-    already exists is evidence of a racing commit => fenced abort (the
-    orphaned segment is left for `vacuum`)."""
+    """THE commit point: place the next manifest version atomically AND
+    without clobbering — `os.link` fails with EEXIST if the version
+    already exists (unlike os.replace, which silently overwrites), so a
+    stalled fenced writer racing a thief's already-published version
+    gets a fenced abort, never a lost commit. On an object store this
+    is the if-none-match conditional PUT."""
     check_fence(table_path, token)
     dest = _manifest_path(table_path, manifest["version"])
-    if os.path.exists(dest):
-        raise WriterFencedError(
-            f"manifest version {manifest['version']} already committed to "
-            f"{table_path}: a racing writer published first"
-        )
     os.makedirs(_manifest_dir(table_path), exist_ok=True)
     tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, dest)
+    try:
+        os.link(tmp, dest)  # atomic no-clobber publish
+    except FileExistsError:
+        raise WriterFencedError(
+            f"manifest version {manifest['version']} already committed to "
+            f"{table_path}: a racing writer published first"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def manifest_upsert(
@@ -303,20 +308,28 @@ def table_changes(
     in both with differing non-key content are `update`; byte-identical
     rows are excluded — the classification is CONTENT-based, computed
     from the two immutable snapshots, so it needs no per-commit change
-    log. Comparison covers the columns common to both versions (additive
-    schema evolution: a column only the newer version has cannot differ
-    on old rows by definition). One keyed full-outer join."""
+    log. Comparison spans the NEWER version's full non-key schema, with
+    columns the older version lacks read as NULL on its side (additive
+    evolution: the schema only ever widens) — so a row whose only
+    change is a newly-added column IS an update, and replaying the feed
+    onto the older snapshot reconstructs the newer one exactly. One
+    keyed full-outer join."""
     mf_to = read_manifest(table_path, to_version)
     if mf_to is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     keys = mf_to["keys"]
     old = read_manifest_table(spark, table_path, from_version)
     new = read_manifest_table(spark, table_path, mf_to["version"])
-    common = [
-        c for c in old.columns if c not in keys and c in new.columns
+    compare = [c for c in new.columns if c not in keys]
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    old_side = [
+        F.col(c).alias(c)
+        if c in old.columns
+        else F.lit(None).cast(new_types[c]).alias(c)
+        for c in compare
     ]
-    o = old.select(*keys, F.struct(*common).alias("_old"))
-    n = new.select(*keys, F.struct(*common).alias("_new"))
+    o = old.select(*keys, F.struct(*old_side).alias("_old"))
+    n = new.select(*keys, F.struct(*compare).alias("_new"))
     j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("_old").isNull(), "insert")
@@ -336,7 +349,23 @@ def vacuum(table_path: str, keep_last: int = 1) -> int:
     manifests (and the older manifests themselves): orphans from failed
     or fenced commits, plus versions aged out of the time-travel
     horizon. Returns the number of segment dirs removed. Readers pinned
-    to a retained version are safe — their segments survive."""
+    to a retained version are safe — their segments survive.
+
+    Runs UNDER the writer lease: an in-flight commit's just-written,
+    not-yet-published segment is indistinguishable from an orphan, and
+    sweeping it would leave the next manifest pointing at deleted data.
+    Holding the lease serializes the sweep against committers (a
+    crashed holder's lease is stolen after the TTL as usual; its
+    segment then really is an orphan, and its late publish is fenced
+    by the ownership check + no-clobber link)."""
+    token = acquire_table_lease(table_path)
+    try:
+        return _vacuum_locked(table_path, keep_last)
+    finally:
+        release_table_lease(table_path, token)
+
+
+def _vacuum_locked(table_path: str, keep_last: int) -> int:
     versions = list_versions(table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
