@@ -180,3 +180,43 @@ def test_kafka_sink_wiring():
     assert opts["topic"] == "out-topic"
     assert opts["kafka.enable.idempotence"] == "true"
     assert opts["kafka.acks"] == "all"
+
+
+def test_wire_sink_offsets_monotone_across_epochs(spark):
+    """ADVICE r4: a second sink run (fresh epochs) must CONTINUE each
+    partition's offset sequence rather than restart at 1, so
+    (partition, offset) stays unique and per-partition-ordered — the
+    Kafka invariant the double claims to reproduce."""
+    root = tempfile.mkdtemp(prefix="broker_sink_epochs_")
+    wire_out = os.path.join(root, "wire_out")
+    for i, n in enumerate((20, 30)):
+        staging = os.path.join(root, f"staging_{i}")
+        _tasks(spark, n).write.mode("overwrite").parquet(staging)
+        stream = broker.read_broker_stream(
+            spark,
+            broker.BrokerConfig(
+                kind="files", path=staging, max_per_trigger=None
+            ),
+            pipeline.ENVELOPE,
+        )
+        q = broker.write_broker_stream(
+            stream,
+            broker.BrokerConfig(kind="wire_files", path=wire_out, topic="out"),
+            os.path.join(root, f"ckpt_{i}"),
+        )
+        q.awaitTermination()
+    wire = spark.read.parquet(wire_out)
+    per_part = (
+        wire.groupBy("partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("offset").alias("d"),
+            F.min("offset").alias("mn"),
+            F.max("offset").alias("mx"),
+        )
+        .collect()
+    )
+    # dense 1..n per partition: unique, contiguous, monotone across epochs
+    assert per_part and all(
+        r.d == r.n and r.mn == 1 and r.mx == r.n for r in per_part
+    )

@@ -365,3 +365,71 @@ def test_delete_all_leaves_schema_true_empty_table(spark, tmp_path):
     )
     out = mf.read_manifest_table(spark, table)
     assert out.columns == ["k", "v"] and out.count() == 0
+
+
+def test_divergent_keys_and_buckets_are_rejected(spark, tmp_path):
+    """ADVICE r4: upserting with different merge keys than the table was
+    built with would bucket-hash wrong and leave stale rows alive in
+    carried segments — rejected, not silently coerced; same for an
+    explicit n_buckets that contradicts the manifest. n_buckets=None
+    adopts the table's recorded layout."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="merge keys"):
+        mf.manifest_upsert(spark, table, _df(spark, [(2, "b")]), ["v"])
+    with pytest.raises(ValueError, match="n_buckets"):
+        mf.manifest_upsert(
+            spark, table, _df(spark, [(2, "b")]), ["k"], n_buckets=8
+        )
+    assert mf.list_versions(table) == [1]  # zero table effect either way
+    mf.manifest_upsert(spark, table, _df(spark, [(2, "b")]), ["k"])
+    assert _state(spark, table) == {(1, "a"), (2, "b")}
+
+
+def test_non_additive_type_change_is_rejected(spark, tmp_path):
+    """ADVICE r4: schema evolution is additive ONLY — changing an
+    existing column's type raises (old segments keep the old physical
+    type; a widened read schema would fail at scan time), with zero
+    table effect."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=4)
+    bad = spark.createDataFrame([(2, 7)], "k int, v bigint")
+    with pytest.raises(ValueError, match="non-additive"):
+        mf.manifest_upsert(spark, table, bad, ["k"], n_buckets=4)
+    assert mf.list_versions(table) == [1]
+    assert _state(spark, table) == {(1, "a")}
+
+
+def test_table_changes_carries_new_side_values(spark, tmp_path):
+    """ADVICE r4: the feed emits FULL new-side rows (Delta parity), so
+    replaying it onto the older snapshot reconstructs the newer one:
+    upsert the insert/update rows, delete the delete keys."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"],
+        n_buckets=4,
+    )
+    changes = spark.createDataFrame(
+        [(2, "B2", False), (3, None, True), (4, "d", False)],
+        "k int, v string, _deleted boolean",
+    )
+    mf.manifest_upsert(
+        spark, table, changes, ["k"], tombstone_col="_deleted"
+    )
+    feed = mf.table_changes(spark, table, 1, 2)
+    assert feed.columns == ["k", "change_type", "v"]
+    got = {(r.k, r.change_type, r.v) for r in feed.collect()}
+    assert got == {(2, "update", "B2"), (3, "delete", None), (4, "insert", "d")}
+    # replay the feed onto v1 through the tombstone MERGE: yields v2
+    replay = feed.withColumn(
+        "_deleted", F.col("change_type") == "delete"
+    ).select("k", "v", "_deleted")
+    table2 = str(tmp_path / "replay")
+    mf.manifest_upsert(
+        spark, table2, mf.read_manifest_table(spark, table, 1), ["k"],
+        n_buckets=4,
+    )
+    mf.manifest_upsert(
+        spark, table2, replay, ["k"], tombstone_col="_deleted"
+    )
+    assert _state(spark, table2) == _state(spark, table, 2)

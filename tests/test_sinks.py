@@ -779,3 +779,47 @@ def test_marker_files_are_written_atomically(spark, tmp_path):
     parent = os.path.dirname(upsert._fence_path(table))
     assert not [e for e in os.listdir(parent) if ".tmp." in e]
     assert upsert.last_committed_token(table) == 3
+
+
+def test_live_slow_holder_heartbeats_and_is_not_stolen(tmp_path):
+    """ADVICE r4 (medium): a healthy writer whose merge outlives the
+    lease TTL heartbeats the lock's mtime, so a contender sees a fresh
+    lease and times out instead of stealing from a live holder. Once
+    released, the next acquire succeeds immediately."""
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    token_a = upsert.acquire_table_lease(table, ttl_s=1.0)
+    try:
+        time.sleep(2.5)  # far past the TTL; heartbeat refreshes at ttl/4
+        with pytest.raises(TimeoutError):
+            upsert.acquire_table_lease(table, ttl_s=1.0, wait_s=0.6)
+    finally:
+        upsert.release_table_lease(table, token_a)
+    token_b = upsert.acquire_table_lease(table, ttl_s=1.0)
+    assert token_b == token_a + 1
+    upsert.release_table_lease(table, token_b)
+
+
+def test_heartbeat_never_refreshes_a_foreign_lock(tmp_path):
+    """The heartbeat checks ownership before each touch: a thread whose
+    token no longer matches the lock's owner (lease stolen) must stop
+    without touching — otherwise a loser would keep a thief's lock
+    fresh forever."""
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    lock = upsert._lock_dir(table)
+    os.mkdir(lock)
+    upsert._atomic_write_text(os.path.join(lock, "owner"), "8")
+    old = time.time() - 100.0
+    os.utime(lock, (old, old))
+    upsert._start_lease_heartbeat(table, 7, ttl_s=1.0)  # 0.25s interval
+    time.sleep(1.0)
+    # several intervals elapsed; the foreign-owned lock was never touched
+    assert os.stat(lock).st_mtime == pytest.approx(old, abs=1.0)
+    upsert._stop_lease_heartbeat(table, 7)

@@ -138,8 +138,20 @@ def materialize(source: DataFrame, kind: str, build_fn, schema: str) -> DataFram
         _BUILDS[0] += 1
         frame = build_fn().persist()
         with _LOCK:
-            _FALLBACKS.setdefault(fk, (source, frame))
-        return frame
+            # re-check under the lock (ADVICE r4): a racing builder may
+            # have published while we built. The loser must unpersist
+            # its frame (it is registered nowhere — clear_caches could
+            # never evict it) and share the registered one, so all
+            # consumers see ONE frame.
+            hit = _FALLBACKS.get(fk)
+            if hit is None:
+                _FALLBACKS[fk] = (source, frame)
+                return frame
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+        return hit[1]
     k = (kind,) + key
     with _LOCK:
         path = _ARTIFACTS.get(k)

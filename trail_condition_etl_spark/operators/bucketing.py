@@ -19,11 +19,11 @@ aggregation).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import artifacts
 from .. import catalog
 from .relational import _scaled
 
@@ -60,7 +60,7 @@ def ensure_bucketed_fact_tables(
     count on both sides — the co-location contract). Idempotent per
     session run; external paths under a temp root stand in for the
     cluster's curated bucketed zone."""
-    root = tempfile.mkdtemp(prefix="bucketed_facts_")
+    root = artifacts.scratch_dir("bucketed_facts_")
     li_name, ord_name = "bucketed_lineitem", "bucketed_orders"
     write_bucketed(
         catalog.load_table(spark, sf_dir, "lineitem").select(

@@ -327,9 +327,9 @@ def dlq_redrive_query(spark, sf_dir: str) -> DataFrame:
     sinks/upsert.append_dlq + redrive_candidates is what's under test.
     """
     import os
-    import tempfile
 
     from .. import catalog
+    from . import artifacts
     from ..sinks import upsert as upsert_sink
 
     events = catalog.load_table(spark, sf_dir, "events")
@@ -362,7 +362,7 @@ def dlq_redrive_query(spark, sf_dir: str) -> DataFrame:
             ).alias("error"),
         )
     )
-    dlq = os.path.join(tempfile.mkdtemp(prefix="dlq_redrive_"), "dlq")
+    dlq = os.path.join(artifacts.scratch_dir("dlq_redrive_"), "dlq")
     upsert_sink.append_dlq(spark, dlq, rejects)
     return (
         upsert_sink.redrive_candidates(spark, dlq)

@@ -12,11 +12,14 @@ window the way Delta/Iceberg do, reduced to its essential mechanics:
   segment directory (`data/seg-<nonce>/pk_bucket=N/...`) that no reader
   references yet — a writer that dies mid-write changes NOTHING;
 * the table state is a MANIFEST (`_manifests/0000000N.json`): a map
-  bucket -> segment dir plus the schema and the committing writer's
-  fencing token. Publishing the next manifest version is the ONE atomic
-  commit point (temp + `os.replace`; on an object store, a conditional
-  PUT — the same seam Delta's commit service and Iceberg's catalog
-  swap provide);
+  bucket -> LIST of segment dirs plus the schema, per-dir column
+  STATS (min/max/null-count, Iceberg's metadata skipping essential —
+  recorded at commit, consulted by `read_manifest_table(skip=...)` and
+  `read_manifest_lookup` so predicate reads never open segments that
+  cannot match), and the committing writer's fencing token. Publishing
+  the next manifest version is the ONE atomic commit point (temp +
+  `os.replace`; on an object store, a conditional PUT — the same seam
+  Delta's commit service and Iceberg's catalog swap provide);
 * readers resolve the LATEST manifest once and read only the files it
   references: snapshot isolation for free (a concurrent commit cannot
   tear a read — the reader's manifest still references the old
@@ -38,6 +41,7 @@ never saw a byte of it.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -45,7 +49,18 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
 
 from .upsert import (
     DEFAULT_BUCKETS,
@@ -119,7 +134,7 @@ def manifest_upsert(
     table_path: str,
     new_rows: DataFrame,
     keys: list[str],
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     tombstone_col: str | None = None,
 ) -> int:
     """MERGE-style upsert with an atomic commit: new rows win over
@@ -130,7 +145,18 @@ def manifest_upsert(
     whose rows all die simply drops out of the next manifest). Returns
     the committed version. A failure ANYWHERE before the manifest
     publish leaves the table byte-identical (the segment dir is
-    unreferenced orphan data for `vacuum`)."""
+    unreferenced orphan data for `vacuum`).
+
+    Table identity is VALIDATED, never silently coerced (ADVICE r4):
+    `keys` must equal the manifest's recorded merge keys — a divergent
+    caller would bucket-hash with the wrong columns and stale rows for
+    its keys would survive in carried segments — and an explicit
+    `n_buckets` that contradicts the manifest raises instead of being
+    dropped (pass None to adopt the table's layout; a fresh table
+    defaults to DEFAULT_BUCKETS). Schema evolution is ADDITIVE ONLY:
+    a batch may add or omit columns, but changing an existing column's
+    TYPE raises — old segments hold the old physical type, and a read
+    under a widened schema would fail at scan time."""
     token = acquire_table_lease(table_path)
     if tombstone_col is not None:
         live = new_rows.filter(~F.col(tombstone_col)).drop(tombstone_col)
@@ -148,7 +174,39 @@ def manifest_upsert(
     def attempt() -> int:
         check_fence(table_path, token)
         mf = read_manifest(table_path)
-        buckets_n = mf["n_buckets"] if mf else n_buckets
+        if mf is not None:
+            if list(keys) != list(mf["keys"]):
+                raise ValueError(
+                    f"merge keys {keys} do not match the table's recorded "
+                    f"keys {mf['keys']} ({table_path}): upserting with "
+                    "different keys would hash rows into the wrong buckets "
+                    "and leave stale rows alive in carried segments"
+                )
+            if n_buckets is not None and n_buckets != mf["n_buckets"]:
+                raise ValueError(
+                    f"n_buckets={n_buckets} contradicts the table's layout "
+                    f"({mf['n_buckets']} buckets, {table_path}); pass None "
+                    "to adopt the existing layout — rebucketing requires a "
+                    "full rewrite (optimize_table), not an upsert"
+                )
+            prev_types = {
+                f.name: f.dataType for f in _data_schema(mf).fields
+            }
+            for f in upserts.schema.fields:
+                if f.name in prev_types and f.dataType != prev_types[f.name]:
+                    raise ValueError(
+                        f"non-additive schema change for column "
+                        f"{f.name!r}: table has {prev_types[f.name]}, "
+                        f"batch has {f.dataType} ({table_path}); only "
+                        "ADDING columns is supported — old segments hold "
+                        "the old physical type and would fail at scan "
+                        "time under a changed schema"
+                    )
+        buckets_n = (
+            mf["n_buckets"]
+            if mf
+            else (n_buckets if n_buckets is not None else DEFAULT_BUCKETS)
+        )
         new_b = _with_bucket(upserts, keys, buckets_n)
         if mf is None:
             merged = new_b
@@ -216,7 +274,9 @@ def manifest_upsert(
         return manifest["version"]
 
     try:
-        version = retry_with_backoff(attempt, fatal=(WriterFencedError,))
+        version = retry_with_backoff(
+            attempt, fatal=(WriterFencedError, ValueError)
+        )
         record_commit(table_path, token)
         return version
     finally:
@@ -311,9 +371,12 @@ def table_changes(
     log. Comparison spans the NEWER version's full non-key schema, with
     columns the older version lacks read as NULL on its side (additive
     evolution: the schema only ever widens) — so a row whose only
-    change is a newly-added column IS an update, and replaying the feed
-    onto the older snapshot reconstructs the newer one exactly. One
-    keyed full-outer join."""
+    change is a newly-added column IS an update. Each insert/update row
+    carries the NEW-side column values (Delta's table_changes emits
+    full rows; ADVICE r4), so replaying the feed onto the older
+    snapshot — upsert the insert/update rows, delete the delete keys —
+    really does reconstruct the newer one exactly; delete rows carry
+    NULL values. One keyed full-outer join."""
     mf_to = read_manifest(table_path, to_version)
     if mf_to is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
@@ -340,7 +403,11 @@ def table_changes(
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type") != "none")
-        .select(*keys, "change_type")
+        .select(
+            *keys,
+            "change_type",
+            *[F.col(f"_new.{c}").alias(c) for c in compare],
+        )
     )
 
 
@@ -462,9 +529,13 @@ def manifest_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MANIFEST_CHANGES_SQL = """
-SELECT doc_id, 'insert' AS change_type FROM documents WHERE doc_id % 3 = 1
+SELECT doc_id, 'insert' AS change_type, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 3 = 1
 UNION ALL
-SELECT doc_id, 'update' AS change_type FROM documents
+SELECT doc_id, 'update' AS change_type, source,
+       CAST(n_chars AS BIGINT) * 2 AS n_chars
+FROM documents
 WHERE doc_id % 6 = 0 AND n_chars <> 0
 """
 

@@ -28,11 +28,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import artifacts
 from .. import catalog
 
 DATE_COL = "event_date"
@@ -106,7 +106,7 @@ def partition_pruning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries PartitionFilters (pinned by tests/test_plans.py) — at scale
     the read cost is the week, not the table."""
     events = catalog.load_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="day_partitioned_")
+    root = artifacts.scratch_dir("day_partitioned_")
     path = os.path.join(root, "events_by_day")
     write_day_partitioned(daily_events(events), path)
     week = read_day_range(spark, path, "2024-01-10", "2024-01-16")
@@ -190,7 +190,7 @@ def incremental_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale after the incremental path breaks parity."""
     events = catalog.load_table(spark, sf_dir, "events")
     daily = daily_events(events)
-    root = tempfile.mkdtemp(prefix="incr_rollup_")
+    root = artifacts.scratch_dir("incr_rollup_")
     events_path = os.path.join(root, "events_by_day")
     rollup_path = os.path.join(root, "rollup_by_day")
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -108,6 +109,14 @@ def retry_with_backoff(
 # * fence/commit marker files are written via temp + os.replace — a
 #   concurrent reader never observes a truncated/empty token file.
 #
+# * the lease HEARTBEATS: a driver-side daemon thread refreshes the
+#   lock dir's mtime every TTL/4 while the holder works, so a healthy
+#   writer whose merge job outlives the TTL (routine at scale) is never
+#   mistaken for a crashed one and stolen from — mtime staleness now
+#   really means holder death, not just holder slowness. The heartbeat
+#   checks ownership before each touch, so a thread that lost a race
+#   never refreshes somebody else's lock.
+#
 # Honest limits (the ADR part): plain parquet gives no atomic
 # data+token commit, so a fenced writer that dies between its fence
 # check and its job commit can still interleave — closing that window
@@ -149,6 +158,51 @@ def _atomic_write_text(path: str, text: str) -> None:
     with open(tmp, "w") as f:
         f.write(text)
     os.replace(tmp, path)
+
+
+# live lease heartbeats: (table_path, token) -> stop event. Daemon
+# threads, so a crashed driver stops heartbeating and its lease goes
+# stale after the TTL exactly as the steal path expects.
+_HEARTBEATS: dict[tuple[str, int], threading.Event] = {}
+_HB_LOCK = threading.Lock()
+
+
+def _start_lease_heartbeat(table_path: str, token: int, ttl_s: float) -> None:
+    """Refresh the lock dir's mtime every ttl/4 while the holder works
+    (ADVICE r4: a healthy writer whose Spark job exceeds the TTL must
+    not have its lease stolen while alive). Stops itself the moment the
+    lock's owner token is no longer ours — never refreshes a thief's
+    lock."""
+    stop = threading.Event()
+    lock = _lock_dir(table_path)
+    tok = str(token)
+    interval = max(ttl_s / 4.0, 0.25)
+
+    def run() -> None:
+        while not stop.wait(interval):
+            if _lease_owner(table_path) != tok:
+                return  # stolen (or released): this lock isn't ours
+            try:
+                os.utime(lock)
+            except OSError:
+                return  # lock gone mid-touch
+    threading.Thread(
+        target=run, daemon=True, name=f"lease-heartbeat-{token}"
+    ).start()
+    with _HB_LOCK:
+        _HEARTBEATS[(table_path, token)] = stop
+
+
+def _stop_lease_heartbeat(table_path: str, token: int | None) -> None:
+    with _HB_LOCK:
+        if token is not None:
+            keys = [(table_path, token)]
+        else:
+            keys = [k for k in _HEARTBEATS if k[0] == table_path]
+        for k in keys:
+            ev = _HEARTBEATS.pop(k, None)
+            if ev is not None:
+                ev.set()
 
 
 def _lease_owner(table_path: str) -> str | None:
@@ -209,6 +263,7 @@ def acquire_table_lease(
         _atomic_write_text(os.path.join(lock, "owner"), str(token))
     except OSError:
         pass  # lock stolen in the stamping window; fence check catches it
+    _start_lease_heartbeat(table_path, token, ttl_s)
     return token
 
 
@@ -217,6 +272,7 @@ def release_table_lease(table_path: str, token: int | None = None) -> None:
     a writer whose lease was stolen (the lock now carries a different
     owner token) must NOT delete the new holder's lock — doing so would
     let a third writer acquire and interleave with the thief."""
+    _stop_lease_heartbeat(table_path, token)
     if token is not None:
         owner = _lease_owner(table_path)
         if owner is not None and owner != str(token):

@@ -26,7 +26,6 @@ operationally (one parse feeding both branches).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..operators import artifacts
 from .. import catalog
 
 CORRUPT_COL = "_corrupt_record"
@@ -109,7 +109,7 @@ def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same aggregation on the parquet directly, so a parse/typing drift
     in the JSON path (quoting, number width, null shape) breaks parity."""
     events = catalog.load_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="jsonl_src_")
+    root = artifacts.scratch_dir("jsonl_src_")
     staging = os.path.join(root, "events_jsonl")
     (
         events.select(
@@ -175,14 +175,13 @@ def schema_evolution_query(spark, sf_dir: str):
     the catalog once drift stabilizes so scans skip the reconcile pass.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from .. import catalog
 
     orders = catalog.load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = artifacts.scratch_dir("schema_evo_")
     path = os.path.join(root, "orders_evolving")
     gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("price")
@@ -233,7 +232,7 @@ def orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, decimal width) breaks parity. Timestamps travel as exact
     integer microseconds to keep the comparison grain-free."""
     events = catalog.load_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="orc_src_")
+    root = artifacts.scratch_dir("orc_src_")
     staging = os.path.join(root, "events_orc")
     (
         events.select(

@@ -219,9 +219,38 @@ def write_broker_stream(
     if conf.kind == "wire_files":
 
         def emit(batch: DataFrame, epoch_id: int) -> None:
-            encode_task_envelope(batch, topic=conf.topic or "tasks").write.mode(
-                "append"
-            ).parquet(conf.path)
+            # Offsets must stay MONOTONE per partition ACROSS epochs
+            # (ADVICE r4): encode_task_envelope's row_number restarts at
+            # 1 every micro-batch, so each epoch's offsets are rebased
+            # on the max already-written offset per partition — the
+            # wire dir keeps Kafka's per-partition ordering invariant
+            # and (partition, offset) stays unique for consumers that
+            # dedup/order on _source_partition/_source_offset.
+            enc = encode_task_envelope(batch, topic=conf.topic or "tasks")
+            spark = batch.sparkSession
+            try:
+                base = (
+                    spark.read.schema(KAFKA_WIRE_SCHEMA)
+                    .parquet(conf.path)
+                    .groupBy("partition")
+                    .agg(F.max("offset").alias("_base_offset"))
+                )
+            except Exception:
+                base = None  # first epoch: nothing written yet
+            if base is not None:
+                enc = (
+                    enc.join(F.broadcast(base), "partition", "left")
+                    .withColumn(
+                        "offset",
+                        F.col("offset")
+                        + F.coalesce(F.col("_base_offset"), F.lit(0)),
+                    )
+                    .drop("_base_offset")
+                )
+            enc.select(
+                "key", "value", "topic", "partition", "offset",
+                "timestamp", "timestampType",
+            ).write.mode("append").parquet(conf.path)
 
         writer = stream.writeStream.foreachBatch(emit).option(
             "checkpointLocation", checkpoint

@@ -26,11 +26,11 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import artifacts
 from .. import catalog
 
 WINDOW = "1 hour"
@@ -87,7 +87,7 @@ def attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="stream_join_")
+    root = artifacts.scratch_dir("stream_join_")
     staging = os.path.join(root, "staging")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
@@ -155,7 +155,7 @@ def stream_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = events.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
     )
-    root = tempfile.mkdtemp(prefix="stream_enrich_")
+    root = artifacts.scratch_dir("stream_enrich_")
     staging = os.path.join(root, "staging")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")

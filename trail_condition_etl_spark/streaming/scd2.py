@@ -29,12 +29,12 @@ same invariant the reference's restart-and-replay story needs (SURVEY
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators import artifacts
 from ..operators.warehouse import TS_US_FMT
 from ..sinks import upsert as upsert_sink
 
@@ -144,7 +144,7 @@ def stream_scd2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    root = artifacts.scratch_dir("stream_scd2_")
     staging = os.path.join(root, "staging")
     dim = os.path.join(root, "dim")
     split = F.lit(SPLIT_TS).cast("timestamp")

@@ -171,14 +171,14 @@ def stateful_sessions_query(spark, sf_dir: str) -> DataFrame:
     (= every session except each user's trailing one); the multi-batch
     state-carry path is pinned by tests/test_stateful.py."""
     import os
-    import tempfile
 
     from .. import catalog
+    from ..operators import artifacts
 
     events = catalog.load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
-    root = tempfile.mkdtemp(prefix="stateful_sessions_")
+    root = artifacts.scratch_dir("stateful_sessions_")
     staging = os.path.join(root, "staging")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")

@@ -29,10 +29,11 @@ are integer-scaled so replays and the DuckDB oracle match bit-for-bit.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators import artifacts
 
 WINDOW_SIZE = "1 day"
 WATERMARK_DELAY = "2 days"
@@ -102,7 +103,7 @@ def stream_windowed_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="stream_windowed_")
+    root = artifacts.scratch_dir("stream_windowed_")
     staging = os.path.join(root, "staging")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
@@ -250,7 +251,7 @@ def stream_windowed_update_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="stream_windowed_upd_")
+    root = artifacts.scratch_dir("stream_windowed_upd_")
     staging = os.path.join(root, "staging")
     table = os.path.join(root, "table")
     ckpt = os.path.join(root, "ckpt")
