@@ -433,3 +433,183 @@ def test_table_changes_carries_new_side_values(spark, tmp_path):
         spark, table2, replay, ["k"], tombstone_col="_deleted"
     )
     assert _state(spark, table2) == _state(spark, table, 2)
+
+
+# ---------------------------------------------------------------------------
+# per-bucket column stats + metadata skipping (VERDICT r5 directive 1)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_correlated_table(spark, tmp_path, n_buckets=4, n_keys=200):
+    """A table whose `val` column ranges are DISJOINT per bucket
+    (val = pk_bucket * 1000 + small), so range predicates provably
+    prune: bucket b holds exactly [b*1000, b*1000+999]."""
+    keyed = spark.range(n_keys).select(F.col("id").cast("int").alias("k"))
+    with_b = upsert._with_bucket(keyed, ["k"], n_buckets)
+    rows = with_b.select(
+        "k", (F.col("pk_bucket") * 1000 + F.col("k") % 1000).alias("val")
+    )
+    table = str(tmp_path / "corr")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=n_buckets)
+    return table
+
+
+def _dirs_of(df):
+    return {
+        os.path.dirname(p).removeprefix("file://") for p in df.inputFiles()
+    }
+
+
+def test_skip_scan_opens_only_matching_bucket_dirs(spark, tmp_path):
+    """The pruning pin: a range predicate whose bounds fall inside one
+    bucket's [min, max] must reference ONLY that bucket's dir — pruned
+    dirs never appear in the plan's inputFiles."""
+    table = _bucket_correlated_table(spark, tmp_path)
+    manifest = mf.read_manifest(table)
+    df = mf.read_manifest_table(
+        spark, table, skip=[("val", "between", (1100, 1200))]
+    )
+    dirs = _dirs_of(df)
+    want = os.path.join(table, manifest["buckets"]["1"])
+    assert dirs == {want}
+    # and the result is EXACT (residual filter applied)
+    full = mf.read_manifest_table(spark, table)
+    expect = {
+        (r.k, r.val)
+        for r in full.filter(F.col("val").between(1100, 1200)).collect()
+    }
+    assert {(r.k, r.val) for r in df.collect()} == expect
+    assert len(expect) > 0
+
+
+def test_skip_ops_prune_and_stay_exact(spark, tmp_path):
+    table = _bucket_correlated_table(spark, tmp_path)
+    full = mf.read_manifest_table(spark, table).collect()
+    cases = [
+        ([("val", "=", 2005)], lambda r: r.val == 2005),
+        ([("val", "<", 1000)], lambda r: r.val < 1000),
+        ([("val", ">=", 3000)], lambda r: r.val >= 3000),
+        ([("val", "in", [500, 2500, 99999])], lambda r: r.val in (500, 2500)),
+        ([("val", ">", 900), ("val", "<=", 1050)],
+         lambda r: 900 < r.val <= 1050),
+    ]
+    n_all = len(_dirs_of(mf.read_manifest_table(spark, table)))
+    for skip, pred in cases:
+        df = mf.read_manifest_table(spark, table, skip=skip)
+        got = {(r.k, r.val) for r in df.collect()}
+        want = {(r.k, r.val) for r in full if pred(r)}
+        assert got == want, skip
+        assert len(_dirs_of(df)) < n_all, f"no pruning for {skip}"
+
+
+def test_lookup_opens_only_key_bucket_dirs(spark, tmp_path):
+    """Point lookup reads only the dirs the requested keys hash into,
+    and returns exactly the requested present keys (absent keys
+    contribute nothing)."""
+    table = str(tmp_path / "t")
+    rows = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=8)
+    manifest = mf.read_manifest(table)
+    looked = mf.read_manifest_lookup(spark, table, {"k": 5})
+    got = [(r.k, r.v) for r in looked.collect()]
+    assert got == [(5, "v5")]
+    b5 = upsert._with_bucket(
+        spark.createDataFrame([(5,)], "k int"), ["k"], 8
+    ).collect()[0].pk_bucket
+    assert _dirs_of(looked) == {
+        os.path.join(table, manifest["buckets"][str(b5)])
+    }
+    # multi-key incl. an absent key: only present keys come back
+    multi = mf.read_manifest_lookup(
+        spark, table, [{"k": 5}, {"k": 42}, {"k": 4242}]
+    )
+    assert {(r.k, r.v) for r in multi.collect()} == {(5, "v5"), (42, "v42")}
+    assert len(_dirs_of(multi)) <= 3
+
+
+def test_stats_carried_for_untouched_buckets(spark, tmp_path):
+    """A second commit rewrites only touched buckets; untouched buckets
+    carry dir AND stats by reference (zero bytes moved, zero stats
+    recomputed)."""
+    table = _bucket_correlated_table(spark, tmp_path)
+    v1 = mf.read_manifest(table)
+    one_key = spark.createDataFrame([(0, 999_999)], "k int, val int")
+    mf.manifest_upsert(spark, table, one_key, ["k"])
+    v2 = mf.read_manifest(table)
+    b0 = upsert._with_bucket(
+        spark.createDataFrame([(0,)], "k int"), ["k"], 4
+    ).collect()[0].pk_bucket
+    for b in v1["buckets"]:
+        if b != str(b0):
+            assert v2["buckets"][b] == v1["buckets"][b]
+            assert v2["stats"][b] == v1["stats"][b]
+    assert v2["stats"][str(b0)]["val"][1] == 999_999
+
+
+def test_missing_stats_never_prune(spark, tmp_path):
+    """Stats are an optimization: a commit with collect_stats=False
+    leaves its buckets unprunable but every skip read stays exact."""
+    table = str(tmp_path / "t")
+    rows = spark.range(50).select(
+        F.col("id").cast("int").alias("k"), F.col("id").alias("val")
+    )
+    mf.manifest_upsert(
+        spark, table, rows, ["k"], n_buckets=4, collect_stats=False
+    )
+    assert mf.read_manifest(table)["stats"] == {}
+    df = mf.read_manifest_table(spark, table, skip=[("val", "<", 10)])
+    assert {r.val for r in df.collect()} == set(range(10))
+
+
+def test_long_string_bounds_omitted(spark, tmp_path):
+    """String bounds longer than 64 chars are not recorded (no silent
+    truncation that could break the upper bound) — that column simply
+    never prunes."""
+    table = str(tmp_path / "t")
+    rows = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("x" * 100), F.col("id")).alias("body"),
+        F.col("id").alias("val"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    stats = mf.read_manifest(table)["stats"]
+    for b in stats:
+        assert "body" not in stats[b]
+        assert "val" in stats[b]
+    df = mf.read_manifest_table(
+        spark, table, skip=[("body", ">", "x")]
+    )
+    assert df.count() == 10
+
+
+def test_null_stats_and_null_ops(spark, tmp_path):
+    table = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(1, None), (2, None)], "k int, v string"
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    # all-null column: non-null predicates prune everything...
+    assert mf.read_manifest_table(
+        spark, table, skip=[("v", "=", "x")]
+    ).count() == 0
+    # ...is_null keeps it
+    assert mf.read_manifest_table(
+        spark, table, skip=[("v", "is_null", None)]
+    ).count() == 2
+    assert mf.read_manifest_table(
+        spark, table, skip=[("v", "is_not_null", None)]
+    ).count() == 0
+
+
+def test_optimize_recomputes_stats(spark, tmp_path):
+    table = _bucket_correlated_table(spark, tmp_path)
+    mf.optimize_table(spark, table)
+    manifest = mf.read_manifest(table)
+    assert set(manifest["stats"]) == set(manifest["buckets"])
+    df = mf.read_manifest_table(
+        spark, table, skip=[("val", "between", (1100, 1200))]
+    )
+    assert len(_dirs_of(df)) == 1

@@ -826,6 +826,25 @@ def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.manifest_changes_query(spark, sf_dir)
 
 
+@query("manifest_lookup", oracle=manifest_sink.MANIFEST_LOOKUP_SQL)
+def q_manifest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metadata-skipping point lookup: requested keys hash to their
+    # bucket dirs, key-column stats narrow further, and only those
+    # dirs are opened (inputFiles-pinned) — the manifest table's
+    # per-city read-back analog
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_lookup_query(spark, sf_dir)
+
+
+@query("manifest_skip_scan", oracle=manifest_sink.MANIFEST_SKIP_SCAN_SQL)
+def q_manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stats-pruned predicate read: bucket dirs whose recorded
+    # [min, max] cannot contain matching rows are never opened;
+    # the residual filter keeps results exact
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_skip_scan_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->

@@ -12,14 +12,16 @@ window the way Delta/Iceberg do, reduced to its essential mechanics:
   segment directory (`data/seg-<nonce>/pk_bucket=N/...`) that no reader
   references yet — a writer that dies mid-write changes NOTHING;
 * the table state is a MANIFEST (`_manifests/0000000N.json`): a map
-  bucket -> LIST of segment dirs plus the schema, per-dir column
-  STATS (min/max/null-count, Iceberg's metadata skipping essential —
-  recorded at commit, consulted by `read_manifest_table(skip=...)` and
-  `read_manifest_lookup` so predicate reads never open segments that
-  cannot match), and the committing writer's fencing token. Publishing
-  the next manifest version is the ONE atomic commit point (temp +
-  `os.replace`; on an object store, a conditional PUT — the same seam
-  Delta's commit service and Iceberg's catalog swap provide);
+  bucket -> its current segment dir, plus the schema, per-bucket-dir
+  column STATS (min/max/null-count — Iceberg's metadata-skipping
+  essential, recorded at commit from the just-written segment and
+  consulted by `read_manifest_table(skip=...)` and
+  `read_manifest_lookup` so predicate reads never open bucket dirs
+  that cannot match), and the committing writer's fencing token.
+  Publishing the next manifest version is the ONE atomic commit point
+  (temp + no-clobber `os.link`; on an object store, a conditional
+  PUT — the same seam Delta's commit service and Iceberg's catalog
+  swap provide);
 * readers resolve the LATEST manifest once and read only the files it
   references: snapshot isolation for free (a concurrent commit cannot
   tear a read — the reader's manifest still references the old
@@ -46,21 +48,11 @@ import json
 import os
 import shutil
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ByteType,
-    DateType,
-    DoubleType,
-    FloatType,
-    IntegerType,
-    LongType,
-    ShortType,
-    StringType,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import StructType
 
 from .upsert import (
     DEFAULT_BUCKETS,
@@ -129,6 +121,169 @@ def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
         os.unlink(tmp)
 
 
+# ---------------------------------------------------------------------------
+# Per-bucket-dir column stats: Iceberg's metadata skipping reduced to its
+# essentials. Recorded at commit (one narrow agg over the just-written
+# segment, grouped by pk_bucket — bounded by the touched buckets),
+# carried forward by reference for untouched buckets, and consulted at
+# read so a predicate scan opens only bucket dirs whose [min, max]
+# ranges can contain matching rows. The reference analog is the
+# per-city window read-back (categorize-trail-conditions/src/
+# client.py:31-56), which never scans other cities' data.
+# ---------------------------------------------------------------------------
+
+#: types whose min/max are recorded (orderable scalars; complex/binary
+#: columns are skipped — absent stats mean "never prunable", always sound)
+_STAT_TYPES = {
+    "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "timestamp", "boolean",
+}
+
+#: string bounds longer than this are NOT recorded (Iceberg truncates
+#: with upper-bound increment; omitting the column entirely is the
+#: simpler always-sound choice — that bucket just isn't prunable on it)
+_MAX_STAT_STRING = 64
+
+
+def _stat_columns(schema: StructType) -> list[str]:
+    return [
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName() in _STAT_TYPES
+    ]
+
+
+def _stat_json(v):
+    """JSON-encodable stat bound. Timestamps/dates serialize to ISO-8601
+    ('T' separator), whose lexicographic order matches chronological
+    order — predicate values are normalized identically at read."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _norm_stat(v):
+    """Normalize a predicate value into the stored-stat comparison
+    domain (datetime/date -> ISO-8601 string)."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _collect_segment_stats(
+    spark: SparkSession, seg_abs: str, stat_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """{bucket -> {col -> [min, max, null_count]}} for the freshly
+    written segment: one agg job, partial+final, output bounded by
+    n_buckets * n_cols."""
+    if not stat_cols:
+        return {}
+    if not any(e.startswith("pk_bucket=") for e in os.listdir(seg_abs)):
+        return {}  # delete-all commit: empty segment, nothing to profile
+    seg = spark.read.parquet(seg_abs)
+    cols = [c for c in stat_cols if c in seg.columns]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+        )
+    out: dict[str, dict[str, list]] = {}
+    for r in seg.groupBy("pk_bucket").agg(*aggs).collect():
+        d = r.asDict()
+        col_stats: dict[str, list] = {}
+        for c in cols:
+            mn = _stat_json(d[f"__mn_{c}"])
+            mx = _stat_json(d[f"__mx_{c}"])
+            if isinstance(mn, str) and len(mn) > _MAX_STAT_STRING:
+                continue
+            if isinstance(mx, str) and len(mx) > _MAX_STAT_STRING:
+                continue
+            col_stats[c] = [mn, mx, int(d[f"__nl_{c}"] or 0)]
+        out[str(d["pk_bucket"])] = col_stats
+    return out
+
+
+#: a skip predicate is a list of (column, op, value) conjuncts;
+#: value is (lo, hi) for "between", a list for "in", ignored for the
+#: null tests. Applied twice: to STATS for dir pruning, and as a real
+#: Spark filter on the surviving dirs — so results are exact even when
+#: stats are absent (old manifests, complex types, long strings).
+SKIP_OPS = ("=", "<", "<=", ">", ">=", "in", "between", "is_null", "is_not_null")
+
+
+def _may_match(col_stats: dict[str, list], col: str, op: str, val) -> bool:
+    """Conservative containment test: False ONLY when the recorded
+    [min, max, null_count] prove no row in the bucket can satisfy the
+    conjunct. Missing stats => True (never prune blind)."""
+    st = col_stats.get(col)
+    if st is None:
+        return True
+    mn, mx, nulls = st
+    if op == "is_null":
+        return nulls > 0
+    if op == "is_not_null":
+        return not (mn is None and mx is None)
+    if mn is None and mx is None:
+        return False  # all-null bucket: no non-null comparison can match
+    if op == "in":
+        vals = [_norm_stat(v) for v in val if v is not None]
+        return any(mn <= v <= mx for v in vals)
+    if op == "between":
+        lo, hi = (_norm_stat(val[0]), _norm_stat(val[1]))
+        return not (hi < mn or lo > mx)
+    v = _norm_stat(val)
+    if op == "=":
+        return mn <= v <= mx
+    if op == "<":
+        return mn < v
+    if op == "<=":
+        return mn <= v
+    if op == ">":
+        return mx > v
+    if op == ">=":
+        return mx >= v
+    raise ValueError(f"unknown skip op: {op!r} (supported: {SKIP_OPS})")
+
+
+def _bucket_may_match(col_stats: dict[str, list], skip: list[tuple]) -> bool:
+    return all(_may_match(col_stats, c, op, v) for c, op, v in skip)
+
+
+def skip_filter_expr(skip: list[tuple]) -> F.Column:
+    """The skip predicate as a real Spark filter (residual correctness:
+    pruning is an IO optimization, never the source of truth)."""
+    conds = []
+    for c, op, val in skip:
+        col = F.col(c)
+        if op == "=":
+            conds.append(col == F.lit(val))
+        elif op == "<":
+            conds.append(col < F.lit(val))
+        elif op == "<=":
+            conds.append(col <= F.lit(val))
+        elif op == ">":
+            conds.append(col > F.lit(val))
+        elif op == ">=":
+            conds.append(col >= F.lit(val))
+        elif op == "in":
+            conds.append(col.isin(list(val)))
+        elif op == "between":
+            conds.append(col.between(F.lit(val[0]), F.lit(val[1])))
+        elif op == "is_null":
+            conds.append(col.isNull())
+        elif op == "is_not_null":
+            conds.append(col.isNotNull())
+        else:
+            raise ValueError(
+                f"unknown skip op: {op!r} (supported: {SKIP_OPS})"
+            )
+    return reduce(lambda a, b: a & b, conds)
+
+
 def manifest_upsert(
     spark: SparkSession,
     table_path: str,
@@ -136,6 +291,7 @@ def manifest_upsert(
     keys: list[str],
     n_buckets: int | None = None,
     tombstone_col: str | None = None,
+    collect_stats: bool = True,
 ) -> int:
     """MERGE-style upsert with an atomic commit: new rows win over
     existing rows with the same key; untouched buckets carry over by
@@ -262,6 +418,16 @@ def manifest_upsert(
             schema = StructType(
                 prev.fields + [f for f in schema.fields if f.name not in have]
             )
+        # stats: carried buckets keep their recorded stats by reference;
+        # rewritten buckets get fresh stats from the new segment. A
+        # commit with collect_stats=False leaves its rewritten buckets
+        # stat-less (unprunable — sound, just slower to read).
+        prev_stats = mf.get("stats", {}) if mf is not None else {}
+        stats = {b: prev_stats[b] for b in carried if b in prev_stats}
+        if collect_stats:
+            stats.update(
+                _collect_segment_stats(spark, seg_abs, _stat_columns(schema))
+            )
         manifest = {
             "version": (mf["version"] if mf else 0) + 1,
             "token": token,
@@ -269,6 +435,7 @@ def manifest_upsert(
             "keys": keys,
             "schema": schema.json(),
             "buckets": buckets,
+            "stats": stats,
         }
         _publish_manifest(table_path, manifest, token)
         return manifest["version"]
@@ -288,23 +455,94 @@ def _data_schema(manifest: dict) -> StructType:
 
 
 def read_manifest_table(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    skip: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read of the table at `version` (default:
     latest). The returned plan references exactly the segment dirs that
     manifest pinned — a commit landing mid-query cannot tear the read,
-    and old versions stay readable until `vacuum` (time travel)."""
+    and old versions stay readable until `vacuum` (time travel).
+
+    `skip`: optional list of `(column, op, value)` conjuncts (ops:
+    `SKIP_OPS`). Bucket dirs whose recorded [min, max, null_count]
+    stats PROVE no row can match are never opened (metadata skipping;
+    check `df.inputFiles()` — pinned by test_manifest.py), and the
+    predicate is ALSO applied as a real filter on the surviving dirs,
+    so results are exact even where stats are absent."""
     mf = read_manifest(table_path, version)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     schema = _data_schema(mf)
-    dirs = [os.path.join(table_path, d) for d in mf["buckets"].values()]
-    if not dirs:  # every row deleted/never written: schema-true empty frame
+    items = mf["buckets"].items()
+    if skip:
+        stats = mf.get("stats", {})
+        items = [
+            (b, d)
+            for b, d in items
+            if _bucket_may_match(stats.get(b, {}), skip)
+        ]
+    dirs = [os.path.join(table_path, d) for _, d in items]
+    if not dirs:  # every row deleted/pruned/never written: empty frame
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*dirs)
+    df = spark.read.schema(schema).parquet(*dirs)
+    if skip:
+        df = df.filter(skip_filter_expr(skip))
+    return df
 
 
-def optimize_table(spark: SparkSession, table_path: str) -> int:
+def read_manifest_lookup(
+    spark: SparkSession,
+    table_path: str,
+    key_values: dict | list[dict],
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup by merge key(s): hash the requested key values with
+    the table's own bucketing function, open ONLY the matching bucket
+    dirs (further narrowed by key-column stats), and semi-join the
+    requested keys. IO is proportional to the buckets the keys hash
+    into, never the table — the manifest-table form of the reference's
+    per-city read-back (categorize-trail-conditions/src/client.py:31-56,
+    which never scans other cities)."""
+    mf = read_manifest(table_path, version)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    keys = mf["keys"]
+    schema = _data_schema(mf)
+    if isinstance(key_values, dict):
+        key_values = [key_values]
+    fields = {f.name: f for f in schema.fields}
+    key_schema = StructType([fields[k] for k in keys])
+    rows = [tuple(kv[k] for k in keys) for kv in key_values]
+    lookup = spark.createDataFrame(rows, key_schema)
+    bucket_ids = sorted(
+        r.pk_bucket
+        for r in _with_bucket(lookup, keys, mf["n_buckets"])
+        .select("pk_bucket")
+        .distinct()
+        .collect()
+    )  # bounded by the number of requested keys
+    stats = mf.get("stats", {})
+    skip = [
+        (k, "in", sorted({kv[k] for kv in key_values if kv[k] is not None}))
+        for k in keys
+    ]
+    dirs = [
+        os.path.join(table_path, mf["buckets"][str(b)])
+        for b in bucket_ids
+        if str(b) in mf["buckets"]
+        and _bucket_may_match(stats.get(str(b), {}), skip)
+    ]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*dirs)
+    return df.join(F.broadcast(lookup), keys, "left_semi")
+
+
+def optimize_table(
+    spark: SparkSession, table_path: str, collect_stats: bool = True
+) -> int:
     """Small-file compaction (Delta's OPTIMIZE): a streaming sink
     commits one segment per epoch, so a bucket's live rows end up
     scattered across many small files — the classic small-file problem
@@ -337,6 +575,13 @@ def optimize_table(spark: SparkSession, table_path: str) -> int:
             for e in os.listdir(seg_abs)
             if e.startswith("pk_bucket=")
         }
+        stats = (
+            _collect_segment_stats(
+                spark, seg_abs, _stat_columns(_data_schema(mf))
+            )
+            if collect_stats
+            else {}
+        )
         manifest = {
             "version": mf["version"] + 1,
             "token": token,
@@ -344,6 +589,7 @@ def optimize_table(spark: SparkSession, table_path: str) -> int:
             "keys": mf["keys"],
             "schema": mf["schema"],
             "buckets": buckets,
+            "stats": stats,
         }
         _publish_manifest(table_path, manifest, token)
         return manifest["version"]
@@ -470,22 +716,7 @@ def manifest_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Version 1 must show only the base rows, version 2 the merged state —
     proving atomic commit, update-wins merge semantics, and snapshot
     isolation in one driver-visible row set."""
-    from ..catalog import load_table
-    from ..operators.artifacts import scratch_dir
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    base = docs.filter(F.col("doc_id") % 3 == 0)
-    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
-        "n_chars", F.col("n_chars") * 2
-    )
-    inserts = docs.filter(F.col("doc_id") % 3 == 1)
-    table = os.path.join(scratch_dir("manifest_table_"), "t")
-    manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
-    manifest_upsert(
-        spark, table, updates.unionByName(inserts), ["doc_id"], n_buckets=8
-    )
+    table = _two_commit_table(spark, sf_dir, "manifest_table_")
 
     def agg(df: DataFrame, version: int) -> DataFrame:
         return (
@@ -509,22 +740,7 @@ def manifest_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled) as updates, and the untouched %3==0 docs are absent. The
     oracle derives the same classification from the documents table
     directly, so the content-based diff is pinned end-to-end."""
-    from ..catalog import load_table
-    from ..operators.artifacts import scratch_dir
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    base = docs.filter(F.col("doc_id") % 3 == 0)
-    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
-        "n_chars", F.col("n_chars") * 2
-    )
-    inserts = docs.filter(F.col("doc_id") % 3 == 1)
-    table = os.path.join(scratch_dir("manifest_cdc_"), "t")
-    manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
-    manifest_upsert(
-        spark, table, updates.unionByName(inserts), ["doc_id"], n_buckets=8
-    )
+    table = _two_commit_table(spark, sf_dir, "manifest_cdc_")
     return table_changes(spark, table, 1, 2)
 
 
@@ -537,6 +753,87 @@ SELECT doc_id, 'update' AS change_type, source,
        CAST(n_chars AS BIGINT) * 2 AS n_chars
 FROM documents
 WHERE doc_id % 6 = 0 AND n_chars <> 0
+"""
+
+
+def _two_commit_table(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """The shared fixture of the manifest queries: commit a base snapshot
+    (doc_id %3==0), then a second commit that UPDATES half the base keys
+    (%6==0, n_chars doubled) and INSERTS a disjoint set (%3==1)."""
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    table = os.path.join(scratch_dir(prefix), "t")
+    manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
+    manifest_upsert(
+        spark, table, updates.unionByName(inserts), ["doc_id"], n_buckets=8
+    )
+    return table
+
+
+def manifest_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The metadata-skipping point lookup as an oracle-checked
+    query: two-commit merge table, then `read_manifest_lookup` of every
+    doc_id ≡ 0 (mod 25) — present keys return their MERGED (v2) row,
+    absent keys (%3==2, never committed) return nothing, and the read
+    opens only the bucket dirs the requested keys hash into (pinned by
+    the inputFiles test in test_manifest.py)."""
+    from ..catalog import load_table
+
+    table = _two_commit_table(spark, sf_dir, "manifest_lookup_")
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [
+        {"doc_id": r.doc_id}
+        for r in docs.filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+        .collect()  # bounded: |docs| / 25 keys
+    ]
+    return read_manifest_lookup(spark, table, ids)
+
+
+MANIFEST_LOOKUP_SQL = """
+SELECT doc_id, source,
+       CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents
+WHERE doc_id % 25 = 0 AND doc_id % 3 <> 2
+"""
+
+
+def manifest_skip_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The stats-pruned predicate read as an oracle-checked query:
+    `read_manifest_table(skip=...)` over the two-commit table with an
+    n_chars range conjunct — dirs whose recorded [min, max] fall outside
+    the range are never opened, and the residual filter keeps the result
+    exact regardless of how much pruning the stats allowed."""
+    table = _two_commit_table(spark, sf_dir, "manifest_skip_")
+    df = read_manifest_table(
+        spark, table, skip=[("n_chars", "between", (300, 900))]
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+MANIFEST_SKIP_SCAN_SQL = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v2 WHERE n_chars BETWEEN 300 AND 900
+GROUP BY source
 """
 
 
