@@ -1,11 +1,28 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
-stdout line is the compact headline JSON the driver parses:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
-"sf": sf, "cold": {...}, "phases": {...}, ...}. The bulky per-query
-plan_audit map prints on its own EARLIER line and lands in
-PLAN_AUDIT.json, so the driver's tail capture always sees the headline.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (VERDICT r5 directive 2 — the driver captures only the
+TAIL of stdout, so the LAST line must be genuinely compact, ~200 bytes):
+
+* line 1: {"plan_audit": {...}}           (also PLAN_AUDIT.json sidecar)
+* line 2: {"detail": {queries, cold, phases}}  (also BENCH_DETAIL.json)
+* line 3 (LAST): the compact headline the driver parses —
+  {"metric", "value", "unit", "sf", "runs", "cold_total",
+   "steady_above_cold_anomalies", "scale_smoke"} and nothing bulky.
+
+Cross-round methodology (retired from judge-only prose, r5 directive 8):
+* `cold_total` (sum of each query's FIRST run) is THE round-over-round
+  comparable — rounds 1-3 ran each query once, cold, so it lines up with
+  their historical totals; compare it against the previous BENCH_r{N}.
+* `value` is the steady-state total: per-query MEDIAN of
+  $SPARK_GRAFT_BENCH_RUNS (floor 3) post-cold runs — what a warehouse
+  pays per invocation against built artifacts. Never compare `value`
+  to a prior round's cold number.
+* per-query deltas >2% on `detail.queries` (steady) are regressions;
+  `steady_above_cold_anomalies` non-empty means the measurement was
+  contended — rerun before believing any regression it contains.
+* the HEADLINE list is append-only so per-query series stay comparable.
 
 Each query is forced with a noop-format write (computes the full plan,
 collects nothing to the driver), timed after a warm-up pass of the
@@ -77,6 +94,11 @@ HEADLINE = [
     "split_leakage",
     "manifest_merge",
     "wav_roundtrip",
+    # round-6 additions: the manifest read paths (stats-pruned scan,
+    # point lookup) and the incremental change-feed propagation
+    "manifest_skip_scan",
+    "manifest_lookup",
+    "cdc_incremental",
 ]
 
 
@@ -194,29 +216,42 @@ def main() -> None:
         import subprocess
 
         env = dict(os.environ, SPARK_GRAFT_SCALE_SMOKE="1")
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "tests/test_scale_smoke.py", "-q"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=600,
-        )
-        scale_smoke = "pass" if proc.returncode == 0 else "FAIL"
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest",
+                 "tests/test_scale_smoke.py", "-q"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            scale_smoke = "pass" if proc.returncode == 0 else "FAIL"
+        except subprocess.TimeoutExpired:
+            # a hung smoke must not kill bench before the headline line
+            # prints (ADVICE r5) — the whole point of the output contract
+            scale_smoke = "TIMEOUT"
 
-    # plan_audit is large; the driver captures only the TAIL of stdout, so
-    # it goes to a sidecar file + its own EARLIER stdout line, and the
-    # LAST line printed is the compact headline JSON (VERDICT r4 dir. 1).
+    # Bulky maps print on EARLIER lines (+ sidecar files); the LAST line
+    # is the compact headline — BENCH_r05 was truncated mid-JSON because
+    # the per-query maps pushed the opening brace out of the driver's
+    # tail-capture window (VERDICT r5 directive 2).
+    here = os.path.dirname(os.path.abspath(__file__))
     audit_line = json.dumps({"plan_audit": plan_audit})
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "PLAN_AUDIT.json"
+    detail_line = json.dumps(
+        {"detail": {"queries": timings, "cold": cold, "phases": phases}}
     )
-    try:
-        with open(sidecar, "w") as f:
-            f.write(audit_line + "\n")
-    except OSError:
-        pass
+    for fname, line in (
+        ("PLAN_AUDIT.json", audit_line),
+        ("BENCH_DETAIL.json", detail_line),
+    ):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
     print(audit_line)
+    print(detail_line)
     sys.stdout.flush()
     print(
         json.dumps(
@@ -224,15 +259,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "runs": n_runs,
-                # r1-r3 ran each query once, cold — sum(cold) is the
-                # round-over-round comparable number; `value` is the
-                # steady-state (probe-side) total per directive r3#1
                 "cold_total": round(sum(cold.values()), 3),
-                "cold": cold,
-                "phases": phases,
                 "steady_above_cold_anomalies": anomalies,
                 "scale_smoke": scale_smoke,
             }

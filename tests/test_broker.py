@@ -220,3 +220,98 @@ def test_wire_sink_offsets_monotone_across_epochs(spark):
     assert per_part and all(
         r.d == r.n and r.mn == 1 and r.mx == r.n for r in per_part
     )
+
+
+def test_wire_sink_epoch_write_does_not_rescan_history(spark):
+    """VERDICT r5 directive 6: the offset rebase reads the persisted
+    high-water sidecar, not the accumulated wire dir. Pin: after epoch 1
+    lands, DELETE every data file — epoch 2 must still continue each
+    partition's sequence (a rescan would restart at 1; a rescan attempt
+    over the now-empty dir would find nothing)."""
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="broker_no_rescan_")
+    wire_out = os.path.join(root, "wire_out")
+    ckpt = os.path.join(root, "ckpt")
+    conf = broker.BrokerConfig(kind="wire_files", path=wire_out, topic="out")
+    broker._emit_wire_batch(_tasks(spark, 20), 1, conf, ckpt)
+    first = {
+        (r.partition, r.offset)
+        for r in spark.read.parquet(wire_out).collect()
+    }
+    highs = {
+        r.partition: r.mx
+        for r in spark.read.parquet(wire_out)
+        .groupBy("partition")
+        .agg(F.max("offset").alias("mx"))
+        .collect()
+    }
+    shutil.rmtree(wire_out)  # history gone; only the sidecar remains
+    broker._emit_wire_batch(_tasks(spark, 12), 2, conf, ckpt)
+    second = spark.read.parquet(wire_out)
+    mins = {
+        r.partition: r.mn
+        for r in second.groupBy("partition")
+        .agg(F.min("offset").alias("mn"))
+        .collect()
+    }
+    for p, mn in mins.items():
+        assert mn == highs[p] + 1, (p, mn, highs.get(p))
+    assert first  # sanity: epoch 1 really wrote rows
+
+
+def test_wire_sink_epoch_retry_reuses_base_offsets(spark):
+    """ADVICE r5: a retried epoch (same epoch_id after a crash between
+    data append and checkpoint commit) rebases on the SAME base, so the
+    replayed rows carry IDENTICAL (partition, offset) pairs — duplicates
+    are positionally dedupable, never disguised as fresh offsets."""
+    root = tempfile.mkdtemp(prefix="broker_retry_")
+    wire_out = os.path.join(root, "wire_out")
+    ckpt = os.path.join(root, "ckpt")
+    conf = broker.BrokerConfig(kind="wire_files", path=wire_out, topic="out")
+    broker._emit_wire_batch(_tasks(spark, 10), 1, conf, ckpt)
+    broker._emit_wire_batch(_tasks(spark, 10).limit(6), 2, conf, ckpt)
+    # retry of epoch 2 with the full batch (the crash lost the trigger)
+    broker._emit_wire_batch(_tasks(spark, 10), 2, conf, ckpt)
+    wire = spark.read.parquet(wire_out).filter(F.col("offset") > 0)
+    dup_pairs = (
+        wire.groupBy("partition", "offset", "key")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    # every replayed row shares (partition, offset, key) with its first
+    # delivery — the dedup handle; and no DIFFERENT keys ever collide
+    # on one (partition, offset)
+    collisions = (
+        wire.groupBy("partition", "offset")
+        .agg(F.countDistinct("key").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert collisions == 0
+    assert dup_pairs.count() >= 6  # the 6 rows written twice
+
+
+def test_wire_sink_bootstraps_from_presidecar_dir(spark):
+    """A wire dir written before sidecars existed is scanned ONCE, then
+    the sidecar takes over — offsets stay monotone through migration."""
+    root = tempfile.mkdtemp(prefix="broker_bootstrap_")
+    wire_out = os.path.join(root, "wire_out")
+    ckpt = os.path.join(root, "ckpt")
+    conf = broker.BrokerConfig(kind="wire_files", path=wire_out, topic="out")
+    # legacy dir: offsets 1..n per partition, no sidecar
+    broker.encode_task_envelope(_tasks(spark, 15)).write.mode(
+        "overwrite"
+    ).parquet(wire_out)
+    broker._emit_wire_batch(_tasks(spark, 15), 1, conf, ckpt)
+    per = (
+        spark.read.parquet(wire_out)
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("offset").alias("d"),
+            F.max("offset").alias("mx"),
+        )
+        .collect()
+    )
+    assert per and all(r.d == r.n and r.mx == r.n for r in per)

@@ -613,3 +613,59 @@ def test_optimize_recomputes_stats(spark, tmp_path):
         spark, table, skip=[("val", "between", (1100, 1200))]
     )
     assert len(_dirs_of(df)) == 1
+
+
+def test_nan_bounds_never_recorded_or_mispruned(spark, tmp_path):
+    """Spark sorts NaN as the LARGEST double — both in min/max (a
+    NaN-containing bucket gets max=NaN) and in comparisons (NaN > 0.5
+    is TRUE in Spark SQL). Python's NaN comparisons are always False,
+    so a recorded NaN bound evaluated driver-side would prune a bucket
+    whose NaN rows genuinely match. Columns with a NaN bound are simply
+    not recorded — the bucket stays unprunable and the residual filter
+    (Spark semantics) decides."""
+    table = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.5)], "k int, x double"
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=1)
+    stats = mf.read_manifest(table)["stats"]
+    for b in stats:
+        assert "x" not in stats[b]
+    got = {
+        r.k
+        for r in mf.read_manifest_table(
+            spark, table, skip=[("x", ">", 0.5)]
+        ).collect()
+    }
+    assert got == {1, 2, 3}  # NaN > 0.5 in Spark: row 2 matches
+
+
+def test_timestamp_stats_prune_with_aware_and_naive_predicates(spark, tmp_path):
+    """Timestamp bounds are stored as naive-UTC ISO-8601; both naive and
+    tz-aware predicate values prune identically (aware values normalize
+    to naive UTC before the lexicographic compare)."""
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    keyed = spark.range(40).select(F.col("id").cast("int").alias("k"))
+    with_b = upsert._with_bucket(keyed, ["k"], 2)
+    rows = with_b.select(
+        "k",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.col("pk_bucket") * 86_400 * 30
+            + F.col("k") * 60
+        ).alias("ts"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    cut_naive = dt.datetime.utcfromtimestamp(1_700_000_000 + 86_400 * 15)
+    cut_aware = dt.datetime.fromtimestamp(
+        1_700_000_000 + 86_400 * 15, tz=dt.timezone.utc
+    )
+    full = mf.read_manifest_table(spark, table)
+    n_all = len(_dirs_of(full))
+    assert n_all == 2
+    for cut in (cut_naive, cut_aware):
+        df = mf.read_manifest_table(spark, table, skip=[("ts", ">", cut)])
+        assert len(_dirs_of(df)) == 1, cut
+        assert df.count() == full.filter(F.col("ts") > F.lit(cut_naive)).count()

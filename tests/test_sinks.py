@@ -823,3 +823,44 @@ def test_heartbeat_never_refreshes_a_foreign_lock(tmp_path):
     # several intervals elapsed; the foreign-owned lock was never touched
     assert os.stat(lock).st_mtime == pytest.approx(old, abs=1.0)
     upsert._stop_lease_heartbeat(table, 7)
+
+
+def test_steal_surfaces_stolen_owner_and_heartbeat_age(tmp_path, caplog):
+    """VERDICT r5 directive 7: a steal (incl. vacuum's, which acquires
+    through the same path) logs WHOSE token was displaced and how stale
+    its last heartbeat was, so operators can tell crashed-holder cleanup
+    from a clock problem."""
+    import logging
+    import time
+
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    table = str(tmp_path / "t")
+    token_a = upsert.acquire_table_lease(table)
+    upsert._stop_lease_heartbeat(table, token_a)  # simulate holder death
+    lock = upsert._lock_dir(table)
+    old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+    os.utime(lock, (old, old))
+    with caplog.at_level(logging.WARNING, logger=upsert.__name__):
+        mf.vacuum(table, keep_last=1)  # steals the expired lease
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(
+        f"from token {token_a}" in m and "last heartbeat" in m for m in msgs
+    ), msgs
+
+
+def test_heartbeat_self_exit_clears_registry_entry(tmp_path):
+    """ADVICE r5 (low): a heartbeat thread that stops itself on a stolen
+    lease must remove its _HEARTBEATS entry rather than leak it until
+    release."""
+    import time
+
+    table = str(tmp_path / "t")
+    lock = upsert._lock_dir(table)
+    os.mkdir(lock)
+    upsert._atomic_write_text(os.path.join(lock, "owner"), "99")  # foreign
+    upsert._start_lease_heartbeat(table, 7, ttl_s=1.0)  # 0.25s interval
+    deadline = time.time() + 5.0
+    while time.time() < deadline and (table, 7) in upsert._HEARTBEATS:
+        time.sleep(0.1)
+    assert (table, 7) not in upsert._HEARTBEATS

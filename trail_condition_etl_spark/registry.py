@@ -22,6 +22,7 @@ from .session import ensure_engine_conf
 from .sinks import manifest as manifest_sink
 from .sinks import partitioned
 from .sources import files as file_sources
+from .streaming import cdc as streaming_cdc
 from .streaming import joins as streaming_joins
 from .streaming import pipeline as streaming_pipeline
 from .streaming import scd2 as streaming_scd2
@@ -826,6 +827,16 @@ def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.manifest_changes_query(spark, sf_dir)
 
 
+@query("cdc_incremental", oracle=streaming_cdc.CDC_INCREMENTAL_SQL)
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental change-feed consumption with a persisted version
+    # cursor: bootstrap pass lands the snapshot, second pass consumes
+    # only versions committed since (span pinned in the output) —
+    # the outbox-drain -> downstream-sink propagation over versions
+    ensure_engine_conf(spark)
+    return streaming_cdc.cdc_incremental_query(spark, sf_dir)
+
+
 @query("manifest_lookup", oracle=manifest_sink.MANIFEST_LOOKUP_SQL)
 def q_manifest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-skipping point lookup: requested keys hash to their
@@ -1466,35 +1477,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # families, so ANY prefix of the dict spans the whole engine.
 # ---------------------------------------------------------------------------
 
+# ROTATION POLICY (VERDICT r5 directive 3): the head is re-dealt each
+# round to queries that have never had a driver-green row — after five
+# rounds 61 of 172 had only ever been checked by local parity. The r1-r5
+# sample (flagships + heavy production paths) is retired to the
+# round-robin tail; its members stay covered by tests/test_parity.py.
+# Kept at the front: the flagship smoke, the surfaces CHANGED this round
+# (manifest read paths, CDC reader, manifest-backed stream roundtrips),
+# and the two r1 hash-mismatches (doc_fingerprint, json_props) that were
+# fixed but never re-sampled.
 _SAMPLE_HEAD = [
-    # flagship + relational
-    "trail_classifier", "window_readback", "pricing_summary",
-    "shipping_priority", "region_volume",
-    # text dedup family
-    "minhash_near_dup", "minhash_near_dup_x64", "exact_dedup",
-    "canonical_docs", "dedup_clusters", "paragraph_dedup",
-    # ANN / embeddings family
-    "ivf_pq_topk", "semantic_dedup", "cosine_topk", "pq_topk",
-    "embedding_near_dup", "ivf_pq_index_probe", "incremental_ann_index",
-    "ann_recall_report",
-    # streaming family
-    "stream_roundtrip", "stream_roundtrip_multibatch",
-    "stream_content_dedup", "stateful_sessions", "stream_windowed_agg",
-    # curation family
-    "curation_funnel", "curated_snapshot", "budget_fill", "lang_drift",
-    "decontaminate",
-    # text analysis
-    "token_stats", "quality_score", "language_id",
-    "bpe_merge_candidates", "tfidf_topk", "hybrid_retrieval",
-    # sketches / timeseries / warehouse / scale layout
-    "approx_distinct", "cms_estimate", "ohlc_bars", "ewma_daily",
-    "sessionize", "scd2_build", "manifest_merge", "manifest_changes",
-    "price_histogram", "asof_join",
-    "bucketed_join", "partition_pruning", "skew_join",
-    # real media codecs
-    "wav_roundtrip", "png_roundtrip",
-    # ingestion / pipeline
-    "ingest_flatten", "dlq_routing", "task_dedup", "datetime_kit",
+    # flagship + this round's changed surfaces
+    "trail_classifier", "cdc_incremental", "manifest_lookup",
+    "manifest_skip_scan", "stream_roundtrip", "stream_roundtrip_multibatch",
+    # fixed in r2 but never re-sampled since the r1 red rows
+    "doc_fingerprint", "json_props",
+    # never driver-sampled: streaming
+    "asof_tolerance", "stream_static_enrich", "stream_scd2",
+    "stream_windowed_update", "stream_attribution", "sliding_window_agg",
+    # never driver-sampled: pipeline / ingestion / kits
+    "inverted_index", "variant_props", "dlq_redrive", "array_kit",
+    "map_kit", "join_kit", "regex_kit", "categorization_tasks",
+    "jsonl_roundtrip", "schema_evolution", "dq_checks",
+    # never driver-sampled: dedup / similarity
+    "cluster_split_leakage", "dedup_quality_report", "degree_distribution",
+    "dup_rate_by_source", "embedding_near_dup_exact", "embedding_quantize",
+    "fuzzy_pairs", "incremental_near_dup", "ivf_index_probe",
+    "label_centroids", "near_dup_pagerank",
+    # never driver-sampled: text / search / curation
+    "chunk_documents", "embed_chunks", "keyword_search", "ngram_topk",
+    "heavy_hitters", "dataset_split", "mixture_weights", "hash_sample_k",
+    # never driver-sampled: timeseries / behavior / warehouse / media
+    "activity_streaks", "event_transitions", "linear_interp",
+    "incremental_rollup", "grouping_sets_volume", "audio_window_features",
+    "frame_sample", "media_resize",
 ]
 
 _FAMILY_PATTERNS: list[tuple[str, tuple[str, ...]]] = [

@@ -164,8 +164,15 @@ def _stat_json(v):
 
 def _norm_stat(v):
     """Normalize a predicate value into the stored-stat comparison
-    domain (datetime/date -> ISO-8601 string)."""
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    domain (datetime/date -> ISO-8601 string). Stored bounds come from
+    collect() under the engine's pinned-UTC session, i.e. naive-UTC —
+    an aware predicate datetime is converted to naive UTC first so the
+    lexicographic comparison never sees a '+00:00' suffix."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return v
 
@@ -201,6 +208,14 @@ def _collect_segment_stats(
             if isinstance(mn, str) and len(mn) > _MAX_STAT_STRING:
                 continue
             if isinstance(mx, str) and len(mx) > _MAX_STAT_STRING:
+                continue
+            if any(
+                isinstance(v, float) and v != v for v in (mn, mx)
+            ):
+                # NaN bound (Spark sorts NaN largest; Python NaN
+                # comparisons are always False): recording it would
+                # wrongly prune ranges that DO match the bucket's
+                # non-NaN rows — omit the column, never prune on it
                 continue
             col_stats[c] = [mn, mx, int(d[f"__nl_{c}"] or 0)]
         out[str(d["pk_bucket"])] = col_stats

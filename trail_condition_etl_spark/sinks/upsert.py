@@ -22,6 +22,7 @@ effectively-once (T1).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import threading
@@ -132,6 +133,8 @@ def retry_with_backoff(
 
 LOCK_LEASE_TTL_S = 60.0
 
+_LOG = logging.getLogger(__name__)
+
 
 class WriterFencedError(RuntimeError):
     """This writer's lease was stolen and a newer writer has committed;
@@ -179,13 +182,28 @@ def _start_lease_heartbeat(table_path: str, token: int, ttl_s: float) -> None:
     interval = max(ttl_s / 4.0, 0.25)
 
     def run() -> None:
-        while not stop.wait(interval):
-            if _lease_owner(table_path) != tok:
-                return  # stolen (or released): this lock isn't ours
-            try:
-                os.utime(lock)
-            except OSError:
-                return  # lock gone mid-touch
+        # Known one-touch race (ADVICE r5, accepted for the local test
+        # double): the ownership check and the utime are not atomic, so
+        # a steal landing BETWEEN them gets its fresh lock touched once
+        # by the displaced holder — delaying the next legitimate steal
+        # by at most one TTL. Harmless here (the thief's fence token is
+        # already newer); a real deployment's lease service makes
+        # refresh conditional on ownership server-side.
+        try:
+            while not stop.wait(interval):
+                if _lease_owner(table_path) != tok:
+                    return  # stolen (or released): this lock isn't ours
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return  # lock gone mid-touch
+        finally:
+            # self-exit (stolen lease) must not leak the registry entry
+            # until release; identity-guarded so a same-key successor's
+            # entry is never popped by a late finisher
+            with _HB_LOCK:
+                if _HEARTBEATS.get((table_path, token)) is stop:
+                    _HEARTBEATS.pop((table_path, token), None)
     threading.Thread(
         target=run, daemon=True, name=f"lease-heartbeat-{token}"
     ).start()
@@ -243,6 +261,23 @@ def acquire_table_lease(
                     os.rename(lock, stale)
                 except OSError:
                     continue  # another contender won the steal
+                # Surface WHOSE lease was stolen and how stale it was
+                # (VERDICT r5 directive 7): healthy writers heartbeat
+                # every ttl/4, so last-refresh age >> ttl means
+                # crashed-holder cleanup, while an age barely past the
+                # TTL on a busy table hints at a clock/IO problem worth
+                # investigating rather than routine GC. Read from the
+                # renamed-aside dir: exactly the dir whose steal we won.
+                try:
+                    with open(os.path.join(stale, "owner")) as f:
+                        stolen_owner = f.read().strip() or "?"
+                except OSError:
+                    stolen_owner = "?"
+                _LOG.warning(
+                    "stole expired writer lease on %s from token %s "
+                    "(last heartbeat %.1fs ago, ttl %.1fs)",
+                    table_path, stolen_owner, age, ttl_s,
+                )
                 shutil.rmtree(stale, ignore_errors=True)
                 continue
             if time.monotonic() > deadline:

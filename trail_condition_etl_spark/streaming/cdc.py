@@ -1,0 +1,205 @@
+"""Incremental consumption of the manifest table's CDC change feed.
+
+`sinks.manifest.table_changes` computes the insert/update/delete diff
+between two committed versions — but a downstream consumer needs the
+INCREMENTAL form: "give me everything since the last version I saw,
+then remember where I got to". That is the reference's outbox-drain →
+downstream-sink propagation pattern (S8 → S13: the fetch worker emits a
+categorization task per upserted city, fetch-weather/
+worker_ingestion.py:52-56 → categorize-trail-conditions/src/
+tasks.py:95-125), re-expressed over table versions instead of stream
+entries (Delta's `readChangeFeed` + `startingVersion`, reduced to its
+mechanics).
+
+One pass = one AvailableNow trigger:
+
+* read the persisted cursor (the last version fully applied);
+* resolve the table's LATEST committed version;
+* if newer, compute ONE change batch spanning (cursor → latest) — the
+  content-based diff collapses intermediate versions for free, so a
+  consumer that fell N commits behind catches up with one keyed join,
+  not N — and hand it to the caller's apply function;
+* atomically advance the cursor (temp + os.replace) only AFTER apply
+  returns.
+
+Delivery is therefore AT-LEAST-ONCE: a crash between apply and the
+cursor write replays the same span on the next pass. The downstream
+sinks this feeds (`manifest_upsert`, `upsert_parquet_with_deletes`)
+are idempotent MERGEs, so replay converges — the same contract the
+streaming pipeline's foreachBatch sinks rely on.
+
+Retention contract: the cursor pins `from_version`, so `vacuum`'s
+`keep_last` horizon must cover the slowest consumer's lag (exactly
+Delta's change-feed retention rule); a vacuumed-away cursor version
+raises FileNotFoundError rather than silently emitting a partial diff.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.manifest import (
+    manifest_upsert,
+    read_manifest,
+    read_manifest_table,
+    table_changes,
+)
+
+
+def read_change_cursor(cursor_path: str) -> int:
+    """The last fully-applied source version; 0 = never consumed."""
+    try:
+        with open(cursor_path) as f:
+            return int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_change_cursor(cursor_path: str, version: int) -> None:
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    tmp = f"{cursor_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, cursor_path)
+
+
+def consume_table_changes(
+    spark: SparkSession,
+    table_path: str,
+    cursor_path: str,
+    apply_batch: Callable[[DataFrame, int, int], None],
+) -> tuple[int, int]:
+    """One incremental pass over the source table's change feed.
+
+    Calls `apply_batch(changes, from_version, to_version)` with the
+    (possibly empty-span) change batch, then advances the persisted
+    cursor. Returns the consumed span `(from_version, to_version)`;
+    a no-op pass (nothing new) returns `(v, v)` without calling
+    `apply_batch`. First consumption (cursor 0) emits the CURRENT
+    snapshot as all-insert rows — the bootstrap a brand-new consumer
+    needs, identical in shape to a later incremental batch."""
+    mf = read_manifest(table_path)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    latest = mf["version"]
+    cur = read_change_cursor(cursor_path)
+    if cur >= latest:
+        return (cur, cur)
+    if cur == 0:
+        keys = mf["keys"]
+        snap = read_manifest_table(spark, table_path, latest)
+        rest = [c for c in snap.columns if c not in keys]
+        changes = snap.select(
+            *keys, F.lit("insert").alias("change_type"), *rest
+        )
+    else:
+        changes = table_changes(spark, table_path, cur, latest)
+    apply_batch(changes, cur, latest)
+    _write_change_cursor(cursor_path, latest)
+    return (cur, latest)
+
+
+def propagate_changes(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    cursor_path: str,
+) -> tuple[int, int]:
+    """Drive a downstream manifest table from an upstream one's change
+    feed: insert/update rows MERGE in, delete rows tombstone their key
+    out — the S8→S13 downstream propagation with the change feed as the
+    outbox. Idempotent end-to-end (replaying a span converges), so the
+    at-least-once cursor contract yields effectively-once table state."""
+    def apply(changes: DataFrame, frm: int, to: int) -> None:
+        keys = read_manifest(src_table)["keys"]
+        batch = changes.withColumn(
+            "_cdc_deleted", F.col("change_type") == "delete"
+        ).drop("change_type")
+        if batch.isEmpty():
+            return  # version bump with no content change (e.g. OPTIMIZE)
+        manifest_upsert(
+            spark, dst_table, batch, keys, tombstone_col="_cdc_deleted"
+        )
+
+    return consume_table_changes(spark, src_table, cursor_path, apply)
+
+
+# ---------------------------------------------------------------------------
+# registered query: three-commit source propagated in two incremental
+# passes, DuckDB-checkable
+# ---------------------------------------------------------------------------
+
+
+def cdc_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The incremental CDC reader as an oracle-checked query.
+
+    Source table lifecycle: commit 1 = base snapshot (doc_id %3==0);
+    PASS 1 propagates it downstream (bootstrap: 0→1 as inserts).
+    Commit 2 = updates (%6==0, n_chars doubled) + inserts (%3==1);
+    commit 3 = tombstone-deletes (%9==0). PASS 2 consumes the span
+    1→3 as ONE collapsed change batch (the cursor proves it started
+    from 1, not 0) and applies it. The returned summary aggregates the
+    DOWNSTREAM table — which the oracle recomputes from `documents`
+    directly — plus the pass-2 span columns, pinning both the final
+    state and the incremental consumption window."""
+    from .. import catalog
+    from ..operators.artifacts import scratch_dir
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = scratch_dir("cdc_incremental_")
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "dst")
+    cursor = os.path.join(root, "cursor")
+
+    manifest_upsert(
+        spark, src, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
+        n_buckets=8,
+    )
+    propagate_changes(spark, src, dst, cursor)  # pass 1: bootstrap 0->1
+
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    manifest_upsert(spark, src, updates.unionByName(inserts), ["doc_id"])
+    dels = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+        .withColumn("_gone", F.lit(True))
+    )
+    manifest_upsert(spark, src, dels, ["doc_id"], tombstone_col="_gone")
+
+    frm, to = propagate_changes(spark, src, dst, cursor)  # pass 2: 1->3
+    return (
+        read_manifest_table(spark, dst)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("cdc_from", F.lit(int(frm)))
+        .withColumn("cdc_to", F.lit(int(to)))
+    )
+
+
+CDC_INCREMENTAL_SQL = """
+WITH final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+  UNION ALL
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(1 AS INT) AS cdc_from, CAST(3 AS INT) AS cdc_to
+FROM final GROUP BY source
+"""

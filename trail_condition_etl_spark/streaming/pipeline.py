@@ -302,11 +302,17 @@ def streaming_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the run is a SINGLE micro-batch (max_files_per_trigger=None) so
     the advancing watermark cannot drop late rows in a file-order-
     dependent way — the multi-batch path stays covered by the streaming
-    unit tests."""
+    unit tests.
+
+    The processed-rows sink is the MANIFEST table (table_format=
+    "manifest", VERDICT r5 directive 5): each epoch is one atomic
+    commit, closing the compact-then-swap path's documented non-atomic
+    window; the oracle is unchanged — only the storage layer moved."""
     import os
 
     from .. import catalog
     from ..operators.artifacts import scratch_dir
+    from ..sinks.manifest import read_manifest_table
 
     events = catalog.load_table(spark, sf_dir, "events")
     anchor = events.agg(F.max("ts").alias("a")).collect()[0]["a"]
@@ -330,9 +336,10 @@ def streaming_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
         now=F.lit(anchor),
         max_files_per_trigger=None,
+        table_format="manifest",
     )
     q.awaitTermination()
-    processed = spark.read.parquet(out).select(
+    processed = read_manifest_table(spark, out).select(
         F.lit("process").alias("route"), F.col("task_id").cast("long").alias("tid")
     )
     rejected = spark.read.parquet(dlq).select(
@@ -390,11 +397,15 @@ def streaming_roundtrip_multibatch_query(
       idempotent upsert absorbs any same-key rewrite.
     The summary adds `n_batches` (non-empty epochs observed via the
     metrics table): staging is written as 6 files, maxFilesPerTrigger=2,
-    so exactly 3 — the oracle pins it, proving the run was multi-batch."""
+    so exactly 3 — the oracle pins it, proving the run was multi-batch.
+    Each epoch lands as one atomic manifest commit (table_format=
+    "manifest"), so the final table is also the multi-commit ACID path
+    exercised under real micro-batch cadence."""
     import os
 
     from .. import catalog
     from ..operators.artifacts import scratch_dir
+    from ..sinks.manifest import read_manifest_table
 
     events = catalog.load_table(spark, sf_dir, "events")
     staged = events.select(
@@ -425,6 +436,7 @@ def streaming_roundtrip_multibatch_query(
         now=anchor,
         max_files_per_trigger=2,
         metrics_path=metrics,
+        table_format="manifest",
     )
     q.awaitTermination()
     n_batches = (
@@ -433,7 +445,7 @@ def streaming_roundtrip_multibatch_query(
         .select(F.countDistinct("epoch_id"))
         .collect()[0][0]
     )
-    processed = spark.read.parquet(out).select(
+    processed = read_manifest_table(spark, out).select(
         F.lit("process").alias("route"),
         F.col("task_id").cast("long").alias("tid"),
     )
