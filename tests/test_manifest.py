@@ -669,3 +669,148 @@ def test_timestamp_stats_prune_with_aware_and_naive_predicates(spark, tmp_path):
         df = mf.read_manifest_table(spark, table, skip=[("ts", ">", cut)])
         assert len(_dirs_of(df)) == 1, cut
         assert df.count() == full.filter(F.col("ts") > F.lit(cut_naive)).count()
+
+
+# ---------------------------------------------------------------------------
+# clustered optimize (OPTIMIZE ZORDER) + per-file metadata skipping
+# ---------------------------------------------------------------------------
+
+
+def _priced_table(spark, tmp_path, n=2000, n_buckets=4):
+    """price = a pseudo-random permutation of 0..n-1: every bucket's
+    dir-level [min, max] spans ~the whole range, so a price predicate
+    can NEVER prune at dir granularity — the exact situation clustering
+    exists for."""
+    rows = spark.range(n).select(
+        F.col("id").cast("int").alias("k"),
+        ((F.col("id") * 7919) % n).cast("double").alias("price"),
+    )
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=n_buckets)
+    return table
+
+
+def test_clustered_optimize_prunes_files_within_buckets(spark, tmp_path):
+    table = _priced_table(spark, tmp_path)
+    skip = [("price", "between", (0.0, 99.0))]
+    before = mf.read_manifest_table(spark, table, skip=skip)
+    assert len(_dirs_of(before)) == 4  # dir stats prune nothing non-key
+    full = {(r.k, r.price) for r in mf.read_manifest_table(spark, table).collect()}
+    want = {(k, p) for k, p in full if 0.0 <= p <= 99.0}
+
+    mf.optimize_table(spark, table, cluster_by=["price"], files_per_bucket=4)
+    manifest = mf.read_manifest(table)
+    n_total = sum(len(v) for v in manifest["file_stats"].values())
+    assert n_total >= 8  # genuinely multiple files per bucket
+    after = mf.read_manifest_table(spark, table, skip=skip)
+    opened = len(after.inputFiles())
+    assert 0 < opened < n_total, (opened, n_total)
+    assert {(r.k, r.price) for r in after.collect()} == want
+    assert len(want) > 0
+
+
+def test_z_interleave_prunes_on_the_non_leading_dimension(spark, tmp_path):
+    """Morton interleaving (not lexicographic concatenation) is what
+    makes the SECOND cluster column prunable: a predicate on y alone
+    must still skip files."""
+    table = str(tmp_path / "grid")
+    rows = spark.range(4096).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("int").cast("double").alias("y"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    mf.optimize_table(
+        spark, table, cluster_by=["x", "y"], files_per_bucket=16
+    )
+    manifest = mf.read_manifest(table)
+    n_total = sum(len(v) for v in manifest["file_stats"].values())
+    df = mf.read_manifest_table(spark, table, skip=[("y", "<", 4.0)])
+    assert 0 < len(df.inputFiles()) < n_total
+    assert df.count() == 4 * 64
+    dfx = mf.read_manifest_table(spark, table, skip=[("x", ">=", 60.0)])
+    assert 0 < len(dfx.inputFiles()) < n_total
+    assert dfx.count() == 4 * 64
+
+
+def test_string_cluster_column(spark, tmp_path):
+    table = str(tmp_path / "s")
+    rows = spark.range(520).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(
+            F.chr(F.lit(97) + (F.col("id") * 31) % 26), F.lit("doc"),
+            F.col("id"),
+        ).alias("name"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    mf.optimize_table(spark, table, cluster_by=["name"], files_per_bucket=8)
+    manifest = mf.read_manifest(table)
+    n_total = sum(len(v) for v in manifest["file_stats"].values())
+    df = mf.read_manifest_table(spark, table, skip=[("name", "<", "c")])
+    assert 0 < len(df.inputFiles()) < n_total
+    full = mf.read_manifest_table(spark, table)
+    assert df.count() == full.filter(F.col("name") < "c").count() > 0
+
+
+def test_upsert_after_cluster_carries_file_stats_by_reference(spark, tmp_path):
+    """An upsert rewrites its touched buckets UNclustered (their file
+    stats drop — dir-level stats take over, sound but coarser) while
+    untouched buckets keep their per-file stats and stay file-prunable.
+    Results remain exact throughout."""
+    table = _priced_table(spark, tmp_path)
+    mf.optimize_table(spark, table, cluster_by=["price"], files_per_bucket=4)
+    before = mf.read_manifest(table)
+    assert set(before["file_stats"]) == set(before["buckets"])
+
+    one = spark.createDataFrame([(0, 50.0)], "k int, price double")
+    mf.manifest_upsert(spark, table, one, ["k"])
+    after = mf.read_manifest(table)
+    touched = {
+        r.pk_bucket
+        for r in upsert._with_bucket(one, ["k"], after["n_buckets"])
+        .select("pk_bucket").collect()
+    }
+    for b in after["buckets"]:
+        if int(b) in touched:
+            assert b not in after["file_stats"]
+        else:
+            assert after["file_stats"][b] == before["file_stats"][b]
+
+    skip = [("price", "between", (0.0, 99.0))]
+    got = {
+        (r.k, r.price)
+        for r in mf.read_manifest_table(spark, table, skip=skip).collect()
+    }
+    full = {
+        (r.k, r.price)
+        for r in mf.read_manifest_table(spark, table).collect()
+    }
+    assert got == {(k, p) for k, p in full if 0.0 <= p <= 99.0}
+
+
+def test_key_clustered_lookup_opens_a_single_file(spark, tmp_path):
+    """cluster_by = the merge key narrows a point lookup past the
+    bucket dir to the one file whose key range covers the value."""
+    table = str(tmp_path / "t")
+    rows = spark.range(1000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=4)
+    mf.optimize_table(spark, table, cluster_by=["k"], files_per_bucket=4)
+    looked = mf.read_manifest_lookup(spark, table, {"k": 500})
+    assert [(r.k, r.v) for r in looked.collect()] == [(500, "v500")]
+    assert len(looked.inputFiles()) == 1
+
+
+def test_plain_optimize_resets_file_stats(spark, tmp_path):
+    table = _priced_table(spark, tmp_path)
+    mf.optimize_table(spark, table, cluster_by=["price"], files_per_bucket=4)
+    assert mf.read_manifest(table)["file_stats"]
+    mf.optimize_table(spark, table)
+    manifest = mf.read_manifest(table)
+    assert manifest["file_stats"] == {}
+    skip = [("price", "<", 100.0)]
+    df = mf.read_manifest_table(spark, table, skip=skip)
+    full = mf.read_manifest_table(spark, table)
+    assert df.count() == full.filter(F.col("price") < 100.0).count()

@@ -856,6 +856,16 @@ def q_manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.manifest_skip_scan_query(spark, sf_dir)
 
 
+@query("zorder_skip_scan", oracle=manifest_sink.ZORDER_SKIP_SCAN_SQL)
+def q_zorder_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clustered optimize (OPTIMIZE ZORDER) + per-file stats: a non-key
+    # predicate that dir-level stats cannot prune (hash-bucketing
+    # spreads the range everywhere) opens only the clustered files
+    # whose [min, max] overlap it
+    ensure_engine_conf(spark)
+    return manifest_sink.zorder_skip_scan_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->
@@ -1489,7 +1499,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_HEAD = [
     # flagship + this round's changed surfaces
     "trail_classifier", "cdc_incremental", "manifest_lookup",
-    "manifest_skip_scan", "stream_roundtrip", "stream_roundtrip_multibatch",
+    "manifest_skip_scan", "zorder_skip_scan", "stream_roundtrip",
+    "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows
     "doc_fingerprint", "json_props",
     # never driver-sampled: streaming

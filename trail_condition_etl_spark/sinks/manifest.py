@@ -17,7 +17,11 @@ window the way Delta/Iceberg do, reduced to its essential mechanics:
   essential, recorded at commit from the just-written segment and
   consulted by `read_manifest_table(skip=...)` and
   `read_manifest_lookup` so predicate reads never open bucket dirs
-  that cannot match), and the committing writer's fencing token.
+  that cannot match), optional PER-FILE stats written by a clustered
+  `optimize_table(cluster_by=...)` (Delta's OPTIMIZE ZORDER — the
+  layer that makes NON-key predicates prunable, since hash-bucketing
+  scatters every non-key value range into every bucket dir), and the
+  committing writer's fencing token.
   Publishing the next manifest version is the ONE atomic commit point
   (temp + no-clobber `os.link`; on an object store, a conditional
   PUT — the same seam Delta's commit service and Iceberg's catalog
@@ -177,6 +181,38 @@ def _norm_stat(v):
     return v
 
 
+def _stat_aggs(cols: list[str]) -> list[F.Column]:
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+        )
+    return aggs
+
+
+def _row_col_stats(d: dict, cols: list[str]) -> dict[str, list]:
+    col_stats: dict[str, list] = {}
+    for c in cols:
+        mn = _stat_json(d[f"__mn_{c}"])
+        mx = _stat_json(d[f"__mx_{c}"])
+        if isinstance(mn, str) and len(mn) > _MAX_STAT_STRING:
+            continue
+        if isinstance(mx, str) and len(mx) > _MAX_STAT_STRING:
+            continue
+        if any(
+            isinstance(v, float) and v != v for v in (mn, mx)
+        ):
+            # NaN bound (Spark sorts NaN largest; Python NaN
+            # comparisons are always False): recording it would
+            # wrongly prune ranges that DO match the bucket's
+            # non-NaN rows — omit the column, never prune on it
+            continue
+        col_stats[c] = [mn, mx, int(d[f"__nl_{c}"] or 0)]
+    return col_stats
+
+
 def _collect_segment_stats(
     spark: SparkSession, seg_abs: str, stat_cols: list[str]
 ) -> dict[str, dict[str, list]]:
@@ -191,35 +227,97 @@ def _collect_segment_stats(
     cols = [c for c in stat_cols if c in seg.columns]
     if not cols:
         return {}
-    aggs = []
-    for c in cols:
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
-        )
     out: dict[str, dict[str, list]] = {}
-    for r in seg.groupBy("pk_bucket").agg(*aggs).collect():
+    for r in seg.groupBy("pk_bucket").agg(*_stat_aggs(cols)).collect():
         d = r.asDict()
-        col_stats: dict[str, list] = {}
-        for c in cols:
-            mn = _stat_json(d[f"__mn_{c}"])
-            mx = _stat_json(d[f"__mx_{c}"])
-            if isinstance(mn, str) and len(mn) > _MAX_STAT_STRING:
-                continue
-            if isinstance(mx, str) and len(mx) > _MAX_STAT_STRING:
-                continue
-            if any(
-                isinstance(v, float) and v != v for v in (mn, mx)
-            ):
-                # NaN bound (Spark sorts NaN largest; Python NaN
-                # comparisons are always False): recording it would
-                # wrongly prune ranges that DO match the bucket's
-                # non-NaN rows — omit the column, never prune on it
-                continue
-            col_stats[c] = [mn, mx, int(d[f"__nl_{c}"] or 0)]
-        out[str(d["pk_bucket"])] = col_stats
+        out[str(d["pk_bucket"])] = _row_col_stats(d, cols)
     return out
+
+
+def _collect_file_stats(
+    spark: SparkSession, seg_abs: str, stat_cols: list[str]
+) -> dict[str, dict[str, dict[str, list]]]:
+    """{bucket -> {file basename -> {col -> [min, max, null_count]}}}
+    for a freshly written clustered segment: one agg job keyed by the
+    physical file, output bounded by n_files * n_cols. Basenames (not
+    full paths) are recorded so carried buckets keep valid stats — the
+    manifest's bucket entry already pins the dir. The per-dir map is
+    COMPLETE (every data file gets an entry, even an all-excluded-cols
+    one) — the read path treats a missing basename as unprunable, so
+    completeness here is what lets an empty surviving-file list mean
+    'whole dir pruned'."""
+    if not stat_cols:
+        return {}
+    if not any(e.startswith("pk_bucket=") for e in os.listdir(seg_abs)):
+        return {}
+    seg = spark.read.parquet(seg_abs)
+    cols = [c for c in stat_cols if c in seg.columns]
+    if not cols:
+        return {}
+    rows = (
+        seg.groupBy(F.input_file_name().alias("__f"))
+        .agg(*_stat_aggs(cols))
+        .collect()
+    )
+    out: dict[str, dict[str, dict[str, list]]] = {}
+    for r in rows:
+        d = r.asDict()
+        path = d["__f"]
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        fname = os.path.basename(path)
+        part = os.path.basename(os.path.dirname(path))  # pk_bucket=N
+        bucket = part.split("=", 1)[1]
+        out.setdefault(bucket, {})[fname] = _row_col_stats(d, cols)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cluster keys (OPTIMIZE ... ZORDER BY): map orderable columns onto a
+# single sortable dimension so range-repartitioned files cover narrow
+# value ranges and per-file stats become selective. Correctness never
+# depends on this — it only changes physical row placement.
+# ---------------------------------------------------------------------------
+
+
+def _orderable_double(col: str, dtype) -> F.Column:
+    """An order-preserving numeric image of an orderable column, used
+    only for clustering (never read back): numerics/booleans cast;
+    date/timestamp -> epoch units; strings -> first-6-bytes magnitude
+    (exact in a double, 2^48 < 2^53; ties beyond the prefix are fine —
+    clustering quality, not correctness)."""
+    tn = dtype.typeName()
+    c = F.col(col)
+    if tn in ("byte", "short", "integer", "long", "float", "double"):
+        return c.cast("double")
+    if tn == "boolean":
+        return c.cast("int").cast("double")
+    if tn == "date":
+        return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
+    if tn == "timestamp":
+        return F.unix_micros(c).cast("double")
+    if tn == "string":
+        return F.conv(
+            F.hex(F.substring(F.encode(c, "UTF-8"), 1, 6)), 16, 10
+        ).cast("double")
+    raise ValueError(
+        f"cluster_by column {col!r} has unorderable type {tn}; "
+        f"supported: {sorted(_STAT_TYPES)}"
+    )
+
+
+def _z_interleave(bins: list[F.Column]) -> F.Column:
+    """Bit-interleave k 16-bit bins into one Z-value (Morton order):
+    files range-partitioned on it cover small hyper-rectangles of the
+    cluster space, so EVERY cluster dimension prunes, not just the
+    leading one. Pure JVM bit math, whole-stage-codegen friendly."""
+    k = len(bins)
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        for j, b in enumerate(bins):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, i * k + j)
+    return z
 
 
 #: a skip predicate is a list of (column, op, value) conjuncts;
@@ -443,6 +541,12 @@ def manifest_upsert(
             stats.update(
                 _collect_segment_stats(spark, seg_abs, _stat_columns(schema))
             )
+        # per-file stats (written by a clustered optimize) survive on
+        # carried buckets — their dirs are immutable; rewritten buckets
+        # lose clustering and fall back to dir-level stats until the
+        # next optimize re-clusters them
+        prev_fstats = mf.get("file_stats", {}) if mf is not None else {}
+        file_stats = {b: prev_fstats[b] for b in carried if b in prev_fstats}
         manifest = {
             "version": (mf["version"] if mf else 0) + 1,
             "token": token,
@@ -451,6 +555,7 @@ def manifest_upsert(
             "schema": schema.json(),
             "buckets": buckets,
             "stats": stats,
+            "file_stats": file_stats,
         }
         _publish_manifest(table_path, manifest, token)
         return manifest["version"]
@@ -498,10 +603,25 @@ def read_manifest_table(
             for b, d in items
             if _bucket_may_match(stats.get(b, {}), skip)
         ]
-    dirs = [os.path.join(table_path, d) for _, d in items]
-    if not dirs:  # every row deleted/pruned/never written: empty frame
+    # two pruning granularities: whole bucket dirs via per-bucket stats
+    # (above), then individual FILES inside clustered dirs via per-file
+    # stats — the piece that makes non-key predicates prunable at all
+    # (hash-bucketing spreads every non-key range into every bucket)
+    fstats = mf.get("file_stats", {}) if skip else {}
+    paths = []
+    for b, d in items:
+        per_file = fstats.get(b)
+        if per_file:
+            paths.extend(
+                os.path.join(table_path, d, fn)
+                for fn, cs in per_file.items()
+                if _bucket_may_match(cs, skip)
+            )  # empty => every file in the dir is provably non-matching
+        else:
+            paths.append(os.path.join(table_path, d))
+    if not paths:  # every row deleted/pruned/never written: empty frame
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*dirs)
+    df = spark.read.schema(schema).parquet(*paths)
     if skip:
         df = df.filter(skip_filter_expr(skip))
     return df
@@ -539,32 +659,64 @@ def read_manifest_lookup(
         .collect()
     )  # bounded by the number of requested keys
     stats = mf.get("stats", {})
+    fstats = mf.get("file_stats", {})
     skip = [
         (k, "in", sorted({kv[k] for kv in key_values if kv[k] is not None}))
         for k in keys
     ]
-    dirs = [
-        os.path.join(table_path, mf["buckets"][str(b)])
-        for b in bucket_ids
-        if str(b) in mf["buckets"]
-        and _bucket_may_match(stats.get(str(b), {}), skip)
-    ]
-    if not dirs:
+    paths = []
+    for b in bucket_ids:
+        bs = str(b)
+        if bs not in mf["buckets"]:
+            continue
+        if not _bucket_may_match(stats.get(bs, {}), skip):
+            continue
+        d = mf["buckets"][bs]
+        per_file = fstats.get(bs)
+        if per_file:
+            # a table clustered on its merge keys gets point lookups
+            # narrowed past the dir to the file(s) whose key range
+            # covers the requested values
+            paths.extend(
+                os.path.join(table_path, d, fn)
+                for fn, cs in per_file.items()
+                if _bucket_may_match(cs, skip)
+            )
+        else:
+            paths.append(os.path.join(table_path, d))
+    if not paths:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*dirs)
+    df = spark.read.schema(schema).parquet(*paths)
     return df.join(F.broadcast(lookup), keys, "left_semi")
 
 
 def optimize_table(
-    spark: SparkSession, table_path: str, collect_stats: bool = True
+    spark: SparkSession,
+    table_path: str,
+    collect_stats: bool = True,
+    cluster_by: list[str] | None = None,
+    files_per_bucket: int = 4,
 ) -> int:
     """Small-file compaction (Delta's OPTIMIZE): a streaming sink
     commits one segment per epoch, so a bucket's live rows end up
     scattered across many small files — the classic small-file problem
     that murders scan throughput at scale. Rewrites the CURRENT snapshot
-    into one fresh segment (every bucket exactly one dir) and commits it
-    as a new version; readers of older versions are untouched, and the
-    superseded segments age out via `vacuum`. Returns the new version."""
+    into one fresh segment and commits it as a new version; readers of
+    older versions are untouched, and the superseded segments age out
+    via `vacuum`. Returns the new version.
+
+    With `cluster_by` (Delta's OPTIMIZE ... ZORDER BY): rows are
+    range-repartitioned on (pk_bucket, cluster value) into
+    ~`files_per_bucket` files per bucket — one column sorts directly, 2+
+    columns interleave into a Z-value — and PER-FILE min/max/null-count
+    stats land in the manifest. That closes the gap bucket-dir stats
+    cannot: hash-bucketing by key scatters every NON-KEY value range
+    into every bucket, so dir-level [min, max] spans everything and
+    prunes nothing; clustered files each cover a narrow range and
+    `read_manifest_table(skip=...)` opens only the files that can
+    match. Subsequent upserts rewrite touched buckets UNclustered
+    (their file stats drop, carried buckets keep theirs) — re-run
+    optimize to re-cluster, exactly Delta's maintenance contract."""
     token = acquire_table_lease(table_path)
 
     def attempt() -> int:
@@ -575,11 +727,77 @@ def optimize_table(
                 f"no committed manifest under {table_path}"
             )
         current = read_manifest_table(spark, table_path)
-        # hash-repartition on the bucket column => each bucket's rows
-        # land in exactly one task => exactly one file per bucket dir
-        merged = _with_bucket(current, mf["keys"], mf["n_buckets"]).repartition(
-            mf["n_buckets"], "pk_bucket"
-        )
+        stat_cols = _stat_columns(_data_schema(mf))
+        if cluster_by:
+            types = {f.name: f.dataType for f in _data_schema(mf).fields}
+            missing = [c for c in cluster_by if c not in types]
+            if missing:
+                raise ValueError(
+                    f"cluster_by columns {missing} not in table schema "
+                    f"({table_path})"
+                )
+            if len(cluster_by) == 1:
+                c = cluster_by[0]
+                zcol = _orderable_double(c, types[c])
+            else:
+                # linear 16-bit quantization per dimension against the
+                # snapshot's global [min, max] (one small agg job), then
+                # Morton interleave. Skewed data just yields uneven bin
+                # occupancy — file SIZES stay balanced because the range
+                # partitioner samples the composite key.
+                longs = {
+                    c: _orderable_double(c, types[c]) for c in cluster_by
+                }
+                bounds = current.agg(
+                    *[
+                        f
+                        for c in cluster_by
+                        for f in (
+                            F.min(longs[c]).alias(f"__mn_{c}"),
+                            F.max(longs[c]).alias(f"__mx_{c}"),
+                        )
+                    ]
+                ).collect()[0]
+                bins = []
+                for c in cluster_by:
+                    mn = bounds[f"__mn_{c}"]
+                    mx = bounds[f"__mx_{c}"]
+                    if mn is None or mx is None or not mx > mn:
+                        bins.append(F.lit(0).cast("long"))
+                        continue
+                    step = (float(mx) - float(mn)) / 65535.0
+                    bins.append(
+                        F.least(
+                            F.lit(65535),
+                            F.greatest(
+                                F.lit(0),
+                                F.floor(
+                                    (longs[c] - F.lit(float(mn)))
+                                    / F.lit(step)
+                                ),
+                            ),
+                        ).cast("long")
+                    )
+                zcol = _z_interleave(bins)
+            merged = (
+                _with_bucket(current, mf["keys"], mf["n_buckets"])
+                .withColumn(
+                    "_z", F.coalesce(zcol.cast("double"), F.lit(float("-inf")))
+                )
+                .repartitionByRange(
+                    mf["n_buckets"] * max(1, files_per_bucket),
+                    "pk_bucket",
+                    "_z",
+                )
+                .sortWithinPartitions("pk_bucket", "_z")
+                .drop("_z")
+            )
+        else:
+            # hash-repartition on the bucket column => each bucket's rows
+            # land in exactly one task => exactly one file per bucket dir
+            merged = _with_bucket(
+                current, mf["keys"], mf["n_buckets"]
+            ).repartition(mf["n_buckets"], "pk_bucket")
         seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
         seg_abs = os.path.join(table_path, seg)
         merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(
@@ -591,10 +809,13 @@ def optimize_table(
             if e.startswith("pk_bucket=")
         }
         stats = (
-            _collect_segment_stats(
-                spark, seg_abs, _stat_columns(_data_schema(mf))
-            )
+            _collect_segment_stats(spark, seg_abs, stat_cols)
             if collect_stats
+            else {}
+        )
+        file_stats = (
+            _collect_file_stats(spark, seg_abs, stat_cols)
+            if collect_stats and cluster_by
             else {}
         )
         manifest = {
@@ -605,6 +826,7 @@ def optimize_table(
             "schema": mf["schema"],
             "buckets": buckets,
             "stats": stats,
+            "file_stats": file_stats,
         }
         _publish_manifest(table_path, manifest, token)
         return manifest["version"]
@@ -849,6 +1071,48 @@ WITH v2 AS (
 SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM v2 WHERE n_chars BETWEEN 300 AND 900
 GROUP BY source
+"""
+
+
+def zorder_skip_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Clustered-file skipping (OPTIMIZE ZORDER) as an
+    oracle-checked query: orders land keyed by o_orderkey (a price
+    predicate prunes NO bucket dirs — hash-bucketing spreads the price
+    range into all of them), then a clustered optimize re-lays each
+    bucket into price-ranged files with per-file stats, and the skip
+    read opens only the files whose [min, max] overlap the band (file
+    count pinned by test_manifest.py). The residual filter keeps the
+    result exact either way."""
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = os.path.join(scratch_dir("manifest_zorder_"), "t")
+    manifest_upsert(spark, table, orders, ["o_orderkey"], n_buckets=8)
+    optimize_table(
+        spark, table, cluster_by=["o_totalprice"], files_per_bucket=4
+    )
+    df = read_manifest_table(
+        spark, table,
+        skip=[("o_totalprice", "between", (150000.0, 250000.0))],
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+ZORDER_SKIP_SCAN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE o_totalprice BETWEEN 150000.0 AND 250000.0
+GROUP BY o_orderpriority
 """
 
 

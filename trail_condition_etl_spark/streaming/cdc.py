@@ -116,14 +116,25 @@ def propagate_changes(
     outbox. Idempotent end-to-end (replaying a span converges), so the
     at-least-once cursor contract yields effectively-once table state."""
     def apply(changes: DataFrame, frm: int, to: int) -> None:
-        keys = read_manifest(src_table)["keys"]
+        src_mf = read_manifest(src_table)
+        keys = src_mf["keys"]
         batch = changes.withColumn(
             "_cdc_deleted", F.col("change_type") == "delete"
         ).drop("change_type")
         if batch.isEmpty():
             return  # version bump with no content change (e.g. OPTIMIZE)
+        # A brand-new downstream table inherits the UPSTREAM's bucket
+        # count (not DEFAULT_BUCKETS): src->dst keyed joins stay
+        # co-partitionable, and the sink never fans a small source out
+        # into 64 near-empty bucket dirs. An existing table keeps its
+        # own layout (pass None — manifest_upsert validates).
         manifest_upsert(
-            spark, dst_table, batch, keys, tombstone_col="_cdc_deleted"
+            spark, dst_table, batch, keys,
+            n_buckets=(
+                None if read_manifest(dst_table) is not None
+                else src_mf["n_buckets"]
+            ),
+            tombstone_col="_cdc_deleted",
         )
 
     return consume_table_changes(spark, src_table, cursor_path, apply)
