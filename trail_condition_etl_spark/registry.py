@@ -22,6 +22,7 @@ from .session import ensure_engine_conf
 from .sinks import manifest as manifest_sink
 from .sinks import partitioned
 from .sources import files as file_sources
+from .sources import manifest_source
 from .streaming import cdc as streaming_cdc
 from .streaming import joins as streaming_joins
 from .streaming import pipeline as streaming_pipeline
@@ -866,6 +867,25 @@ def q_zorder_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.zorder_skip_scan_query(spark, sf_dir)
 
 
+@query("pyds_manifest_scan", oracle=manifest_source.PYDS_MANIFEST_SCAN_SQL)
+def q_pyds_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the manifest table through Spark 4's Python DataSource API:
+    # spark.read.format("manifest") with Catalyst filter pushdown
+    # mapped onto the manifest's stats pruning (partial pushdown —
+    # Spark's residual evaluation keeps results exact)
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_manifest_scan_query(spark, sf_dir)
+
+
+@query("pyds_cdc_stream", oracle=manifest_source.PYDS_CDC_STREAM_SQL)
+def q_pyds_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the CDC change feed as a genuine readStream source (offsets are
+    # table versions, per-bucket change computation in parallel input
+    # partitions), consumed AvailableNow into a parquet sink
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_cdc_stream_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->
@@ -1499,8 +1519,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_HEAD = [
     # flagship + this round's changed surfaces
     "trail_classifier", "cdc_incremental", "manifest_lookup",
-    "manifest_skip_scan", "zorder_skip_scan", "stream_roundtrip",
-    "stream_roundtrip_multibatch",
+    "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
+    "pyds_cdc_stream", "stream_roundtrip", "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows
     "doc_fingerprint", "json_props",
     # never driver-sampled: streaming

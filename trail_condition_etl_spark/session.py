@@ -57,4 +57,8 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # the Python-DataSource manifest reader (sources/manifest_source.py)
+    # maps pushed Catalyst filters onto manifest stats pruning; the
+    # pushdown path is conf-gated and off by default in Spark 4.1
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

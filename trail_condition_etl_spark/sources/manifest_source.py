@@ -1,0 +1,532 @@
+"""The manifest table as a first-class Spark data source (the Spark 4
+Python DataSource API, SPARK-44076).
+
+`sinks.manifest` gives the table format its transactional mechanics;
+this module gives it the NATIVE integration surface a Delta/Iceberg
+user expects:
+
+* ``spark.read.format("manifest").option("path", t)`` — batch snapshot
+  reads with real Catalyst filter pushdown: `pushFilters` receives the
+  query's conjuncts and maps them onto the manifest's bucket-dir and
+  per-file stats, so the planned input partitions never include a file
+  the stats prove non-matching. Every filter is also handed BACK to
+  Spark (partial pushdown): pruning is an IO optimization, Spark's
+  residual evaluation keeps results exact — the same
+  stats-prune + residual contract as `read_manifest_table(skip=...)`.
+* ``spark.readStream.format("manifest_cdc").option("path", t)`` — a
+  Structured Streaming CDC source whose OFFSETS are table VERSIONS
+  (Delta's streaming source / `readChangeFeed` reduced to its
+  mechanics). Each micro-batch covers a committed version span; change
+  rows are computed PER BUCKET in parallel input partitions (bucket
+  dirs are immutable, so the old/new snapshot pair is stable under a
+  running stream); Spark's checkpoint persists the offset, so
+  stop/recommit/restart resumes exactly where the last batch ended —
+  pinned by test_manifest_source.py.
+
+Scale notes: batch planning is one manifest read (a small JSON) on the
+driver; one input partition per data file keeps scan parallelism at
+file granularity. The CDC reader ships per-bucket file lists, not
+data; each task diffs one bucket with Arrow/pandas — the cogrouped
+applyInPandas shape, parallel in the number of changed buckets. Rows
+cross into the JVM as Arrow record batches, never pickled row-by-row.
+
+Reference anchor: the outbox-drain -> downstream propagation
+(fetch-weather/worker_ingestion.py:52-56 ->
+categorize-trail-conditions/src/tasks.py:95-125), here as a genuine
+`readStream` source instead of the AvailableNow helper in
+streaming/cdc.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from ..sinks.manifest import (
+    _bucket_may_match,
+    _data_schema,
+    _stat_columns,
+    read_manifest,
+)
+
+#: Catalyst filter class -> the manifest skip-op it prunes with.
+_FILTER_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+    IsNull: "is_null",
+    IsNotNull: "is_not_null",
+}
+
+
+def _filters_to_skip(
+    filters: list[Filter], stat_cols: set[str]
+) -> list[tuple]:
+    """Map pushed Catalyst filters onto (col, op, value) skip conjuncts.
+    Unknown filter classes, multi-part attributes, and non-stat columns
+    simply don't contribute — they stay Spark-evaluated residuals."""
+    skip = []
+    for f in filters:
+        op = _FILTER_OPS.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        col = f.attribute[0]
+        if col not in stat_cols:
+            continue
+        if op == "in":
+            skip.append((col, op, list(f.value)))
+        elif op in ("is_null", "is_not_null"):
+            skip.append((col, op, None))
+        else:
+            skip.append((col, op, f.value))
+    return skip
+
+
+def _plan_files(table_path: str, mf: dict, skip: list[tuple]) -> list[str]:
+    """The batch plan: surviving absolute file paths after dir-level
+    and file-level stats pruning — `read_manifest_table`'s pruning,
+    re-expressed over the physical file list so each file becomes one
+    input partition."""
+    stats = mf.get("stats", {})
+    fstats = mf.get("file_stats", {})
+    paths: list[str] = []
+    for b, d in mf["buckets"].items():
+        if skip and not _bucket_may_match(stats.get(b, {}), skip):
+            continue
+        dir_abs = os.path.join(table_path, d)
+        per_file = fstats.get(b)
+        if skip and per_file:
+            paths.extend(
+                os.path.join(dir_abs, fn)
+                for fn, cs in per_file.items()
+                if _bucket_may_match(cs, skip)
+            )
+        else:
+            paths.extend(
+                os.path.join(dir_abs, fn)
+                for fn in sorted(os.listdir(dir_abs))
+                if fn.endswith(".parquet")
+            )
+    return paths
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+
+
+def _nullable_arrow_schema(schema: StructType):
+    """The Spark schema as an all-nullable Arrow schema: physical files
+    predate schema evolution (missing columns read as null) and delete
+    rows carry null values, so nullability is a property of the rows,
+    not the declared schema — same stance as the JVM parquet reader."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in to_arrow_schema(schema)]
+    )
+
+
+def _arrow_batches(path: str, columns: list[str], schema: StructType):
+    """One parquet file -> Arrow record batches cast to the table
+    schema (files written before an additive schema evolution lack the
+    new columns: they materialize as nulls, same as the JVM read
+    path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = _nullable_arrow_schema(schema)
+    table = pq.read_table(
+        path, columns=[c for c in columns if c is not None]
+    )
+    arrays = []
+    for field in want:
+        if field.name in table.column_names:
+            arrays.append(table.column(field.name).cast(field.type))
+        else:
+            arrays.append(pa.nulls(table.num_rows, field.type))
+    yield from pa.table(arrays, schema=want).to_batches()
+
+
+class ManifestBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._table_path = options["path"]
+        version = options.get("version")
+        self._mf = read_manifest(
+            self._table_path, int(version) if version is not None else None
+        )
+        if self._mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {self._table_path}"
+            )
+        self._schema = schema
+        self._skip: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        self._skip = _filters_to_skip(
+            list(filters),
+            set(_stat_columns(_data_schema(self._mf))),
+        )
+        # partial pushdown: we prune IO, Spark re-evaluates everything
+        return filters
+
+    def partitions(self):
+        cols = self._schema.fieldNames()
+        return [
+            _FilePartition(p, cols)
+            for p in _plan_files(self._table_path, self._mf, self._skip)
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _arrow_batches(
+            partition.path, partition.columns, self._schema
+        )
+
+
+class ManifestDataSource(DataSource):
+    """``spark.read.format("manifest")``: options `path` (required) and
+    `version` (optional time travel)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self):
+        mf = read_manifest(self.options["path"])
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {self.options['path']}"
+            )
+        return _data_schema(mf)
+
+    def reader(self, schema: StructType) -> ManifestBatchReader:
+        return ManifestBatchReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC source: offsets are table versions
+# ---------------------------------------------------------------------------
+
+
+class _BucketChangePartition(InputPartition):
+    def __init__(
+        self,
+        bucket: str,
+        old_files: list[str],
+        new_files: list[str],
+        keys: list[str],
+        old_schema_json: str,
+        new_schema_json: str,
+    ):
+        self.bucket = bucket
+        self.old_files = old_files
+        self.new_files = new_files
+        self.keys = keys
+        self.old_schema_json = old_schema_json
+        self.new_schema_json = new_schema_json
+
+
+def _dir_files(table_path: str, rel_dir: str) -> list[str]:
+    d = os.path.join(table_path, rel_dir)
+    return [
+        os.path.join(d, fn)
+        for fn in sorted(os.listdir(d))
+        if fn.endswith(".parquet")
+    ]
+
+
+def cdc_schema(data_schema: StructType) -> StructType:
+    """Data schema + change_type — the same column set
+    `sinks.manifest.table_changes` emits. Data fields are forced
+    nullable: delete rows carry null values by contract."""
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in data_schema.fields]
+        + [StructField("change_type", StringType(), False)]
+    )
+
+
+class ManifestCDCStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._table_path = options["path"]
+        self._starting = int(options.get("startingVersion", 0))
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        mf = read_manifest(self._table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {self._table_path}"
+            )
+        return {"version": mf["version"]}
+
+    def partitions(self, start: dict, end: dict):
+        frm, to = int(start["version"]), int(end["version"])
+        if to <= frm:
+            return []
+        new_mf = read_manifest(self._table_path, to)
+        old_mf = read_manifest(self._table_path, frm) if frm > 0 else None
+        old_buckets = old_mf["buckets"] if old_mf else {}
+        old_schema = (
+            old_mf["schema"] if old_mf else StructType([]).json()
+        )
+        parts = []
+        for b in sorted(
+            set(new_mf["buckets"]) | set(old_buckets), key=int
+        ):
+            old_d = old_buckets.get(b)
+            new_d = new_mf["buckets"].get(b)
+            if old_d == new_d:
+                continue  # immutable dir carried by reference: no change
+            parts.append(
+                _BucketChangePartition(
+                    b,
+                    _dir_files(self._table_path, old_d) if old_d else [],
+                    _dir_files(self._table_path, new_d) if new_d else [],
+                    new_mf["keys"],
+                    old_schema,
+                    new_mf["schema"],
+                )
+            )
+        return parts
+
+    def read(self, partition: _BucketChangePartition) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_schema = _nullable_arrow_schema(self._schema)
+        data_fields = [f for f in out_schema if f.name != "change_type"]
+        keys = partition.keys
+
+        def load(files: list[str]) -> pd.DataFrame:
+            if not files:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in data_fields}
+                )
+            tbl = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="default"
+            )
+            df = tbl.to_pandas()
+            for f in data_fields:  # additive evolution: missing -> null
+                if f.name not in df.columns:
+                    df[f.name] = None
+            return df[[f.name for f in data_fields]]
+
+        old = load(partition.old_files)
+        new = load(partition.new_files)
+        compare = [f.name for f in data_fields if f.name not in keys]
+
+        def norm(df: pd.DataFrame) -> dict:
+            # key tuple -> normalized non-key tuple (NaN/NaT -> None so
+            # null == null, mirroring table_changes' eqNullSafe compare)
+            out = {}
+            for row in df.itertuples(index=False):
+                d = row._asdict()
+                k = tuple(d[c] for c in keys)
+                out[k] = tuple(
+                    None if pd.isna(d[c]) else d[c] for c in compare
+                )
+            return out
+
+        old_m, new_m = norm(old), norm(new)
+        rows = []
+        for k, vals in new_m.items():
+            if k not in old_m:
+                rows.append(k + vals + ("insert",))
+            elif old_m[k] != vals:
+                rows.append(k + vals + ("update",))
+        none_vals = (None,) * len(compare)
+        for k in old_m:
+            if k not in new_m:
+                rows.append(k + none_vals + ("delete",))
+        if not rows:
+            return
+        cols = keys + compare + ["change_type"]
+        frame = pd.DataFrame(rows, columns=cols)
+        ordered = [f.name for f in out_schema]
+        tbl = pa.Table.from_pandas(
+            frame[ordered], preserve_index=False
+        ).cast(out_schema)
+        yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; segments are immutable
+
+
+class ManifestCDCDataSource(DataSource):
+    """``spark.readStream.format("manifest_cdc")``: options `path`
+    (required) and `startingVersion` (default 0: the first batch
+    bootstraps the current snapshot as inserts, like any new CDC
+    consumer)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_cdc"
+
+    def schema(self):
+        mf = read_manifest(self.options["path"])
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {self.options['path']}"
+            )
+        return cdc_schema(_data_schema(mf))
+
+    def streamReader(self, schema: StructType) -> ManifestCDCStreamReader:
+        return ManifestCDCStreamReader(schema, self.options)
+
+
+def register_manifest_sources(spark) -> None:
+    """Idempotent registration of both formats on a session. Also
+    enables the conf-gated Python-source filter pushdown (off by
+    default in Spark 4.1; without it a reader implementing pushFilters
+    is an analysis-time error, not a silent no-pushdown)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ManifestDataSource)
+    spark.dataSource.register(ManifestCDCDataSource)
+
+
+# ---------------------------------------------------------------------------
+# registered queries: the data-source surface, DuckDB-checkable
+# ---------------------------------------------------------------------------
+
+
+def pyds_manifest_scan_query(spark, sf_dir: str):
+    """[EXT] The Python-DataSource batch read as an oracle-checked
+    query: the shared two-commit merge table through
+    ``spark.read.format("manifest")`` with an n_chars range predicate —
+    Catalyst pushes the conjuncts into `pushFilters`, the reader plans
+    only the files the manifest stats allow, and Spark's residual
+    evaluation keeps the result exact (the same prune+residual contract
+    `manifest_skip_scan` pins for the library read path)."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.manifest import _two_commit_table
+
+    register_manifest_sources(spark)
+    table = _two_commit_table(spark, sf_dir, "pyds_scan_")
+    df = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .load()
+        .filter(F.col("n_chars").between(300, 900))
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+#: identical to the library-read oracle — the source must agree with it
+PYDS_MANIFEST_SCAN_SQL = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v2 WHERE n_chars BETWEEN 300 AND 900
+GROUP BY source
+"""
+
+
+def pyds_cdc_stream_query(spark, sf_dir: str):
+    """[EXT] The streaming CDC source end-to-end: a three-commit source
+    table (base %3==0; updates %6==0 doubled + inserts %3==1;
+    tombstone-deletes %9==0), consumed by
+    ``spark.readStream.format("manifest_cdc")`` from startingVersion=1
+    with Trigger.AvailableNow into a parquet sink. The single collapsed
+    micro-batch spans versions 1→3 (content-based diff, intermediate
+    versions free), mirroring `table_changes(1, 3)`; the summary
+    aggregates the landed change rows per change_type — which the
+    oracle re-derives from `documents` directly."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+    from ..sinks.manifest import manifest_upsert
+
+    register_manifest_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = scratch_dir("pyds_cdc_")
+    table = os.path.join(root, "t")
+    manifest_upsert(
+        spark, table, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
+        n_buckets=8,
+    )
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    manifest_upsert(spark, table, updates.unionByName(inserts), ["doc_id"])
+    dels = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+        .withColumn("_gone", F.lit(True))
+    )
+    manifest_upsert(spark, table, dels, ["doc_id"], tombstone_col="_gone")
+
+    out = os.path.join(root, "changes")
+    ck = os.path.join(root, "ck")
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .option("path", table)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    changes = spark.read.parquet(out)
+    return changes.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )
+
+
+PYDS_CDC_STREAM_SQL = """
+SELECT 'insert' AS change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'update' AS change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT) * 2) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 6 = 0 AND doc_id % 9 <> 0 AND n_chars <> 0
+UNION ALL
+SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 9 = 0
+"""
