@@ -147,6 +147,43 @@ def test_ivf_pq_topk_scales_linearly(spark, tmp_path):
     assert t10 < 30 * t1 + 10, f"ivf_pq_topk superlinear: {t1:.1f}s -> {t10:.1f}s"
 
 
+def test_clustered_skip_scan_prunes_proportionally(spark, tmp_path):
+    """The manifest read path's scale claim: at 10x rows AND 10x files,
+    a fixed-selectivity predicate keeps the opened-file FRACTION ~flat —
+    metadata skipping makes IO track matching data, not table size.
+    price is a permutation of 0..n-1 (7919 coprime to both sizes), so
+    the 5% band has exactly the same selectivity in both tables and a
+    known row count."""
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    def build(n, files_per_bucket):
+        rows = spark.range(n).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7919) % n).cast("double").alias("price"),
+        )
+        t = os.path.join(str(tmp_path), f"t{n}")
+        mf.manifest_upsert(spark, t, rows, ["k"], n_buckets=8)
+        mf.optimize_table(
+            spark, t, cluster_by=["price"], files_per_bucket=files_per_bucket
+        )
+        return t
+
+    def opened_fraction(t, n):
+        skip = [("price", "between", (0.0, float(int(n * 0.05))))]
+        df = mf.read_manifest_table(spark, t, skip=skip)
+        total = sum(
+            len(v) for v in mf.read_manifest(t)["file_stats"].values()
+        )
+        assert df.count() == int(n * 0.05) + 1  # exact under the permutation
+        return len(df.inputFiles()) / total
+
+    n1, n10 = 20_000, 200_000
+    f1 = opened_fraction(build(n1, 4), n1)
+    f10 = opened_fraction(build(n10, 40), n10)
+    assert f10 < 0.25, f"5% band opened {f10:.0%} of a 10x table"
+    assert f10 < 2 * f1 + 0.05, f"pruned fraction degraded: {f1:.0%} -> {f10:.0%}"
+
+
 # NOTE: an embedding-side output-growth check is deliberately absent.
 # The sf0.1 corpus has no high-cosine planted duplicates (max observed
 # pair cosine ~0.6), so at any usable threshold the pair count is
