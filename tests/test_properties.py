@@ -474,3 +474,85 @@ def test_lease_tokens_strictly_increase(tmp_path_factory, n):
         u.release_table_lease(table)
     assert tokens == sorted(set(tokens))
     assert tokens[0] >= 1 and tokens[-1] == tokens[0] + n - 1
+
+
+# ---------------------------------------------------------------------------
+# model-based manifest table: any op sequence vs an in-memory dict
+# ---------------------------------------------------------------------------
+
+_mops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.dictionaries(
+                st.integers(0, 30), st.integers(-100, 100),
+                min_size=1, max_size=6,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.sets(st.integers(0, 30), min_size=1, max_size=4),
+        ),
+        st.tuples(st.just("optimize"), st.booleans()),
+        st.tuples(st.just("vacuum"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_mops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_manifest_table_matches_model_under_any_op_sequence(
+    spark, tmp_path_factory, ops
+):
+    """Model-based check: ANY interleaving of upserts, tombstone
+    deletes (including of absent keys), plain/clustered optimizes, and
+    vacuums leaves the table exactly equal to a dict that applied the
+    same ops — and a stats-skip read agrees with the model-filtered
+    view, clustered or not."""
+    from trail_condition_etl_spark.sinks import manifest as mfm
+
+    table = str(tmp_path_factory.mktemp("prop_manifest") / "t")
+    model: dict[int, int] = {}
+    committed = False
+    for kind, arg in ops:
+        if kind == "upsert":
+            df = spark.createDataFrame(
+                list(arg.items()), "k int, v long"
+            )
+            mfm.manifest_upsert(spark, table, df, ["k"], n_buckets=4)
+            model.update(arg)
+            committed = True
+        elif kind == "delete" and committed:
+            df = spark.createDataFrame(
+                [(k, True) for k in arg], "k int, _gone boolean"
+            )
+            mfm.manifest_upsert(
+                spark, table, df, ["k"], tombstone_col="_gone"
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif kind == "optimize" and committed:
+            mfm.optimize_table(
+                spark,
+                table,
+                cluster_by=["v"] if arg else None,
+                files_per_bucket=2,
+            )
+        elif kind == "vacuum" and committed:
+            mfm.vacuum(table, keep_last=1)
+    if not committed:
+        return
+    got = {
+        r.k: r.v for r in mfm.read_manifest_table(spark, table).collect()
+    }
+    assert got == model
+    skipped = mfm.read_manifest_table(spark, table, skip=[("v", ">=", 0)])
+    assert {r.k: r.v for r in skipped.collect()} == {
+        k: v for k, v in model.items() if v >= 0
+    }
