@@ -814,3 +814,64 @@ def test_plain_optimize_resets_file_stats(spark, tmp_path):
     df = mf.read_manifest_table(spark, table, skip=skip)
     full = mf.read_manifest_table(spark, table)
     assert df.count() == full.filter(F.col("price") < 100.0).count()
+
+
+# ---------------------------------------------------------------------------
+# commit metadata: history, timestamp time travel, metadata-only COUNT(*)
+# ---------------------------------------------------------------------------
+
+
+def test_describe_history_and_metadata_count(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=4)
+    mf.manifest_upsert(spark, table, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    mf.optimize_table(spark, table, cluster_by=["k"], files_per_bucket=2)
+    hist = {r.version: r for r in mf.describe_history(spark, table).collect()}
+    assert [hist[v].operation for v in (1, 2, 3)] == [
+        "upsert", "upsert", "optimize"
+    ]
+    assert hist[1].table_rows == 2
+    assert hist[2].table_rows == 3
+    assert hist[3].table_rows == 3
+    assert hist[1].committed_at <= hist[2].committed_at <= hist[3].committed_at
+    # metadata-only count agrees with the scan, at every version
+    for v, n in ((1, 2), (2, 3), (3, 3)):
+        assert mf.manifest_row_count(table, v) == n
+        assert mf.read_manifest_table(spark, table, v).count() == n
+    # tombstones shrink the metadata count too
+    dead = spark.createDataFrame([(2, True)], "k int, _g boolean")
+    mf.manifest_upsert(spark, table, dead, ["k"], tombstone_col="_g")
+    assert mf.manifest_row_count(table) == 2
+
+
+def test_metadata_count_refuses_to_guess_without_stats(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=2,
+        collect_stats=False,
+    )
+    assert mf.manifest_row_count(table) is None  # honest "must scan"
+    assert mf.read_manifest_table(spark, table).count() == 1
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=2)
+    t1 = dt.datetime.now(dt.timezone.utc)
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "A"), (2, "b")]), ["k"])
+    assert _state(spark, table) == {(1, "A"), (2, "b")}
+    at_t1 = {
+        (r.k, r.v)
+        for r in mf.read_manifest_table(spark, table, as_of=t1).collect()
+    }
+    assert at_t1 == {(1, "a")}
+    # naive datetimes are taken as UTC
+    naive = t1.replace(tzinfo=None)
+    assert mf.version_as_of(table, naive) == 1
+    assert mf.version_as_of(table, dt.datetime.now(dt.timezone.utc)) == 2
+    with pytest.raises(ValueError):
+        mf.version_as_of(table, t1 - dt.timedelta(days=1))
+    with pytest.raises(ValueError):
+        mf.read_manifest_table(spark, table, version=1, as_of=t1)

@@ -867,6 +867,15 @@ def q_zorder_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.zorder_skip_scan_query(spark, sf_dir)
 
 
+@query("manifest_history", oracle=manifest_sink.MANIFEST_HISTORY_SQL)
+def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DESCRIBE HISTORY + metadata-only COUNT(*): per-version operation
+    # labels and table row counts straight from the commit log's
+    # carried per-bucket counts — no data files opened
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_history_query(spark, sf_dir)
+
+
 @query("pyds_manifest_scan", oracle=manifest_source.PYDS_MANIFEST_SCAN_SQL)
 def q_pyds_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the manifest table through Spark 4's Python DataSource API:
@@ -1520,7 +1529,8 @@ _SAMPLE_HEAD = [
     # flagship + this round's changed surfaces
     "trail_classifier", "cdc_incremental", "manifest_lookup",
     "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
-    "pyds_cdc_stream", "stream_roundtrip", "stream_roundtrip_multibatch",
+    "pyds_cdc_stream", "manifest_history", "stream_roundtrip",
+    "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows
     "doc_fingerprint", "json_props",
     # never driver-sampled: streaming

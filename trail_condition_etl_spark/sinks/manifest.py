@@ -215,23 +215,24 @@ def _row_col_stats(d: dict, cols: list[str]) -> dict[str, list]:
 
 def _collect_segment_stats(
     spark: SparkSession, seg_abs: str, stat_cols: list[str]
-) -> dict[str, dict[str, list]]:
-    """{bucket -> {col -> [min, max, null_count]}} for the freshly
-    written segment: one agg job, partial+final, output bounded by
-    n_buckets * n_cols."""
-    if not stat_cols:
-        return {}
+) -> tuple[dict[str, dict[str, list]], dict[str, int]]:
+    """({bucket -> {col -> [min, max, null_count]}}, {bucket -> rows})
+    for the freshly written segment: ONE agg job, partial+final, output
+    bounded by n_buckets * n_cols. The per-bucket row count rides the
+    same job — it feeds op_metrics and the metadata-only COUNT(*)
+    (`manifest_row_count`)."""
     if not any(e.startswith("pk_bucket=") for e in os.listdir(seg_abs)):
-        return {}  # delete-all commit: empty segment, nothing to profile
+        return {}, {}  # delete-all commit: empty segment, nothing to profile
     seg = spark.read.parquet(seg_abs)
     cols = [c for c in stat_cols if c in seg.columns]
-    if not cols:
-        return {}
     out: dict[str, dict[str, list]] = {}
-    for r in seg.groupBy("pk_bucket").agg(*_stat_aggs(cols)).collect():
+    counts: dict[str, int] = {}
+    aggs = _stat_aggs(cols) + [F.count(F.lit(1)).alias("__ct")]
+    for r in seg.groupBy("pk_bucket").agg(*aggs).collect():
         d = r.asDict()
         out[str(d["pk_bucket"])] = _row_col_stats(d, cols)
-    return out
+        counts[str(d["pk_bucket"])] = int(d["__ct"])
+    return out, counts
 
 
 def _collect_file_stats(
@@ -537,10 +538,15 @@ def manifest_upsert(
         # stat-less (unprunable — sound, just slower to read).
         prev_stats = mf.get("stats", {}) if mf is not None else {}
         stats = {b: prev_stats[b] for b in carried if b in prev_stats}
+        prev_counts = mf.get("row_counts", {}) if mf is not None else {}
+        row_counts = {b: prev_counts[b] for b in carried if b in prev_counts}
+        seg_counts: dict[str, int] = {}
         if collect_stats:
-            stats.update(
-                _collect_segment_stats(spark, seg_abs, _stat_columns(schema))
+            seg_stats, seg_counts = _collect_segment_stats(
+                spark, seg_abs, _stat_columns(schema)
             )
+            stats.update(seg_stats)
+            row_counts.update(seg_counts)
         # per-file stats (written by a clustered optimize) survive on
         # carried buckets — their dirs are immutable; rewritten buckets
         # lose clustering and fall back to dir-level stats until the
@@ -556,6 +562,16 @@ def manifest_upsert(
             "buckets": buckets,
             "stats": stats,
             "file_stats": file_stats,
+            "row_counts": row_counts,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "upsert",
+            "op_metrics": {
+                "buckets_written": len(buckets) - len(carried),
+                "buckets_carried": len(carried),
+                "rows_written": (
+                    sum(seg_counts.values()) if collect_stats else None
+                ),
+            },
         }
         _publish_manifest(table_path, manifest, token)
         return manifest["version"]
@@ -574,16 +590,40 @@ def _data_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
 
+def version_as_of(table_path: str, ts) -> int:
+    """The newest committed version whose `committed_at` is <= `ts`
+    (Delta's TIMESTAMP AS OF). A naive datetime is taken as UTC —
+    commit stamps are recorded tz-aware UTC. Raises if the table has no
+    commit at or before `ts` (or only pre-`committed_at` manifests from
+    older format versions, which carry no stamp to compare)."""
+    if isinstance(ts, _dt.datetime) and ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    best = None
+    for v in list_versions(table_path):
+        stamp = (read_manifest(table_path, v) or {}).get("committed_at")
+        if stamp is None:
+            continue
+        if _dt.datetime.fromisoformat(stamp) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before {ts.isoformat()} under {table_path}"
+        )
+    return best
+
+
 def read_manifest_table(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     skip: list[tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Snapshot-isolated read of the table at `version` (default:
     latest). The returned plan references exactly the segment dirs that
     manifest pinned — a commit landing mid-query cannot tear the read,
-    and old versions stay readable until `vacuum` (time travel).
+    and old versions stay readable until `vacuum` (time travel, by
+    version number or by `as_of` timestamp).
 
     `skip`: optional list of `(column, op, value)` conjuncts (ops:
     `SKIP_OPS`). Bucket dirs whose recorded [min, max, null_count]
@@ -591,6 +631,10 @@ def read_manifest_table(
     check `df.inputFiles()` — pinned by test_manifest.py), and the
     predicate is ALSO applied as a real filter on the surviving dirs,
     so results are exact even where stats are absent."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_as_of(table_path, as_of)
     mf = read_manifest(table_path, version)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
@@ -688,6 +732,56 @@ def read_manifest_lookup(
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*paths)
     return df.join(F.broadcast(lookup), keys, "left_semi")
+
+
+def manifest_row_count(
+    table_path: str, version: int | None = None
+) -> int | None:
+    """Exact COUNT(*) from metadata alone — zero data files opened
+    (the Iceberg/Delta metadata-count shortcut). Per-bucket row counts
+    ride the commit-time stats job and carry by reference with their
+    buckets. Returns None when any referenced bucket lacks a count
+    (a commit made with collect_stats=False, or a pre-row_counts
+    manifest): an honest "must scan", never a wrong number."""
+    mf = read_manifest(table_path, version)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    counts = mf.get("row_counts", {})
+    if any(b not in counts for b in mf["buckets"]):
+        return None
+    return sum(counts[b] for b in mf["buckets"])
+
+
+def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """Commit log as a DataFrame (Delta's DESCRIBE HISTORY): one row per
+    still-retained manifest version — operation, commit timestamp,
+    buckets written/carried, rows written, table row count at that
+    version. Vacuumed-away versions drop out; pre-metadata manifests
+    surface with null operation/timestamp rather than being hidden."""
+    rows = []
+    for v in list_versions(table_path):
+        mf = read_manifest(table_path, v)
+        if mf is None:
+            continue
+        met = mf.get("op_metrics", {})
+        stamp = mf.get("committed_at")
+        rows.append(
+            (
+                v,
+                mf.get("operation"),
+                _dt.datetime.fromisoformat(stamp) if stamp else None,
+                met.get("buckets_written"),
+                met.get("buckets_carried"),
+                met.get("rows_written"),
+                manifest_row_count(table_path, v),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, committed_at timestamp, "
+        "buckets_written int, buckets_carried int, rows_written long, "
+        "table_rows long",
+    )
 
 
 def optimize_table(
@@ -808,10 +902,10 @@ def optimize_table(
             for e in os.listdir(seg_abs)
             if e.startswith("pk_bucket=")
         }
-        stats = (
+        stats, row_counts = (
             _collect_segment_stats(spark, seg_abs, stat_cols)
             if collect_stats
-            else {}
+            else ({}, {})
         )
         file_stats = (
             _collect_file_stats(spark, seg_abs, stat_cols)
@@ -827,6 +921,17 @@ def optimize_table(
             "buckets": buckets,
             "stats": stats,
             "file_stats": file_stats,
+            "row_counts": row_counts,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "optimize",
+            "op_metrics": {
+                "buckets_written": len(buckets),
+                "buckets_carried": 0,
+                "rows_written": (
+                    sum(row_counts.values()) if collect_stats else None
+                ),
+                "cluster_by": list(cluster_by) if cluster_by else None,
+            },
         }
         _publish_manifest(table_path, manifest, token)
         return manifest["version"]
@@ -1113,6 +1218,27 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 WHERE o_totalprice BETWEEN 150000.0 AND 250000.0
 GROUP BY o_orderpriority
+"""
+
+
+def manifest_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DESCRIBE HISTORY + the metadata-only COUNT(*) as an
+    oracle-checked query: the two-commit merge table's commit log, with
+    `table_rows` computed from the per-bucket row counts recorded at
+    commit — zero data files opened — which the oracle recomputes by
+    actually counting the documents table."""
+    table = _two_commit_table(spark, sf_dir, "manifest_hist_")
+    return describe_history(spark, table).select(
+        "version", "operation", "table_rows"
+    )
+
+
+MANIFEST_HISTORY_SQL = """
+SELECT 1 AS version, 'upsert' AS operation,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0) AS table_rows
+UNION ALL
+SELECT 2 AS version, 'upsert' AS operation,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 2) AS table_rows
 """
 
 
