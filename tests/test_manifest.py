@@ -875,3 +875,78 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         mf.version_as_of(table, t1 - dt.timedelta(days=1))
     with pytest.raises(ValueError):
         mf.read_manifest_table(spark, table, version=1, as_of=t1)
+
+
+def test_crashed_clustered_optimize_changes_nothing(spark, tmp_path, monkeypatch):
+    """A clustered optimize that dies before its manifest publish leaves
+    the table, its stats, AND its file_stats byte-identical; a retry
+    then lands normally."""
+    import json as _json
+
+    table = _priced_table(spark, tmp_path)
+    before_state = {
+        (r.k, r.price)
+        for r in mf.read_manifest_table(spark, table).collect()
+    }
+    before_mf = mf.read_manifest(table)
+
+    def boom(table_path, manifest, token):
+        raise IOError("died between clustered rewrite and publish")
+
+    monkeypatch.setattr(mf, "_publish_manifest", boom)
+    with pytest.raises(IOError):
+        mf.optimize_table(
+            spark, table, cluster_by=["price"], files_per_bucket=4
+        )
+    monkeypatch.undo()
+    assert mf.read_manifest(table) == before_mf
+    assert {
+        (r.k, r.price)
+        for r in mf.read_manifest_table(spark, table).collect()
+    } == before_state
+    v = mf.optimize_table(
+        spark, table, cluster_by=["price"], files_per_bucket=4
+    )
+    assert mf.read_manifest(table)["file_stats"]
+    assert v == before_mf["version"] + 1
+
+
+def test_pre_metadata_manifests_stay_readable(spark, tmp_path):
+    """A table written by an older format version (no committed_at /
+    operation / row_counts / file_stats keys) still reads, skips
+    soundly, appears in history with null metadata, and reports an
+    honest None metadata count — never a wrong number."""
+    import json as _json
+
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=2)
+    # strip the modern keys in place, as an old writer would have left it
+    path = mf._manifest_path(table, 1)
+    with open(path) as f:
+        m = _json.load(f)
+    for k in ("committed_at", "operation", "op_metrics", "row_counts",
+              "file_stats", "stats"):
+        m.pop(k, None)
+    os.chmod(path, 0o644)
+    with open(path, "w") as f:
+        _json.dump(m, f)
+
+    assert _state(spark, table) == {(1, "a"), (2, "b")}
+    # skip without stats: nothing prunable, residual filter still exact
+    got = {
+        (r.k, r.v)
+        for r in mf.read_manifest_table(
+            spark, table, skip=[("k", "=", 1)]
+        ).collect()
+    }
+    assert got == {(1, "a")}
+    assert mf.manifest_row_count(table) is None
+    hist = mf.describe_history(spark, table).collect()
+    assert len(hist) == 1
+    assert hist[0].operation is None and hist[0].committed_at is None
+    import datetime as dt
+    with pytest.raises(ValueError):  # no stamp to compare against
+        mf.version_as_of(table, dt.datetime.now(dt.timezone.utc))
+    # the next (modern) commit restores full metadata going forward
+    mf.manifest_upsert(spark, table, _df(spark, [(3, "c")]), ["k"])
+    assert mf.read_manifest(table)["operation"] == "upsert"
