@@ -950,3 +950,109 @@ def test_pre_metadata_manifests_stay_readable(spark, tmp_path):
     # the next (modern) commit restores full metadata going forward
     mf.manifest_upsert(spark, table, _df(spark, [(3, "c")]), ["k"])
     assert mf.read_manifest(table)["operation"] == "upsert"
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (conditional update / delete / insert, one atomic commit)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_full_clause_surface(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k int, v string, n long",
+    )
+    mf.manifest_upsert(spark, table, tgt, ["k"], n_buckets=4)
+    src = spark.createDataFrame(
+        [(2, "B2", 200), (3, "C3", 300), (4, "D4", 400), (9, "I", 900)],
+        "k int, v string, n long",
+    )
+    v = mf.merge_into(
+        spark,
+        table,
+        src,
+        when_matched_update={
+            "v": F.col("src.v"),
+            "n": F.col("tgt.n") + F.col("src.n"),
+        },
+        matched_condition=F.col("src.k") % 2 == 0,  # only k=2, k=4
+        when_matched_delete=F.col("src.n") == 300,  # k=3
+    )
+    assert v == 2  # the whole merge is ONE commit
+    assert mf.read_manifest(table)["operation"] == "merge"
+    got = {(r.k, r.v, r.n) for r in mf.read_manifest_table(spark, table).collect()}
+    assert got == {
+        (1, "a", 10),      # untouched target row
+        (2, "B2", 220),    # matched + condition -> updated
+        (4, "D4", 440),    # matched + condition -> updated
+        (9, "I", 900),     # not matched -> inserted
+        # k=3 deleted
+    }
+
+
+def test_merge_into_without_update_leaves_matched_rows_unwritten(spark, tmp_path):
+    """No update clause: matched rows are not just unchanged — their
+    buckets aren't rewritten unless a delete or insert touches them."""
+    table = str(tmp_path / "t")
+    rows = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=8)
+    before = mf.read_manifest(table)
+    src = spark.createDataFrame(
+        [(5, "whatever"), (1000, "new")], "k int, v string"
+    )
+    mf.merge_into(spark, table, src)  # insert-only merge
+    after = mf.read_manifest(table)
+    got = {(r.k, r.v) for r in mf.read_manifest_table(spark, table).collect()}
+    assert (1000, "new") in got and (5, "v5") in got
+    assert len(got) == 101
+    # only the INSERT's bucket is rewritten: the matched row (k=5)
+    # contributed nothing to the batch, so even its bucket carries
+    changed = {
+        b for b in after["buckets"]
+        if after["buckets"][b] != before["buckets"].get(b)
+    }
+    ins_only = spark.createDataFrame([(1000,)], "k int")
+    touched = {
+        str(r.pk_bucket)
+        for r in upsert._with_bucket(ins_only, ["k"], 8)
+        .select("pk_bucket").collect()
+    }
+    assert changed == touched
+
+
+def test_merge_into_additive_schema_evolution(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=2
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 9), (7, "g", 7)], "k int, v string, extra long"
+    )
+    mf.merge_into(
+        spark,
+        table,
+        src,
+        when_matched_update={"v": F.col("src.v")},
+    )
+    got = {
+        (r.k, r.v, r.extra)
+        for r in mf.read_manifest_table(spark, table).collect()
+    }
+    # matched row updated (extra stays null there: not in the update
+    # dict); insert lands with the widened column; old row reads null
+    assert got == {(1, "a", None), (2, "B", None), (7, "g", 7)}
+
+
+def test_merge_into_no_clauses_is_a_true_noop(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, _df(spark, [(1, "a")]), ["k"], n_buckets=2)
+    v = mf.merge_into(
+        spark, table, _df(spark, [(1, "z")]), insert_not_matched=False
+    )
+    assert v == 1
+    assert mf.list_versions(table) == [1]
+    assert _state(spark, table) == {(1, "a")}

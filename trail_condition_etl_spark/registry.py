@@ -867,6 +867,15 @@ def q_zorder_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.zorder_skip_scan_query(spark, sf_dir)
 
 
+@query("manifest_merge_into", oracle=manifest_sink.MERGE_INTO_SQL)
+def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full MERGE INTO clause surface (conditional UPDATE SET, DELETE,
+    # INSERT) as ONE atomic commit; target side reads only the bucket
+    # dirs the source keys hash into
+    ensure_engine_conf(spark)
+    return manifest_sink.merge_into_query(spark, sf_dir)
+
+
 @query("manifest_history", oracle=manifest_sink.MANIFEST_HISTORY_SQL)
 def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DESCRIBE HISTORY + metadata-only COUNT(*): per-version operation
@@ -1529,8 +1538,8 @@ _SAMPLE_HEAD = [
     # flagship + this round's changed surfaces
     "trail_classifier", "cdc_incremental", "manifest_lookup",
     "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
-    "pyds_cdc_stream", "manifest_history", "stream_roundtrip",
-    "stream_roundtrip_multibatch",
+    "pyds_cdc_stream", "manifest_history", "manifest_merge_into",
+    "stream_roundtrip", "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows
     "doc_fingerprint", "json_props",
     # never driver-sampled: streaming

@@ -406,6 +406,7 @@ def manifest_upsert(
     n_buckets: int | None = None,
     tombstone_col: str | None = None,
     collect_stats: bool = True,
+    operation: str = "upsert",
 ) -> int:
     """MERGE-style upsert with an atomic commit: new rows win over
     existing rows with the same key; untouched buckets carry over by
@@ -564,7 +565,7 @@ def manifest_upsert(
             "file_stats": file_stats,
             "row_counts": row_counts,
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
-            "operation": "upsert",
+            "operation": operation,
             "op_metrics": {
                 "buckets_written": len(buckets) - len(carried),
                 "buckets_carried": len(carried),
@@ -584,6 +585,116 @@ def manifest_upsert(
         return version
     finally:
         release_table_lease(table_path, token)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    when_matched_update: dict[str, F.Column] | None = None,
+    matched_condition: F.Column | None = None,
+    when_matched_delete: F.Column | None = None,
+    insert_not_matched: bool = True,
+) -> int:
+    """Full MERGE INTO semantics (Delta's WHEN MATCHED [AND cond] THEN
+    UPDATE SET ... / DELETE, WHEN NOT MATCHED THEN INSERT), composed
+    onto the same atomic commit as `manifest_upsert` — the whole merge
+    is ONE commit (one version, crash-total, fenced).
+
+    `source` joins the table on its recorded merge keys. Conditions and
+    update expressions are Column exprs over the aliases `src.<col>` /
+    `tgt.<col>`. Clause order matches Delta: a matched row that passes
+    `when_matched_delete` is deleted; otherwise, if `matched_condition`
+    holds (default: always), `when_matched_update` columns are rewritten
+    (unlisted columns keep the target value); with no update dict,
+    matched rows are untouched AND excluded from the write entirely.
+    Unmatched source rows insert when `insert_not_matched` (additive
+    schema evolution applies: new source columns widen the table,
+    missing ones land NULL). Duplicate source keys collapse to one
+    arbitrary winner, same as `manifest_upsert`.
+
+    IO stays proportional to the touched buckets: the target side reads
+    ONLY the bucket dirs the source keys hash into, and the commit
+    rewrites only those buckets (everything else carries by reference).
+    The reference claim is the server-side MERGE (DESIGN.md:41), here
+    with the full conditional-clause surface."""
+    mf = read_manifest(table_path)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    keys = mf["keys"]
+    schema = _data_schema(mf)
+    touched = [
+        r.pk_bucket
+        for r in _with_bucket(
+            source.select(*keys).distinct(), keys, mf["n_buckets"]
+        )
+        .select("pk_bucket")
+        .distinct()
+        .collect()
+    ]
+    dirs = [
+        os.path.join(table_path, mf["buckets"][str(b)])
+        for b in touched
+        if str(b) in mf["buckets"]
+    ]
+    tgt = (
+        spark.read.schema(schema).parquet(*dirs)
+        if dirs
+        else spark.createDataFrame([], schema)
+    )
+    s, t = source.alias("src"), tgt.alias("tgt")
+    joined = s.join(t, on=keys, how="inner")
+    data_cols = [f.name for f in schema.fields if f.name not in keys]
+    delete_cond = (
+        when_matched_delete
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd_cond = (
+        matched_condition if matched_condition is not None else F.lit(True)
+    )
+    tomb = "__merge_delete"
+    parts = []
+    if when_matched_update:
+        sel = [F.col(k) for k in keys]
+        for c in data_cols:
+            keep = F.col(f"tgt.{c}")
+            expr = (
+                F.when(upd_cond, when_matched_update[c]).otherwise(keep)
+                if c in when_matched_update
+                else keep
+            )
+            sel.append(expr.alias(c))
+        parts.append(
+            joined.filter(~delete_cond)
+            .select(*sel)
+            .withColumn(tomb, F.lit(False))
+        )
+    if when_matched_delete is not None:
+        parts.append(
+            joined.filter(delete_cond)
+            .select(*keys)
+            .withColumn(tomb, F.lit(True))
+        )
+    if insert_not_matched:
+        parts.append(
+            s.join(t, on=keys, how="left_anti").withColumn(
+                tomb, F.lit(False)
+            )
+        )
+    if not parts:
+        return mf["version"]  # no clause touches anything: true no-op
+    batch = parts[0]
+    for p in parts[1:]:
+        batch = batch.unionByName(p, allowMissingColumns=True)
+    return manifest_upsert(
+        spark,
+        table_path,
+        batch,
+        keys,
+        tombstone_col=tomb,
+        operation="merge",
+    )
 
 
 def _data_schema(manifest: dict) -> StructType:
@@ -1239,6 +1350,74 @@ SELECT 1 AS version, 'upsert' AS operation,
 UNION ALL
 SELECT 2 AS version, 'upsert' AS operation,
        (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 2) AS table_rows
+"""
+
+
+def merge_into_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Conditional MERGE INTO as an oracle-checked query. Target:
+    docs %3==0. Source: docs %2==0 with n_chars tripled (so the sides
+    genuinely differ). Clauses: matched rows whose src.n_chars ≡ 0
+    (mod 7) DELETE; of the rest, those with src.doc_id ≡ 0 (mod 4) get
+    n_chars = tgt + src (4x the original); other matched rows keep the
+    target value; unmatched source rows INSERT. The summary aggregates
+    the post-merge table — one atomic commit — which the oracle
+    re-derives from `documents` with the same clause algebra."""
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    table = os.path.join(scratch_dir("manifest_minto_"), "t")
+    manifest_upsert(
+        spark, table, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
+        n_buckets=8,
+    )
+    src = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 3
+    )
+    merge_into(
+        spark,
+        table,
+        src,
+        when_matched_update={
+            "n_chars": F.col("tgt.n_chars") + F.col("src.n_chars")
+        },
+        matched_condition=F.col("src.doc_id") % 4 == 0,
+        when_matched_delete=F.col("src.n_chars") % 7 == 0,
+    )
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+MERGE_INTO_SQL = """
+WITH t AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+s AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) * 3 AS n
+  FROM documents WHERE doc_id % 2 = 0
+),
+final AS (
+  SELECT t.doc_id, t.source,
+         CASE WHEN t.doc_id % 4 = 0 THEN t.n + s.n ELSE t.n END AS n
+  FROM t JOIN s USING (doc_id) WHERE s.n % 7 <> 0
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n FROM t
+  WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.doc_id = t.doc_id)
+  UNION ALL
+  SELECT s.doc_id, s.source, s.n FROM s
+  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.doc_id = s.doc_id)
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS sum_chars
+FROM final GROUP BY source
 """
 
 
