@@ -1056,3 +1056,79 @@ def test_merge_into_no_clauses_is_a_true_noop(spark, tmp_path):
     assert v == 1
     assert mf.list_versions(table) == [1]
     assert _state(spark, table) == {(1, "a")}
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (ALTER TABLE ADD CONSTRAINT)
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_rejects_violating_batch_atomically(spark, tmp_path):
+    table = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, v string, n long"
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    v = mf.add_table_constraint(spark, table, "n_positive", "n > 0")
+    assert mf.read_manifest(table)["operation"] == "add-constraint"
+
+    bad = spark.createDataFrame([(3, "c", -5)], "k int, v string, n long")
+    with pytest.raises(ValueError, match="n_positive"):
+        mf.manifest_upsert(spark, table, bad, ["k"])
+    assert mf.list_versions(table)[-1] == v  # nothing committed
+    assert {r.k for r in mf.read_manifest_table(spark, table).collect()} == {1, 2}
+
+    ok = spark.createDataFrame([(3, "c", 5)], "k int, v string, n long")
+    mf.manifest_upsert(spark, table, ok, ["k"])
+    assert {r.k for r in mf.read_manifest_table(spark, table).collect()} == {1, 2, 3}
+    # merge_into routes through the same gate
+    src = spark.createDataFrame([(9, "z", -1)], "k int, v string, n long")
+    with pytest.raises(ValueError, match="n_positive"):
+        mf.merge_into(spark, table, src)
+
+
+def test_constraint_null_semantics_and_narrow_batches(spark, tmp_path):
+    """SQL CHECK: only FALSE violates — NULL passes; a narrow batch's
+    missing constrained column is checked as NULL, not an analysis
+    error. NOT NULL is the explicit IS NOT NULL constraint."""
+    table = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(1, "a", 10)], "k int, v string, n long"
+    )
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    mf.add_table_constraint(spark, table, "n_positive", "n > 0")
+    # NULL n passes the CHECK
+    withnull = spark.createDataFrame(
+        [(2, "b", None)], "k int, v string, n long"
+    )
+    mf.manifest_upsert(spark, table, withnull, ["k"])
+    # narrow batch omitting n entirely also passes (lands NULL)
+    narrow = spark.createDataFrame([(3, "c")], "k int, v string")
+    mf.manifest_upsert(spark, table, narrow, ["k"])
+    assert mf.read_manifest_table(spark, table).count() == 3
+    # explicit NOT NULL now rejects the nulls already present
+    with pytest.raises(ValueError, match="existing row"):
+        mf.add_table_constraint(spark, table, "n_nn", "n IS NOT NULL")
+
+
+def test_drop_constraint_reopens_the_gate(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table,
+        spark.createDataFrame([(1, 5)], "k int, n long"), ["k"], n_buckets=2,
+    )
+    mf.add_table_constraint(spark, table, "n_small", "n < 100")
+    with pytest.raises(ValueError):
+        mf.add_table_constraint(spark, table, "n_small", "n < 50")  # dup name
+    big = spark.createDataFrame([(2, 500)], "k int, n long")
+    with pytest.raises(ValueError):
+        mf.manifest_upsert(spark, table, big, ["k"])
+    mf.drop_table_constraint(spark, table, "n_small")
+    mf.manifest_upsert(spark, table, big, ["k"])
+    assert mf.read_manifest_table(spark, table).count() == 2
+    with pytest.raises(ValueError):
+        mf.drop_table_constraint(spark, table, "nope")
+    # constraints survive unrelated commits and optimize
+    mf.add_table_constraint(spark, table, "k_nn", "k IS NOT NULL")
+    mf.optimize_table(spark, table)
+    assert "k_nn" in mf.read_manifest(table)["constraints"]

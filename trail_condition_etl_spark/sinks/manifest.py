@@ -473,6 +473,31 @@ def manifest_upsert(
                         "the old physical type and would fail at scan "
                         "time under a changed schema"
                     )
+            # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
+            # the incoming LIVE rows must satisfy every recorded
+            # predicate, SQL CHECK semantics (violated only when the
+            # expression is FALSE; NULL passes). Violation is fatal
+            # before any byte is written — the table stays untouched.
+            # A narrow batch's missing columns land NULL, so they're
+            # checked as NULL (not an analysis error).
+            if mf.get("constraints"):
+                checked = upserts
+                have = set(upserts.columns)
+                for tf in _data_schema(mf).fields:
+                    if tf.name not in have:
+                        checked = checked.withColumn(
+                            tf.name, F.lit(None).cast(tf.dataType)
+                        )
+                for cname, cexpr in mf["constraints"].items():
+                    bad = checked.filter(
+                        ~F.coalesce(F.expr(cexpr), F.lit(True))
+                    ).take(1)
+                    if bad:
+                        raise ValueError(
+                            f"constraint {cname!r} ({cexpr}) violated by "
+                            f"the incoming batch, e.g. {bad[0].asDict()} "
+                            f"({table_path}); commit rejected"
+                        )
         buckets_n = (
             mf["n_buckets"]
             if mf
@@ -564,6 +589,7 @@ def manifest_upsert(
             "stats": stats,
             "file_stats": file_stats,
             "row_counts": row_counts,
+            "constraints": mf.get("constraints", {}) if mf else {},
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": operation,
             "op_metrics": {
@@ -695,6 +721,104 @@ def merge_into(
         tombstone_col=tomb,
         operation="merge",
     )
+
+
+def add_table_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """Record a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    `expr` is a SQL boolean over the table's columns. EXISTING data is
+    validated first (one scan — a constraint the table already violates
+    is rejected, Delta's rule), then a metadata-only commit records it;
+    every later upsert/merge batch is checked before any byte lands.
+    SQL CHECK semantics: only FALSE violates, NULL passes (pair with an
+    explicit `col IS NOT NULL` constraint for NOT NULL)."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        if name in mf.get("constraints", {}):
+            raise ValueError(
+                f"constraint {name!r} already exists on {table_path} "
+                f"({mf['constraints'][name]}); drop it first"
+            )
+        bad = (
+            read_manifest_table(spark, table_path)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .take(1)
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r} ({expr}): existing row "
+                f"violates it, e.g. {bad[0].asDict()} ({table_path})"
+            )
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "constraints": {**mf.get("constraints", {}), name: expr},
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "add-constraint",
+            "op_metrics": {"constraint": name, "expr": expr},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt, fatal=(WriterFencedError, ValueError)
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
+def drop_table_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """Metadata-only commit removing a recorded constraint."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        cons = dict(mf.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {table_path} "
+                f"(have: {sorted(cons)})"
+            )
+        dropped = cons.pop(name)
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "constraints": cons,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "drop-constraint",
+            "op_metrics": {"constraint": name, "expr": dropped},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt, fatal=(WriterFencedError, ValueError)
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
 
 
 def _data_schema(manifest: dict) -> StructType:
@@ -1033,6 +1157,7 @@ def optimize_table(
             "stats": stats,
             "file_stats": file_stats,
             "row_counts": row_counts,
+            "constraints": mf.get("constraints", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": "optimize",
             "op_metrics": {
