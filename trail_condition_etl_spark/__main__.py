@@ -1,14 +1,20 @@
-"""Engine CLI: list, run, or explain any registered query.
+"""Engine CLI: list, run, or explain any registered query, plus the
+manifest-table operator console.
 
     python -m trail_condition_etl_spark list
     python -m trail_condition_etl_spark run trail_classifier [--sf-dir DIR] [-n 20]
     python -m trail_condition_etl_spark explain pricing_summary [--sf-dir DIR]
+    python -m trail_condition_etl_spark table history PATH
+    python -m trail_condition_etl_spark table count PATH
+    python -m trail_condition_etl_spark table optimize PATH \\
+        [--cluster-by col1,col2] [--files-per-bucket N]
+    python -m trail_condition_etl_spark table vacuum PATH [--keep-last N]
 
 `run` prints the result (truncated to -n rows); `explain` prints the
 formatted physical plan — the same artifact tests/test_plans.py asserts
 on, so a user can eyeball what will execute before pointing the query at
-a cluster-sized table.
-"""
+a cluster-sized table. `table history`/`count` are metadata-only (no
+data files opened); `optimize --cluster-by` is the ZORDER rewrite."""
 
 from __future__ import annotations
 
@@ -30,7 +36,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         if cmd == "run":
             p.add_argument("-n", type=int, default=20, help="rows to show")
+    pt = sub.add_parser("table", help="manifest-table operator console")
+    tsub = pt.add_subparsers(dest="tcmd", required=True)
+    for tcmd in ("history", "count", "optimize", "vacuum"):
+        tp = tsub.add_parser(tcmd)
+        tp.add_argument("path")
+        if tcmd == "optimize":
+            tp.add_argument("--cluster-by", default=None,
+                            help="comma-separated ZORDER columns")
+            tp.add_argument("--files-per-bucket", type=int, default=4)
+        if tcmd == "vacuum":
+            tp.add_argument("--keep-last", type=int, default=1)
     args = parser.parse_args(argv)
+
+    if args.cmd == "table":
+        return _table_cmd(args)
 
     from . import registry
 
@@ -56,6 +76,38 @@ def main(argv: list[str] | None = None) -> int:
         from .plans import formatted_plan
 
         print(formatted_plan(df))
+    return 0
+
+
+def _table_cmd(args) -> int:
+    from .sinks import manifest as mf
+
+    if args.tcmd == "count":  # metadata-only: no SparkSession needed
+        n = mf.manifest_row_count(args.path)
+        print(n if n is not None else "unknown (a commit skipped stats: scan required)")
+        return 0
+    from .session import get_spark
+
+    spark = get_spark(f"cli-table-{args.tcmd}")
+    if args.tcmd == "history":
+        mf.describe_history(spark, args.path).orderBy("version").show(
+            100, truncate=False
+        )
+    elif args.tcmd == "optimize":
+        cluster = (
+            [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+            if args.cluster_by
+            else None
+        )
+        v = mf.optimize_table(
+            spark, args.path,
+            cluster_by=cluster, files_per_bucket=args.files_per_bucket,
+        )
+        print(f"optimized -> version {v}"
+              + (f" (clustered by {cluster})" if cluster else ""))
+    elif args.tcmd == "vacuum":
+        removed = mf.vacuum(args.path, keep_last=args.keep_last)
+        print(f"swept {removed} orphan/expired segment dirs")
     return 0
 
 
