@@ -15,6 +15,12 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
 * `cold_total` (sum of each query's FIRST run) is THE round-over-round
   comparable — rounds 1-3 ran each query once, cold, so it lines up with
   their historical totals; compare it against the previous BENCH_r{N}.
+  When `n_queries` grew (the headline list is append-only), compare the
+  SHARED per-query subset in `detail.cold` — a total that jumped because
+  new action-embedding queries joined the list is growth, not regression
+  (round 6 added manifest_skip_scan, manifest_lookup, cdc_incremental,
+  zorder_skip_scan, manifest_mor_delete: ~12 s of cold
+  manifest-transaction wall).
 * `value` is the steady-state total: per-query MEDIAN of
   $SPARK_GRAFT_BENCH_RUNS (floor 3) post-cold runs — what a warehouse
   pays per invocation against built artifacts. Never compare `value`
@@ -101,6 +107,9 @@ HEADLINE = [
     "manifest_lookup",
     "cdc_incremental",
     "zorder_skip_scan",
+    # merge-on-read DELETE: the write-amplification fix (delete files,
+    # no segment rewrite) + both snapshot reads through the anti-join
+    "manifest_mor_delete",
 ]
 
 
@@ -267,6 +276,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "runs": n_runs,
+                "n_queries": len(timings),
                 "cold_total": round(sum(cold.values()), 3),
                 "steady_above_cold_anomalies": anomalies,
                 "scale_smoke": scale_smoke,

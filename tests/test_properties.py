@@ -493,6 +493,10 @@ _mops = st.lists(
             st.just("delete"),
             st.sets(st.integers(0, 30), min_size=1, max_size=4),
         ),
+        st.tuples(
+            st.just("mor_delete"),
+            st.sets(st.integers(0, 30), min_size=1, max_size=4),
+        ),
         st.tuples(st.just("optimize"), st.booleans()),
         st.tuples(st.just("vacuum"), st.just(None)),
     ),
@@ -511,10 +515,10 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     spark, tmp_path_factory, ops
 ):
     """Model-based check: ANY interleaving of upserts, tombstone
-    deletes (including of absent keys), plain/clustered optimizes, and
-    vacuums leaves the table exactly equal to a dict that applied the
-    same ops — and a stats-skip read agrees with the model-filtered
-    view, clustered or not."""
+    deletes, merge-on-read deletes (both including absent keys),
+    plain/clustered optimizes, and vacuums leaves the table exactly
+    equal to a dict that applied the same ops — and a stats-skip read
+    and the metadata-only count agree with the model too."""
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     table = str(tmp_path_factory.mktemp("prop_manifest") / "t")
@@ -537,6 +541,11 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             )
             for k in arg:
                 model.pop(k, None)
+        elif kind == "mor_delete" and committed:
+            # merge-on-read path: equality-delete files, no rewrite
+            mfm.delete_where(spark, table, F.col("k").isin(sorted(arg)))
+            for k in arg:
+                model.pop(k, None)
         elif kind == "optimize" and committed:
             mfm.optimize_table(
                 spark,
@@ -552,6 +561,7 @@ def test_manifest_table_matches_model_under_any_op_sequence(
         r.k: r.v for r in mfm.read_manifest_table(spark, table).collect()
     }
     assert got == model
+    assert mfm.manifest_row_count(table) == len(model)
     skipped = mfm.read_manifest_table(spark, table, skip=[("v", ">=", 0)])
     assert {r.k: r.v for r in skipped.collect()} == {
         k: v for k, v in model.items() if v >= 0

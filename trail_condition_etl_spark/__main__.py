@@ -9,6 +9,10 @@ manifest-table operator console.
     python -m trail_condition_etl_spark table optimize PATH \\
         [--cluster-by col1,col2] [--files-per-bucket N]
     python -m trail_condition_etl_spark table vacuum PATH [--keep-last N]
+    python -m trail_condition_etl_spark table delete PATH --where "SQL expr"
+    python -m trail_condition_etl_spark table update PATH --where "SQL expr" \\
+        --set "col = expr" [--set "col2 = expr2"]
+    python -m trail_condition_etl_spark table restore PATH --version N
 
 `run` prints the result (truncated to -n rows); `explain` prints the
 formatted physical plan — the same artifact tests/test_plans.py asserts
@@ -38,7 +42,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("-n", type=int, default=20, help="rows to show")
     pt = sub.add_parser("table", help="manifest-table operator console")
     tsub = pt.add_subparsers(dest="tcmd", required=True)
-    for tcmd in ("history", "count", "optimize", "vacuum"):
+    for tcmd in (
+        "history", "count", "optimize", "vacuum", "delete", "update",
+        "restore",
+    ):
         tp = tsub.add_parser(tcmd)
         tp.add_argument("path")
         if tcmd == "optimize":
@@ -47,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
             tp.add_argument("--files-per-bucket", type=int, default=4)
         if tcmd == "vacuum":
             tp.add_argument("--keep-last", type=int, default=1)
+        if tcmd == "delete":
+            tp.add_argument("--where", required=True,
+                            help="SQL predicate (merge-on-read delete)")
+        if tcmd == "update":
+            tp.add_argument("--where", required=True, help="SQL predicate")
+            tp.add_argument("--set", required=True, action="append",
+                            help='"col = expr", repeatable')
+        if tcmd == "restore":
+            tp.add_argument("--version", type=int, required=True)
     args = parser.parse_args(argv)
 
     if args.cmd == "table":
@@ -108,6 +124,35 @@ def _table_cmd(args) -> int:
     elif args.tcmd == "vacuum":
         removed = mf.vacuum(args.path, keep_last=args.keep_last)
         print(f"swept {removed} orphan/expired segment dirs")
+    elif args.tcmd == "delete":
+        before = (mf.read_manifest(args.path) or {}).get("version")
+        v = mf.delete_where(spark, args.path, args.where)
+        if v == before:
+            print(f"no rows matched; table unchanged at version {v}")
+        else:
+            met = (mf.read_manifest(args.path, v) or {}).get("op_metrics", {})
+            print(
+                f"deleted {met.get('rows_deleted')} rows (merge-on-read) "
+                f"-> version {v}"
+            )
+    elif args.tcmd == "update":
+        assignments = {}
+        for s in args.set:
+            col, _, expr = s.partition("=")
+            if not _ or not col.strip() or not expr.strip():
+                print(f'bad --set {s!r}; expected "col = expr"',
+                      file=sys.stderr)
+                return 2
+            assignments[col.strip()] = expr.strip()
+        before = (mf.read_manifest(args.path) or {}).get("version")
+        v = mf.update_where(spark, args.path, args.where, assignments)
+        if v == before:
+            print(f"no rows matched; table unchanged at version {v}")
+        else:
+            print(f"updated -> version {v}")
+    elif args.tcmd == "restore":
+        v = mf.restore_table(spark, args.path, version=args.version)
+        print(f"restored to version {args.version} -> version {v}")
     return 0
 
 

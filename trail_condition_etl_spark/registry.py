@@ -828,6 +828,34 @@ def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.manifest_changes_query(spark, sf_dir)
 
 
+@query("manifest_mor_delete", oracle=manifest_sink.MANIFEST_MOR_DELETE_SQL)
+def q_manifest_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # merge-on-read DELETE (Iceberg v2 equality deletes / Delta deletion
+    # vectors): the commit writes only the matched keys, no segment
+    # rewrite; readers anti-join them out, time travel still sees them
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_mor_delete_query(spark, sf_dir)
+
+
+@query(
+    "manifest_update_where", oracle=manifest_sink.MANIFEST_UPDATE_WHERE_SQL
+)
+def q_manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UPDATE ... WHERE: copy-on-write of exactly the buckets the matched
+    # keys hash into, one atomic commit, CHECK constraints enforced
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_update_where_query(spark, sf_dir)
+
+
+@query("manifest_restore", oracle=manifest_sink.MANIFEST_RESTORE_SQL)
+def q_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RESTORE TABLE TO VERSION: metadata-only rollback (segments carried
+    # by reference), history preserved — the undone version stays
+    # time-travel-readable
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_restore_query(spark, sf_dir)
+
+
 @query("cdc_incremental", oracle=streaming_cdc.CDC_INCREMENTAL_SQL)
 def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental change-feed consumption with a persisted version
@@ -1539,6 +1567,7 @@ _SAMPLE_HEAD = [
     "trail_classifier", "cdc_incremental", "manifest_lookup",
     "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
     "pyds_cdc_stream", "manifest_history", "manifest_merge_into",
+    "manifest_mor_delete", "manifest_update_where", "manifest_restore",
     "stream_roundtrip", "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows
     "doc_fingerprint", "json_props",

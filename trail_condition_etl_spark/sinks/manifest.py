@@ -30,7 +30,13 @@ window the way Delta/Iceberg do, reduced to its essential mechanics:
   references: snapshot isolation for free (a concurrent commit cannot
   tear a read — the reader's manifest still references the old
   segments, which are immutable and only removed by an explicit
-  `vacuum`). Old versions stay readable => time travel.
+  `vacuum`). Old versions stay readable => time travel;
+* DELETE has a merge-on-read path (`delete_where`): the commit records
+  small per-bucket equality-delete key files instead of rewriting any
+  segment (Iceberg v2 equality deletes / Delta deletion vectors,
+  reduced to their mechanics). Every reader anti-joins the pending
+  delete keys out, and the next rewrite of a bucket — upsert, merge,
+  or `optimize_table` — materializes them and drops the delete files.
 
 The reference's upsert claim is server-side MERGE semantics
 (DESIGN.md:41, fetch-weather/src/weather.py:25-32); this is that claim
@@ -398,6 +404,294 @@ def skip_filter_expr(skip: list[tuple]) -> F.Column:
     return reduce(lambda a, b: a & b, conds)
 
 
+# ---------------------------------------------------------------------------
+# merge-on-read deletes (equality delete files)
+# ---------------------------------------------------------------------------
+
+
+def _key_schema(mf: dict) -> StructType:
+    keys = set(mf["keys"])
+    return StructType(
+        [f for f in _data_schema(mf).fields if f.name in keys]
+    )
+
+
+def _delete_dirs_for(table_path: str, mf: dict, bucket_ids) -> list[str]:
+    """Absolute delete-file dirs recorded for the given buckets (ids may
+    be int or str). Empty for a table with no pending MoR deletes."""
+    dmap = mf.get("deletes", {})
+    return [
+        os.path.join(table_path, d)
+        for b in bucket_ids
+        for d in dmap.get(str(b), [])
+    ]
+
+
+def _apply_deletes(
+    spark: SparkSession, df: DataFrame, table_path: str, mf: dict, bucket_ids
+) -> DataFrame:
+    """Anti-join the pending equality-delete keys for `bucket_ids` out of
+    `df`. Delete sets are small relative to the table (that is the point
+    of merge-on-read — and `optimize_table` materializes them before
+    they grow large), so the anti-join broadcasts."""
+    dirs = _delete_dirs_for(table_path, mf, bucket_ids)
+    if not dirs:
+        return df
+    dels = spark.read.schema(_key_schema(mf)).parquet(*dirs)
+    return df.join(F.broadcast(dels), mf["keys"], "left_anti")
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+) -> int:
+    """Merge-on-read DELETE (Delta's deletion vectors / Iceberg v2
+    equality deletes, reduced to their mechanics): rows matching
+    `condition` (a Column or SQL string) are deleted WITHOUT rewriting
+    any data segment. The commit writes only a small parquet of the
+    matched merge keys (`data/del-<nonce>/pk_bucket=N/`), records it in
+    the manifest per bucket, and every reader — `read_manifest_table`,
+    `read_manifest_lookup`, `merge_into`'s target scan, the
+    `format("manifest")` / `format("manifest_cdc")` data sources —
+    anti-joins those keys out. Copy-on-write deletes (the
+    `tombstone_col` path of `manifest_upsert`) rewrite every touched
+    bucket; at scale, deleting 0.1% of rows scattered across all
+    buckets would rewrite the whole table — this path writes bytes
+    proportional to the DELETED KEYS instead, the write-amplification
+    fix that makes deletes viable at 100 TB.
+
+    Mechanics and contracts:
+    * matched keys are computed against the CURRENT snapshot (pending
+      deletes applied), so a key appears in at most one delete file —
+      counts stay exact and `manifest_row_count` stays metadata-only
+      (segment row counts minus per-bucket delete counts);
+    * bucket/file stats are untouched: they become conservative UPPER
+      bounds (rows only disappear), so metadata skipping stays sound;
+    * a later upsert/merge that rewrites a bucket applies and DROPS that
+      bucket's delete files (the rewrite materializes them);
+      `optimize_table` materializes all of them; `vacuum` sweeps
+      unreferenced delete dirs like any segment;
+    * a predicate matching nothing commits nothing (returns the current
+      version unchanged) — no empty versions.
+
+    Returns the committed (or unchanged) version. Crash-total and
+    fenced exactly like `manifest_upsert`: an unpublished delete file
+    is orphan data no manifest references."""
+    token = acquire_table_lease(table_path)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        keys = mf["keys"]
+        current = read_manifest_table(spark, table_path)
+        matched = _with_bucket(
+            current.filter(cond).select(*keys), keys, mf["n_buckets"]
+        )
+        rel = os.path.join("data", f"del-{uuid.uuid4().hex[:12]}")
+        del_abs = os.path.join(table_path, rel)
+        matched.write.partitionBy("pk_bucket").mode("overwrite").parquet(
+            del_abs
+        )
+        hit = [
+            e for e in os.listdir(del_abs) if e.startswith("pk_bucket=")
+        ]
+        if not hit:
+            shutil.rmtree(del_abs, ignore_errors=True)
+            return mf["version"]  # nothing matched: no empty commit
+        per_bucket = {
+            r["pk_bucket"]: r["n"]
+            for r in spark.read.parquet(del_abs)
+            .groupBy("pk_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by n_buckets
+        }
+        deletes = {
+            b: list(v) for b, v in mf.get("deletes", {}).items()
+        }
+        delete_counts = dict(mf.get("delete_counts", {}))
+        for e in hit:
+            b = e.split("=", 1)[1]
+            deletes.setdefault(b, []).append(os.path.join(rel, e))
+            delete_counts[b] = delete_counts.get(b, 0) + per_bucket[int(b)]
+        manifest = {
+            "version": mf["version"] + 1,
+            "token": token,
+            "n_buckets": mf["n_buckets"],
+            "keys": keys,
+            "schema": mf["schema"],
+            "buckets": mf["buckets"],
+            "stats": mf.get("stats", {}),
+            "file_stats": mf.get("file_stats", {}),
+            "row_counts": mf.get("row_counts", {}),
+            "deletes": deletes,
+            "delete_counts": delete_counts,
+            "constraints": mf.get("constraints", {}),
+            "committed_at": _dt.datetime.now(
+                _dt.timezone.utc
+            ).isoformat(),
+            "operation": "delete",
+            "op_metrics": {
+                "buckets_written": 0,
+                "buckets_carried": len(mf["buckets"]),
+                "rows_deleted": sum(per_bucket.values()),
+                "mode": "merge-on-read",
+            },
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(attempt, fatal=(WriterFencedError,))
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
+def update_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    set: dict[str, F.Column | str],
+) -> int:
+    """UPDATE ... WHERE (Delta's UPDATE): rows matching `condition` get
+    the `set` columns rewritten (Column exprs or SQL strings, evaluated
+    against the matched row); everything else is untouched. Composes
+    onto `manifest_upsert`'s atomic commit — copy-on-write of exactly
+    the buckets the matched keys hash into, one version, crash-total,
+    fenced, CHECK constraints enforced on the updated rows before any
+    byte lands. Merge keys cannot be SET (that would be a delete +
+    insert — use `merge_into` or `delete_where` + upsert). A predicate
+    matching nothing commits nothing. Returns the committed (or
+    unchanged) version."""
+    mf = read_manifest(table_path)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    bad = sorted(set.keys() & {*mf["keys"]})
+    if bad:
+        raise ValueError(
+            f"cannot SET merge key column(s) {bad} ({table_path}): "
+            "rekeying a row is a delete + insert, not an update"
+        )
+    known = {f.name for f in _data_schema(mf).fields}
+    unknown = sorted(set.keys() - known)
+    if unknown:
+        raise ValueError(
+            f"SET column(s) {unknown} not in table schema ({table_path}); "
+            "UPDATE never adds columns — widen via an upsert batch"
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    exprs = {
+        c: F.expr(e) if isinstance(e, str) else e for c, e in set.items()
+    }
+    matched = read_manifest_table(spark, table_path).filter(cond)
+    if matched.isEmpty():
+        return mf["version"]  # nothing matched: no empty commit
+    updated = matched.select(
+        *[
+            exprs[c].alias(c) if c in exprs else F.col(c)
+            for c in matched.columns
+        ]
+    )
+    return manifest_upsert(
+        spark, table_path, updated, mf["keys"], operation="update"
+    )
+
+
+def restore_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    as_of=None,
+) -> int:
+    """RESTORE TABLE TO VERSION (Delta's RESTORE): a METADATA-ONLY
+    commit that re-points the table at an older snapshot — buckets,
+    schema, stats, row counts, and pending MoR deletes all come from
+    the restored manifest, carried by reference (zero data bytes
+    moved). History is preserved: the restore is a NEW version on top,
+    so the mistake you are undoing stays time-travel-readable and the
+    restore itself is undoable. Requires the restored version's
+    segments to still exist — a snapshot already swept by `vacuum`
+    raises instead of committing a manifest that points at deleted
+    data. Current CHECK constraints carry forward unvalidated (same as
+    Delta: RESTORE is a data rollback, not a new batch)."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        cur = read_manifest(table_path)
+        if cur is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        target = version
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            target = version_as_of(table_path, as_of)
+        if target is None:
+            raise ValueError("restore_table needs version or as_of")
+        if target not in list_versions(table_path):
+            raise ValueError(
+                f"cannot restore {table_path} to version {target}: that "
+                "manifest was vacuumed away (or never committed); only "
+                f"{list_versions(table_path)} are retained"
+            )
+        old = read_manifest(table_path, target)
+        missing = [
+            d
+            for d in (
+                list(old["buckets"].values())
+                + [x for lst in old.get("deletes", {}).values() for x in lst]
+            )
+            if not os.path.isdir(os.path.join(table_path, d))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {table_path} to version {target}: "
+                f"{len(missing)} referenced dir(s) were vacuumed away "
+                f"(e.g. {missing[0]})"
+            )
+        manifest = {
+            "version": cur["version"] + 1,
+            "token": token,
+            "n_buckets": old["n_buckets"],
+            "keys": old["keys"],
+            "schema": old["schema"],
+            "buckets": old["buckets"],
+            "stats": old.get("stats", {}),
+            "file_stats": old.get("file_stats", {}),
+            "row_counts": old.get("row_counts", {}),
+            "deletes": old.get("deletes", {}),
+            "delete_counts": old.get("delete_counts", {}),
+            "constraints": cur.get("constraints", {}),
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "restore",
+            "op_metrics": {
+                "restored_version": target,
+                "buckets_written": 0,
+                "buckets_carried": len(old["buckets"]),
+            },
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version_out = retry_with_backoff(
+            attempt, fatal=(WriterFencedError, ValueError)
+        )
+        record_commit(table_path, token)
+        return version_out
+    finally:
+        release_table_lease(table_path, token)
+
+
 def manifest_upsert(
     spark: SparkSession,
     table_path: str,
@@ -526,9 +820,13 @@ def manifest_upsert(
                 if int(b) not in set(touched)
             }
             if old_dirs:
-                existing = spark.read.schema(
-                    _data_schema(mf)
-                ).parquet(*old_dirs)
+                existing = _apply_deletes(
+                    spark,
+                    spark.read.schema(_data_schema(mf)).parquet(*old_dirs),
+                    table_path,
+                    mf,
+                    touched,
+                )  # pending MoR deletes materialize into the rewrite
                 kept = existing.join(changed_keys, keys, "left_anti")
                 # additive schema evolution (Delta's mergeSchema): a
                 # batch may ADD columns (old rows read back NULL there)
@@ -579,6 +877,15 @@ def manifest_upsert(
         # next optimize re-clusters them
         prev_fstats = mf.get("file_stats", {}) if mf is not None else {}
         file_stats = {b: prev_fstats[b] for b in carried if b in prev_fstats}
+        # pending MoR delete files survive ONLY on carried buckets — a
+        # rewritten bucket just materialized its deletes into the new
+        # segment, so its delete files drop out (vacuum sweeps them)
+        prev_del = mf.get("deletes", {}) if mf is not None else {}
+        deletes = {b: prev_del[b] for b in carried if b in prev_del}
+        prev_dcnt = mf.get("delete_counts", {}) if mf is not None else {}
+        delete_counts = {
+            b: prev_dcnt[b] for b in carried if b in prev_dcnt
+        }
         manifest = {
             "version": (mf["version"] if mf else 0) + 1,
             "token": token,
@@ -589,6 +896,8 @@ def manifest_upsert(
             "stats": stats,
             "file_stats": file_stats,
             "row_counts": row_counts,
+            "deletes": deletes,
+            "delete_counts": delete_counts,
             "constraints": mf.get("constraints", {}) if mf else {},
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": operation,
@@ -668,6 +977,9 @@ def merge_into(
         if dirs
         else spark.createDataFrame([], schema)
     )
+    # a key with a pending MoR delete reads as NOT MATCHED (a matching
+    # source row re-inserts it, never resurrects the old values)
+    tgt = _apply_deletes(spark, tgt, table_path, mf, touched)
     s, t = source.alias("src"), tgt.alias("tgt")
     joined = s.join(t, on=keys, how="inner")
     data_cols = [f.name for f in schema.fields if f.name not in keys]
@@ -903,7 +1215,9 @@ def read_manifest_table(
     df = spark.read.schema(schema).parquet(*paths)
     if skip:
         df = df.filter(skip_filter_expr(skip))
-    return df
+    # pending merge-on-read deletes of the SURVIVING buckets anti-join
+    # out (a pruned bucket's rows never loaded — its deletes are moot)
+    return _apply_deletes(spark, df, table_path, mf, [b for b, _ in items])
 
 
 def read_manifest_lookup(
@@ -966,7 +1280,9 @@ def read_manifest_lookup(
     if not paths:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*paths)
-    return df.join(F.broadcast(lookup), keys, "left_semi")
+    df = df.join(F.broadcast(lookup), keys, "left_semi")
+    # a key with a pending MoR delete must look up as absent
+    return _apply_deletes(spark, df, table_path, mf, bucket_ids)
 
 
 def manifest_row_count(
@@ -977,14 +1293,23 @@ def manifest_row_count(
     ride the commit-time stats job and carry by reference with their
     buckets. Returns None when any referenced bucket lacks a count
     (a commit made with collect_stats=False, or a pre-row_counts
-    manifest): an honest "must scan", never a wrong number."""
+    manifest): an honest "must scan", never a wrong number. Pending
+    merge-on-read deletes subtract by their recorded per-bucket key
+    counts — exact because `delete_where` matches against the current
+    snapshot, so a key is counted in at most one delete file."""
     mf = read_manifest(table_path, version)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     counts = mf.get("row_counts", {})
     if any(b not in counts for b in mf["buckets"]):
         return None
-    return sum(counts[b] for b in mf["buckets"])
+    dels = mf.get("deletes", {})
+    dcnt = mf.get("delete_counts", {})
+    if any(b not in dcnt for b in dels):
+        return None
+    return sum(counts[b] for b in mf["buckets"]) - sum(
+        dcnt[b] for b in dels
+    )
 
 
 def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
@@ -1265,6 +1590,9 @@ def _vacuum_locked(table_path: str, keep_last: int) -> int:
         for d in mf["buckets"].values():
             # reference the SEGMENT root (data/seg-x), not the bucket leaf
             referenced.add(d.split(os.sep)[1])
+        for lst in mf.get("deletes", {}).values():
+            for d in lst:  # pending MoR delete roots (data/del-x)
+                referenced.add(d.split(os.sep)[1])
     data_dir = os.path.join(table_path, "data")
     removed = 0
     try:
@@ -1320,6 +1648,123 @@ def manifest_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly, so the content-based diff is pinned end-to-end."""
     table = _two_commit_table(spark, sf_dir, "manifest_cdc_")
     return table_changes(spark, table, 1, 2)
+
+
+def manifest_mor_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Merge-on-read DELETE as an oracle-checked query: on the
+    shared two-commit table, `delete_where(doc_id % 9 == 0)` commits
+    version 3 WITHOUT rewriting any segment (only equality-delete key
+    files land — pinned by test_manifest.py), then both the pre-delete
+    snapshot (time travel to v2) and the post-delete snapshot are read
+    back and aggregated per (version, source). The deleted keys must be
+    gone from v3, intact in v2 — snapshot isolation across a delete."""
+    table = _two_commit_table(spark, sf_dir, "manifest_mor_del_")
+    delete_where(spark, table, F.col("doc_id") % 9 == 0)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .withColumn("version", F.lit(version))
+        )
+
+    return agg(read_manifest_table(spark, table, version=2), 2).unionByName(
+        agg(read_manifest_table(spark, table, version=3), 3)
+    )
+
+
+MANIFEST_MOR_DELETE_SQL = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       2 AS version
+FROM v2 GROUP BY source
+UNION ALL
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       3 AS version
+FROM v2 WHERE doc_id % 9 <> 0 GROUP BY source
+"""
+
+
+def manifest_update_where_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] UPDATE ... WHERE as an oracle-checked query: on the shared
+    two-commit table, `update_where(n_chars < 500, n_chars += 1000)`
+    rewrites exactly the matched rows (copy-on-write of their buckets),
+    then the post-update snapshot aggregates per source. The oracle
+    applies the same CASE to the derived v2 state."""
+    table = _two_commit_table(spark, sf_dir, "manifest_upd_")
+    update_where(
+        spark,
+        table,
+        F.col("n_chars") < 500,
+        {"n_chars": F.col("n_chars") + F.lit(1000)},
+    )
+    return read_manifest_table(spark, table).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+MANIFEST_UPDATE_WHERE_SQL = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN n_chars < 500 THEN n_chars + 1000
+                     ELSE n_chars END) AS BIGINT) AS sum_chars
+FROM v2 GROUP BY source
+"""
+
+
+def manifest_restore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] RESTORE TABLE as an oracle-checked query: the two-commit
+    table rolls back to version 1 (metadata-only commit, version 3);
+    the latest read must equal the BASE snapshot while the undone
+    version 2 stays time-travel-readable — rollback without history
+    loss, in one driver-visible row set."""
+    table = _two_commit_table(spark, sf_dir, "manifest_restore_")
+    restored = restore_table(spark, table, version=1)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .withColumn("version", F.lit(version))
+        )
+
+    return agg(read_manifest_table(spark, table), restored).unionByName(
+        agg(read_manifest_table(spark, table, version=2), 2)
+    )
+
+
+MANIFEST_RESTORE_SQL = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       3 AS version
+FROM documents WHERE doc_id % 3 = 0 GROUP BY source
+UNION ALL
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       2 AS version
+FROM v2 GROUP BY source
+"""
 
 
 MANIFEST_CHANGES_SQL = """

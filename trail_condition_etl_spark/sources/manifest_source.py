@@ -103,14 +103,17 @@ def _filters_to_skip(
     return skip
 
 
-def _plan_files(table_path: str, mf: dict, skip: list[tuple]) -> list[str]:
-    """The batch plan: surviving absolute file paths after dir-level
-    and file-level stats pruning — `read_manifest_table`'s pruning,
-    re-expressed over the physical file list so each file becomes one
-    input partition."""
+def _plan_files(
+    table_path: str, mf: dict, skip: list[tuple]
+) -> list[tuple[str, str]]:
+    """The batch plan: surviving (bucket, absolute file path) pairs
+    after dir-level and file-level stats pruning —
+    `read_manifest_table`'s pruning, re-expressed over the physical
+    file list so each file becomes one input partition (the bucket id
+    rides along to locate that file's pending MoR delete keys)."""
     stats = mf.get("stats", {})
     fstats = mf.get("file_stats", {})
-    paths: list[str] = []
+    paths: list[tuple[str, str]] = []
     for b, d in mf["buckets"].items():
         if skip and not _bucket_may_match(stats.get(b, {}), skip):
             continue
@@ -118,13 +121,13 @@ def _plan_files(table_path: str, mf: dict, skip: list[tuple]) -> list[str]:
         per_file = fstats.get(b)
         if skip and per_file:
             paths.extend(
-                os.path.join(dir_abs, fn)
+                (b, os.path.join(dir_abs, fn))
                 for fn, cs in per_file.items()
                 if _bucket_may_match(cs, skip)
             )
         else:
             paths.extend(
-                os.path.join(dir_abs, fn)
+                (b, os.path.join(dir_abs, fn))
                 for fn in sorted(os.listdir(dir_abs))
                 if fn.endswith(".parquet")
             )
@@ -132,9 +135,17 @@ def _plan_files(table_path: str, mf: dict, skip: list[tuple]) -> list[str]:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        delete_files: list[str],
+        keys: list[str],
+    ):
         self.path = path
         self.columns = columns
+        self.delete_files = delete_files
+        self.keys = keys
 
 
 def _nullable_arrow_schema(schema: StructType):
@@ -150,11 +161,45 @@ def _nullable_arrow_schema(schema: StructType):
     )
 
 
-def _arrow_batches(path: str, columns: list[str], schema: StructType):
+def _delete_key_set(delete_files: list[str], keys: list[str]) -> set:
+    """The pending MoR delete keys as a set of tuples. Delete files are
+    small by design (bytes proportional to deleted keys, materialized
+    away by the next rewrite), so a per-task in-memory set is the
+    equality-delete analog of a broadcast anti-join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=keys) for f in delete_files],
+        promote_options="default",
+    )
+    return set(
+        tbl.to_pandas().itertuples(index=False, name=None)
+    )
+
+
+def _anti_filter_deletes(table, keys: list[str], gone: set):
+    """Drop rows whose key tuple is in `gone` (MoR equality deletes)."""
+    import pyarrow as pa
+
+    if not gone or table.num_rows == 0:
+        return table
+    kdf = table.select(keys).to_pandas()
+    mask = [t not in gone for t in kdf.itertuples(index=False, name=None)]
+    return table.filter(pa.array(mask))
+
+
+def _arrow_batches(
+    path: str,
+    columns: list[str],
+    schema: StructType,
+    delete_files: list[str] = (),
+    keys: list[str] = (),
+):
     """One parquet file -> Arrow record batches cast to the table
     schema (files written before an additive schema evolution lack the
     new columns: they materialize as nulls, same as the JVM read
-    path)."""
+    path), minus any pending MoR delete keys for the file's bucket."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -168,7 +213,12 @@ def _arrow_batches(path: str, columns: list[str], schema: StructType):
             arrays.append(table.column(field.name).cast(field.type))
         else:
             arrays.append(pa.nulls(table.num_rows, field.type))
-    yield from pa.table(arrays, schema=want).to_batches()
+    out = pa.table(arrays, schema=want)
+    if delete_files:
+        out = _anti_filter_deletes(
+            out, list(keys), _delete_key_set(list(delete_files), list(keys))
+        )
+    yield from out.to_batches()
 
 
 class ManifestBatchReader(DataSourceReader):
@@ -195,14 +245,28 @@ class ManifestBatchReader(DataSourceReader):
 
     def partitions(self):
         cols = self._schema.fieldNames()
+        dmap = self._mf.get("deletes", {})
+        keys = self._mf["keys"]
         return [
-            _FilePartition(p, cols)
-            for p in _plan_files(self._table_path, self._mf, self._skip)
+            _FilePartition(
+                p,
+                cols,
+                [
+                    os.path.join(self._table_path, d)
+                    for d in dmap.get(b, [])
+                ],
+                keys,
+            )
+            for b, p in _plan_files(self._table_path, self._mf, self._skip)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         yield from _arrow_batches(
-            partition.path, partition.columns, self._schema
+            partition.path,
+            partition.columns,
+            self._schema,
+            delete_files=partition.delete_files,
+            keys=partition.keys,
         )
 
 
@@ -240,6 +304,8 @@ class _BucketChangePartition(InputPartition):
         keys: list[str],
         old_schema_json: str,
         new_schema_json: str,
+        old_delete_files: list[str] = (),
+        new_delete_files: list[str] = (),
     ):
         self.bucket = bucket
         self.old_files = old_files
@@ -247,6 +313,8 @@ class _BucketChangePartition(InputPartition):
         self.keys = keys
         self.old_schema_json = old_schema_json
         self.new_schema_json = new_schema_json
+        self.old_delete_files = list(old_delete_files)
+        self.new_delete_files = list(new_delete_files)
 
 
 def _dir_files(table_path: str, rel_dir: str) -> list[str]:
@@ -297,14 +365,19 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         old_schema = (
             old_mf["schema"] if old_mf else StructType([]).json()
         )
+        old_dmap = old_mf.get("deletes", {}) if old_mf else {}
+        new_dmap = new_mf.get("deletes", {})
         parts = []
         for b in sorted(
             set(new_mf["buckets"]) | set(old_buckets), key=int
         ):
             old_d = old_buckets.get(b)
             new_d = new_mf["buckets"].get(b)
-            if old_d == new_d:
-                continue  # immutable dir carried by reference: no change
+            od, nd = old_dmap.get(b, []), new_dmap.get(b, [])
+            if old_d == new_d and od == nd:
+                # immutable dir carried by reference AND the same
+                # pending MoR delete files: provably no change
+                continue
             parts.append(
                 _BucketChangePartition(
                     b,
@@ -313,6 +386,8 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                     new_mf["keys"],
                     old_schema,
                     new_mf["schema"],
+                    [f for d in od for f in _dir_files(self._table_path, d)],
+                    [f for d in nd for f in _dir_files(self._table_path, d)],
                 )
             )
         return parts
@@ -326,7 +401,7 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         data_fields = [f for f in out_schema if f.name != "change_type"]
         keys = partition.keys
 
-        def load(files: list[str]) -> pd.DataFrame:
+        def load(files: list[str], del_files: list[str]) -> pd.DataFrame:
             if not files:
                 return pd.DataFrame(
                     {f.name: pd.Series(dtype=object) for f in data_fields}
@@ -338,10 +413,20 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             for f in data_fields:  # additive evolution: missing -> null
                 if f.name not in df.columns:
                     df[f.name] = None
-            return df[[f.name for f in data_fields]]
+            df = df[[f.name for f in data_fields]]
+            if del_files and len(df):
+                # this snapshot's pending MoR deletes: those keys were
+                # already absent from the version a reader saw
+                gone = _delete_key_set(del_files, keys)
+                mask = [
+                    t not in gone
+                    for t in df[keys].itertuples(index=False, name=None)
+                ]
+                df = df[pd.Series(mask, index=df.index)]
+            return df
 
-        old = load(partition.old_files)
-        new = load(partition.new_files)
+        old = load(partition.old_files, partition.old_delete_files)
+        new = load(partition.new_files, partition.new_delete_files)
         compare = [f.name for f in data_fields if f.name not in keys]
 
         def norm(df: pd.DataFrame) -> dict:
