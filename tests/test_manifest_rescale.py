@@ -1,0 +1,105 @@
+"""Bucket-layout evolution (`optimize_table(n_buckets=...)`): a table
+created small must be able to grow its bucket count — at 100 TB the
+bucket count caps scan/commit parallelism and lookup granularity. The
+rewrite re-hashes every row into the new layout; old versions keep
+reading (and point-looking-up) with theirs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trail_condition_etl_spark.sinks import manifest as mf
+
+
+def _table(spark, tmp_path, n=200, n_buckets=2):
+    rows = spark.range(n).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=n_buckets)
+    return table
+
+
+def test_rescale_rehashes_into_the_new_layout(spark, tmp_path):
+    table = _table(spark, tmp_path, n_buckets=2)
+    v = mf.optimize_table(spark, table, n_buckets=8)
+    after = mf.read_manifest(table)
+    assert after["n_buckets"] == 8
+    assert len(after["buckets"]) == 8
+    assert after["op_metrics"]["n_buckets"] == 8
+    assert mf.manifest_row_count(table) == 200
+    got = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
+    assert got == {k: k * 10 for k in range(200)}
+    # the old version still reads (and records) its own layout
+    assert mf.read_manifest(table, v - 1)["n_buckets"] == 2
+
+
+def test_every_row_lands_in_its_new_hash_bucket(spark, tmp_path):
+    """Layout soundness: after a rescale, each row's recorded bucket dir
+    matches the hash of its key under the NEW count — the invariant
+    lookups and upserts depend on."""
+    table = _table(spark, tmp_path, n_buckets=2)
+    mf.optimize_table(spark, table, n_buckets=8)
+    m = mf.read_manifest(table)
+    current = mf.read_manifest_table(spark, table)
+    hashed = mf._with_bucket(current, ["k"], 8)
+    import os
+
+    for b, d in m["buckets"].items():
+        ks = {
+            r.k
+            for r in spark.read.parquet(
+                os.path.join(table, d)
+            ).collect()
+        }
+        want = {
+            r.k for r in hashed.filter(F.col("pk_bucket") == int(b)).collect()
+        }
+        assert ks == want
+
+
+def test_lookup_and_upsert_after_rescale(spark, tmp_path):
+    table = _table(spark, tmp_path, n_buckets=2)
+    mf.optimize_table(spark, table, n_buckets=8)
+    got = mf.read_manifest_lookup(spark, table, [{"k": 7}, {"k": 150}])
+    assert sorted(r.k for r in got.collect()) == [7, 150]
+    # explicit stale n_buckets is rejected; None adopts the new layout
+    one = spark.createDataFrame([(7, 0)], "k int, v long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        mf.manifest_upsert(spark, table, one, ["k"], n_buckets=2)
+    mf.manifest_upsert(spark, table, one, ["k"])
+    assert (
+        mf.read_manifest_lookup(spark, table, {"k": 7}).collect()[0].v == 0
+    )
+    assert mf.manifest_row_count(table) == 200
+
+
+def test_rescale_materializes_pending_deletes(spark, tmp_path):
+    table = _table(spark, tmp_path, n_buckets=2)
+    mf.delete_where(spark, table, "k % 10 = 0")
+    mf.optimize_table(spark, table, n_buckets=8)
+    after = mf.read_manifest(table)
+    assert not after.get("deletes")
+    assert mf.manifest_row_count(table) == 180
+
+
+def test_rescale_composes_with_clustering(spark, tmp_path):
+    table = _table(spark, tmp_path, n_buckets=2)
+    mf.optimize_table(spark, table, n_buckets=4, cluster_by=["v"])
+    after = mf.read_manifest(table)
+    assert after["n_buckets"] == 4
+    assert after["file_stats"]  # per-file stats landed for the new layout
+    got = mf.read_manifest_table(spark, table, skip=[("v", "<", 100)])
+    assert sorted(r.k for r in got.collect()) == list(range(10))
+
+
+def test_rescale_rejects_bad_count_and_restore_goes_back(spark, tmp_path):
+    table = _table(spark, tmp_path, n_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        mf.optimize_table(spark, table, n_buckets=0)
+    mf.optimize_table(spark, table, n_buckets=8)
+    v = mf.restore_table(spark, table, version=1)
+    assert mf.read_manifest(table, v)["n_buckets"] == 2  # layout restored
+    assert mf.read_manifest_lookup(spark, table, {"k": 3}).count() == 1

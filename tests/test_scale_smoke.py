@@ -184,6 +184,43 @@ def test_clustered_skip_scan_prunes_proportionally(spark, tmp_path):
     assert f10 < 2 * f1 + 0.05, f"pruned fraction degraded: {f1:.0%} -> {f10:.0%}"
 
 
+def test_mor_delete_bytes_track_deleted_keys_not_table_size(spark, tmp_path):
+    """The merge-on-read DELETE's scale claim: the commit's written
+    bytes are proportional to the DELETED KEYS, never the table. Delete
+    the SAME 100 keys from a 1x and a 10x table — the delete-file bytes
+    must stay ~flat while a copy-on-write delete would have rewritten
+    10x the data (at 100 TB, deleting 0.1% of rows scattered across all
+    buckets would otherwise rewrite the whole table)."""
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    def deleted_bytes(n):
+        rows = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        t = os.path.join(str(tmp_path), f"d{n}")
+        mf.manifest_upsert(spark, t, rows, ["k"], n_buckets=8)
+        mf.delete_where(spark, t, "k < 100")  # same 100 keys both sizes
+        m = mf.read_manifest(t)
+        total = 0
+        for lst in m["deletes"].values():
+            for d in lst:
+                dd = os.path.join(t, d)
+                total += sum(
+                    os.path.getsize(os.path.join(dd, f))
+                    for f in os.listdir(dd)
+                )
+        assert mf.manifest_row_count(t) == n - 100
+        # and no segment was rewritten
+        assert m["buckets"] == mf.read_manifest(t, 1)["buckets"]
+        return total
+
+    b1 = deleted_bytes(20_000)
+    b10 = deleted_bytes(200_000)
+    assert b10 < 2 * b1 + 4096, (
+        f"MoR delete bytes grew with table size: {b1} -> {b10}"
+    )
+
+
 # NOTE: an embedding-side output-growth check is deliberately absent.
 # The sf0.1 corpus has no high-cosine planted duplicates (max observed
 # pair cosine ~0.6), so at any usable threshold the pair count is

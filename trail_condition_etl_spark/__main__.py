@@ -52,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
             tp.add_argument("--cluster-by", default=None,
                             help="comma-separated ZORDER columns")
             tp.add_argument("--files-per-bucket", type=int, default=4)
+            tp.add_argument("--n-buckets", type=int, default=None,
+                            help="rescale the bucket layout")
         if tcmd == "vacuum":
             tp.add_argument("--keep-last", type=int, default=1)
         if tcmd == "delete":
@@ -118,9 +120,12 @@ def _table_cmd(args) -> int:
         v = mf.optimize_table(
             spark, args.path,
             cluster_by=cluster, files_per_bucket=args.files_per_bucket,
+            n_buckets=args.n_buckets,
         )
         print(f"optimized -> version {v}"
-              + (f" (clustered by {cluster})" if cluster else ""))
+              + (f" (clustered by {cluster})" if cluster else "")
+              + (f" (rescaled to {args.n_buckets} buckets)"
+                 if args.n_buckets else ""))
     elif args.tcmd == "vacuum":
         removed = mf.vacuum(args.path, keep_last=args.keep_last)
         print(f"swept {removed} orphan/expired segment dirs")

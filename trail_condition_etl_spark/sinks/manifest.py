@@ -1350,6 +1350,7 @@ def optimize_table(
     collect_stats: bool = True,
     cluster_by: list[str] | None = None,
     files_per_bucket: int = 4,
+    n_buckets: int | None = None,
 ) -> int:
     """Small-file compaction (Delta's OPTIMIZE): a streaming sink
     commits one segment per epoch, so a bucket's live rows end up
@@ -1370,7 +1371,17 @@ def optimize_table(
     `read_manifest_table(skip=...)` opens only the files that can
     match. Subsequent upserts rewrite touched buckets UNclustered
     (their file stats drop, carried buckets keep theirs) — re-run
-    optimize to re-cluster, exactly Delta's maintenance contract."""
+    optimize to re-cluster, exactly Delta's maintenance contract.
+
+    With `n_buckets`: bucket-layout EVOLUTION (Iceberg's partition-spec
+    evolution, eagerly materialized). A table created small outgrows
+    its bucket count — at 100 TB a 16-bucket layout caps scan and
+    commit parallelism at 16 — so the rewrite re-hashes every row into
+    the new count and the manifest records it; subsequent upserts,
+    lookups, and stats validate against the NEW layout, while older
+    versions keep reading with theirs (n_buckets is per-manifest
+    state, never global). Pending MoR deletes materialize into any
+    optimize rewrite, whatever the layout."""
     token = acquire_table_lease(table_path)
 
     def attempt() -> int:
@@ -1380,6 +1391,9 @@ def optimize_table(
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
             )
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        new_n = n_buckets if n_buckets is not None else mf["n_buckets"]
         current = read_manifest_table(spark, table_path)
         stat_cols = _stat_columns(_data_schema(mf))
         if cluster_by:
@@ -1434,12 +1448,12 @@ def optimize_table(
                     )
                 zcol = _z_interleave(bins)
             merged = (
-                _with_bucket(current, mf["keys"], mf["n_buckets"])
+                _with_bucket(current, mf["keys"], new_n)
                 .withColumn(
                     "_z", F.coalesce(zcol.cast("double"), F.lit(float("-inf")))
                 )
                 .repartitionByRange(
-                    mf["n_buckets"] * max(1, files_per_bucket),
+                    new_n * max(1, files_per_bucket),
                     "pk_bucket",
                     "_z",
                 )
@@ -1450,8 +1464,8 @@ def optimize_table(
             # hash-repartition on the bucket column => each bucket's rows
             # land in exactly one task => exactly one file per bucket dir
             merged = _with_bucket(
-                current, mf["keys"], mf["n_buckets"]
-            ).repartition(mf["n_buckets"], "pk_bucket")
+                current, mf["keys"], new_n
+            ).repartition(new_n, "pk_bucket")
         seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
         seg_abs = os.path.join(table_path, seg)
         merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(
@@ -1475,7 +1489,7 @@ def optimize_table(
         manifest = {
             "version": mf["version"] + 1,
             "token": token,
-            "n_buckets": mf["n_buckets"],
+            "n_buckets": new_n,
             "keys": mf["keys"],
             "schema": mf["schema"],
             "buckets": buckets,
@@ -1492,6 +1506,7 @@ def optimize_table(
                     sum(row_counts.values()) if collect_stats else None
                 ),
                 "cluster_by": list(cluster_by) if cluster_by else None,
+                "n_buckets": new_n if n_buckets is not None else None,
             },
         }
         _publish_manifest(table_path, manifest, token)
