@@ -225,6 +225,22 @@ def test_crashed_delete_changes_nothing(spark, tmp_path, monkeypatch):
     assert len(_keys(spark, table)) == 100
 
 
+def test_delete_with_skip_hint_matches_unpruned_delete(spark, tmp_path):
+    """`skip` prunes the matched-key scan via stats (a clustered-range
+    DELETE at scale must not scan the table to find its keys) without
+    changing the outcome when the conjuncts are implied by the
+    condition — both tables end byte-equal."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a, b = _table(spark, tmp_path / "a"), _table(spark, tmp_path / "b")
+    mf.optimize_table(spark, a, cluster_by=["v"])
+    mf.optimize_table(spark, b, cluster_by=["v"])
+    mf.delete_where(spark, a, "v < 100")
+    mf.delete_where(spark, b, "v < 100", skip=[("v", "<", 100)])
+    assert _keys(spark, a) == _keys(spark, b) == list(range(10, 100))
+    assert mf.manifest_row_count(b) == 90
+
+
 def test_batch_datasource_applies_deletes(spark, tmp_path):
     table = _table(spark, tmp_path)
     mf.delete_where(spark, table, "k % 10 = 0")

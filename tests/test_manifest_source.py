@@ -184,6 +184,107 @@ def test_cdc_stream_checkpoint_resume_emits_only_new_span(spark, tmp_path):
     assert spark.read.parquet(out).count() == 61
 
 
+def test_writer_creates_and_appends_as_merge(spark, tmp_path):
+    """df.write.format("manifest"): the first append CREATES the table
+    (keys option), the second append is a keyed MERGE — new rows win,
+    untouched rows survive, the table invariants all hold."""
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    rows = spark.range(50).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    (
+        rows.write.format("manifest")
+        .option("path", table)
+        .option("keys", "k")
+        .option("n_buckets", 4)
+        .mode("append")
+        .save()
+    )
+    assert mf.manifest_row_count(table) == 50
+    assert mf.read_manifest(table)["operation"] == "append"
+    up = spark.createDataFrame([(3, 999), (77, 1)], "k int, v long")
+    up.write.format("manifest").option("path", table).mode("append").save()
+    got = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
+    assert got[3] == 999 and got[77] == 1 and got[4] == 8
+    assert len(got) == 51
+
+
+def test_writer_requires_keys_to_create(spark, tmp_path):
+    import pytest
+
+    ms.register_manifest_sources(spark)
+    rows = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="keys"):
+        (
+            rows.write.format("manifest")
+            .option("path", str(tmp_path / "t"))
+            .mode("append")
+            .save()
+        )
+
+
+def test_writer_overwrite_replaces_atomically(spark, tmp_path):
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    rows = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    (
+        rows.write.format("manifest")
+        .option("path", table).option("keys", "k").mode("append").save()
+    )
+    small = spark.range(7).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    small.write.format("manifest").option("path", table).mode("overwrite").save()
+    assert mf.manifest_row_count(table) == 7
+    assert mf.read_manifest(table)["operation"] == "replace"
+    # nothing carried: the replace's buckets all come from the batch
+    assert mf.read_manifest(table)["op_metrics"]["buckets_carried"] == 0
+    # old snapshot stays time-travel-readable
+    assert mf.read_manifest_table(spark, table, version=1).count() == 50
+    # staging cleaned up on the happy path
+    st = os.path.join(table, "_staging")
+    assert not os.path.isdir(st) or not os.listdir(st)
+
+
+def test_writer_failed_commit_leaves_table_unchanged(spark, tmp_path):
+    """A batch the table's CHECK constraint rejects aborts the WHOLE
+    DataFrameWriter job: no new version, no staged leftovers."""
+    import pytest
+
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    rows = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    (
+        rows.write.format("manifest")
+        .option("path", table).option("keys", "k").mode("append").save()
+    )
+    mf.add_table_constraint(spark, table, "v_nonneg", "v >= 0")
+    bad = spark.createDataFrame([(1, -5)], "k long, v long")
+    with pytest.raises(Exception, match="v_nonneg"):
+        bad.write.format("manifest").option("path", table).mode("append").save()
+    assert mf.read_manifest(table)["version"] == 2  # constraint commit only
+    assert mf.manifest_row_count(table) == 10
+    st = os.path.join(table, "_staging")
+    assert not os.path.isdir(st) or not os.listdir(st)
+
+
+def test_vacuum_sweeps_only_aged_staging_orphans(spark, tmp_path):
+    table = str(tmp_path / "t")
+    rows = spark.range(10).select(F.col("id").alias("k"))
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    st = os.path.join(table, "_staging")
+    young = os.path.join(st, "young")
+    old = os.path.join(st, "old")
+    os.makedirs(young)
+    os.makedirs(old)
+    aged = mf._dt.datetime.now().timestamp() - mf._STAGING_TTL_SECONDS - 60
+    os.utime(old, (aged, aged))
+    mf.vacuum(table, keep_last=1)
+    assert not os.path.isdir(old)  # crashed-job orphan: swept
+    assert os.path.isdir(young)  # possibly in-flight: retained
+
+
 def test_cdc_partitions_skip_carried_buckets(spark, tmp_path):
     """The stream reader plans change partitions ONLY for buckets whose
     segment dir changed — carried (immutable, by-reference) buckets

@@ -97,6 +97,19 @@ def test_update_skips_pending_mor_deleted_rows(spark, tmp_path):
     assert got[0][1] == "hot" and got[2][1] == "hot"
 
 
+def test_update_with_skip_hint_matches_unpruned_update(spark, tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a = _table(spark, tmp_path / "a")
+    b = _table(spark, tmp_path / "b")
+    mf.update_where(spark, a, "v < 100", {"tag": "'hot'"})
+    mf.update_where(
+        spark, b, "v < 100", {"tag": "'hot'"}, skip=[("v", "<", 100)]
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+    assert _rows(spark, b)[5][1] == "hot"
+
+
 def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
     table = _table(spark, tmp_path)
     mf.update_where(spark, table, "k < 50", {"v": F.lit(0).cast("long")})

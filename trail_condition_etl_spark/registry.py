@@ -923,6 +923,17 @@ def q_pyds_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_source.pyds_manifest_scan_query(spark, sf_dir)
 
 
+@query(
+    "pyds_manifest_write", oracle=manifest_source.PYDS_MANIFEST_WRITE_SQL
+)
+def q_pyds_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the DataFrameWriter side of the DataSource: df.write
+    # .format("manifest") creates the table and appends AS a keyed
+    # MERGE (staged Arrow parts -> manifest_upsert in commit())
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_manifest_write_query(spark, sf_dir)
+
+
 @query("pyds_cdc_stream", oracle=manifest_source.PYDS_CDC_STREAM_SQL)
 def q_pyds_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CDC change feed as a genuine readStream source (offsets are
@@ -1566,7 +1577,8 @@ _SAMPLE_HEAD = [
     # flagship + this round's changed surfaces
     "trail_classifier", "cdc_incremental", "manifest_lookup",
     "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
-    "pyds_cdc_stream", "manifest_history", "manifest_merge_into",
+    "pyds_cdc_stream", "pyds_manifest_write", "manifest_history",
+    "manifest_merge_into",
     "manifest_mor_delete", "manifest_update_where", "manifest_restore",
     "stream_roundtrip", "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows

@@ -154,6 +154,11 @@ _STAT_TYPES = {
 #: simpler always-sound choice — that bucket just isn't prunable on it)
 _MAX_STAT_STRING = 64
 
+#: crashed-writer staging dirs younger than this survive `vacuum` — an
+#: in-flight DataFrameWriter job stages WITHOUT the table lease, so age
+#: is the only safe orphan signal (Delta's VACUUM retention window)
+_STAGING_TTL_SECONDS = 24 * 3600
+
 
 def _stat_columns(schema: StructType) -> list[str]:
     return [
@@ -445,6 +450,7 @@ def delete_where(
     spark: SparkSession,
     table_path: str,
     condition,
+    skip: list[tuple] | None = None,
 ) -> int:
     """Merge-on-read DELETE (Delta's deletion vectors / Iceberg v2
     equality deletes, reduced to their mechanics): rows matching
@@ -473,7 +479,14 @@ def delete_where(
       `optimize_table` materializes all of them; `vacuum` sweeps
       unreferenced delete dirs like any segment;
     * a predicate matching nothing commits nothing (returns the current
-      version unchanged) — no empty versions.
+      version unchanged) — no empty versions;
+    * `skip`: optional `(column, op, value)` conjuncts (`SKIP_OPS`)
+      handed to `read_manifest_table` so the matched-key scan opens
+      only buckets/files whose stats can match — at 100 TB a DELETE on
+      a clustered range must not scan the table to find its keys.
+      CALLER CONTRACT: every conjunct must be IMPLIED by `condition`
+      (it is an IO hint; a conjunct the condition does not imply would
+      silently miss matching rows in pruned files).
 
     Returns the committed (or unchanged) version. Crash-total and
     fenced exactly like `manifest_upsert`: an unpublished delete file
@@ -489,7 +502,7 @@ def delete_where(
                 f"no committed manifest under {table_path}"
             )
         keys = mf["keys"]
-        current = read_manifest_table(spark, table_path)
+        current = read_manifest_table(spark, table_path, skip=skip)
         matched = _with_bucket(
             current.filter(cond).select(*keys), keys, mf["n_buckets"]
         )
@@ -559,6 +572,7 @@ def update_where(
     table_path: str,
     condition,
     set: dict[str, F.Column | str],
+    skip: list[tuple] | None = None,
 ) -> int:
     """UPDATE ... WHERE (Delta's UPDATE): rows matching `condition` get
     the `set` columns rewritten (Column exprs or SQL strings, evaluated
@@ -569,7 +583,9 @@ def update_where(
     byte lands. Merge keys cannot be SET (that would be a delete +
     insert — use `merge_into` or `delete_where` + upsert). A predicate
     matching nothing commits nothing. Returns the committed (or
-    unchanged) version."""
+    unchanged) version. `skip` prunes the matched-row scan via stats,
+    same contract as `delete_where`: every conjunct must be IMPLIED by
+    `condition`."""
     mf = read_manifest(table_path)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
@@ -590,7 +606,7 @@ def update_where(
     exprs = {
         c: F.expr(e) if isinstance(e, str) else e for c, e in set.items()
     }
-    matched = read_manifest_table(spark, table_path).filter(cond)
+    matched = read_manifest_table(spark, table_path, skip=skip).filter(cond)
     if matched.isEmpty():
         return mf["version"]  # nothing matched: no empty commit
     updated = matched.select(
@@ -701,6 +717,7 @@ def manifest_upsert(
     tombstone_col: str | None = None,
     collect_stats: bool = True,
     operation: str = "upsert",
+    replace: bool = False,
 ) -> int:
     """MERGE-style upsert with an atomic commit: new rows win over
     existing rows with the same key; untouched buckets carry over by
@@ -721,7 +738,20 @@ def manifest_upsert(
     defaults to DEFAULT_BUCKETS). Schema evolution is ADDITIVE ONLY:
     a batch may add or omit columns, but changing an existing column's
     TYPE raises — old segments hold the old physical type, and a read
-    under a widened schema would fail at scan time."""
+    under a widened schema would fail at scan time.
+
+    `replace=True` is Delta's INSERT OVERWRITE: the commit's buckets
+    come ONLY from the batch — nothing carries, prior rows (and any
+    pending MoR deletes) vanish from the new version while staying
+    time-travel-readable in the old ones. Table identity (keys, layout,
+    running-union schema, constraints) is validated the same as an
+    upsert; incompatible with `tombstone_col` (deleting from data you
+    are replacing is a contradiction)."""
+    if replace and tombstone_col is not None:
+        raise ValueError(
+            "replace=True cannot be combined with tombstone_col: a "
+            "replace discards every prior row already"
+        )
     token = acquire_table_lease(table_path)
     if tombstone_col is not None:
         live = new_rows.filter(~F.col(tombstone_col)).drop(tombstone_col)
@@ -798,7 +828,7 @@ def manifest_upsert(
             else (n_buckets if n_buckets is not None else DEFAULT_BUCKETS)
         )
         new_b = _with_bucket(upserts, keys, buckets_n)
-        if mf is None:
+        if mf is None or replace:
             merged = new_b
             carried: dict[str, str] = {}
         else:
@@ -1621,6 +1651,27 @@ def _vacuum_locked(table_path: str, keep_last: int) -> int:
     for v in versions:
         if v not in keep:
             os.unlink(_manifest_path(table_path, v))
+    # DataFrameWriter staging dirs (sources/manifest_source.py) from
+    # CRASHED jobs: unreferenced by design (commit/abort clean their
+    # own), but a killed driver leaves one behind. Swept only past an
+    # age floor — an in-flight job's staging is written without the
+    # table lease, so age is the safety margin (Delta's VACUUM
+    # retention, reduced to its purpose).
+    staging = os.path.join(table_path, "_staging")
+    now = _dt.datetime.now().timestamp()
+    try:
+        stage_entries = os.listdir(staging)
+    except OSError:
+        stage_entries = []
+    for e in stage_entries:
+        p = os.path.join(staging, e)
+        try:
+            age = now - os.path.getmtime(p)
+        except OSError:
+            continue
+        if age > _STAGING_TTL_SECONDS:
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
     return removed
 
 

@@ -39,12 +39,16 @@ streaming/cdc.py.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
+import shutil
+import uuid
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -57,6 +61,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -64,6 +69,7 @@ from ..sinks.manifest import (
     _bucket_may_match,
     _data_schema,
     _stat_columns,
+    manifest_upsert,
     read_manifest,
 )
 
@@ -270,9 +276,113 @@ class ManifestBatchReader(DataSourceReader):
         )
 
 
+@dataclasses.dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class ManifestBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("manifest")``: each task streams its Arrow
+    batches into ONE private parquet file under `<table>/_staging/<job>/`
+    (no coordination, no shuffle added by the sink); the driver-side
+    `commit` then runs the staged data through `manifest_upsert` — so a
+    DataFrameWriter append IS a keyed MERGE (new rows win), an
+    overwrite IS an atomic whole-table replace, and every table
+    invariant (lease+fencing, key/layout/schema validation, CHECK
+    constraints, stats collection) applies unchanged. A failed job
+    aborts by deleting its staging dir; the table never saw a byte.
+
+    Options: `path` (required); `keys` (comma-separated merge keys —
+    required to CREATE a table, validated against the manifest
+    otherwise); `n_buckets` (creation only)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._schema = schema
+        self._table_path = options["path"]
+        keys = options.get("keys")
+        self._keys = (
+            [k.strip() for k in keys.split(",") if k.strip()]
+            if keys
+            else None
+        )
+        nb = options.get("n_buckets")
+        self._n_buckets = int(nb) if nb is not None else None
+        self._overwrite = overwrite
+        self._stage = os.path.join(
+            self._table_path, "_staging", uuid.uuid4().hex[:12]
+        )
+
+    def write(self, iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._stage, exist_ok=True)
+        path = os.path.join(
+            self._stage, f"part-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        want = _nullable_arrow_schema(self._schema)
+        writer = None
+        rows = 0
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch]).cast(want)
+            if writer is None:
+                writer = pq.ParquetWriter(path, want)
+            writer.write_table(tbl)
+            rows += tbl.num_rows
+        if writer is None:
+            return _StagedFile(path="", rows=0)  # empty task partition
+        writer.close()
+        return _StagedFile(path=path, rows=rows)
+
+    def commit(self, messages) -> None:
+        from pyspark.sql import SparkSession
+
+        # commit() runs driver-side but on a worker thread where no
+        # session is "active"; getOrCreate returns the live one
+        spark = SparkSession.getActiveSession() or (
+            SparkSession.builder.getOrCreate()
+        )
+        files = [m.path for m in messages if m is not None and m.path]
+        try:
+            keys = self._keys
+            if keys is None:
+                mf = read_manifest(self._table_path)
+                if mf is None:
+                    raise ValueError(
+                        'option "keys" is required to CREATE a manifest '
+                        f"table ({self._table_path}); an existing table "
+                        "supplies its own"
+                    )
+                keys = mf["keys"]
+            if not files and not self._overwrite:
+                return  # empty append: nothing to commit
+            df = (
+                spark.read.schema(self._schema).parquet(*files)
+                if files
+                else spark.createDataFrame([], self._schema)
+            )  # empty overwrite truncates, like INSERT OVERWRITE
+            manifest_upsert(
+                spark,
+                self._table_path,
+                df,
+                keys,
+                n_buckets=self._n_buckets,
+                operation="replace" if self._overwrite else "append",
+                replace=self._overwrite,
+            )
+        finally:
+            shutil.rmtree(self._stage, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("manifest")``: options `path` (required) and
-    `version` (optional time travel)."""
+    `version` (optional time travel). ``df.write.format("manifest")``:
+    append = keyed MERGE upsert, overwrite = atomic replace (see
+    `ManifestBatchWriter`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -288,6 +398,9 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ManifestBatchReader:
         return ManifestBatchReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ManifestBatchWriter:
+        return ManifestBatchWriter(schema, self.options, overwrite)
 
 
 # ---------------------------------------------------------------------------
@@ -540,6 +653,62 @@ WITH v2 AS (
 SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM v2 WHERE n_chars BETWEEN 300 AND 900
 GROUP BY source
+"""
+
+
+def pyds_manifest_write_query(spark, sf_dir: str):
+    """[EXT] The DataFrameWriter integration as an oracle-checked query:
+    CREATE the table with ``df.write.format("manifest")`` (keys option),
+    append the update+insert batch through the same writer — a
+    DataFrameWriter append IS a keyed MERGE — and aggregate the final
+    snapshot per source. Same end state as `manifest_merge`'s version 2,
+    reached purely through Spark's native write API."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    register_manifest_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    table = os.path.join(scratch_dir("pyds_write_"), "t")
+    (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .write.format("manifest")
+        .option("path", table)
+        .option("keys", "doc_id")
+        .option("n_buckets", 8)
+        .mode("append")
+        .save()
+    )
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    (
+        updates.unionByName(inserts)
+        .write.format("manifest")
+        .option("path", table)
+        .mode("append")
+        .save()
+    )
+    df = spark.read.format("manifest").option("path", table).load()
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+PYDS_MANIFEST_WRITE_SQL = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v2 GROUP BY source
 """
 
 
