@@ -269,6 +269,89 @@ def test_writer_failed_commit_leaves_table_unchanged(spark, tmp_path):
     assert not os.path.isdir(st) or not os.listdir(st)
 
 
+def test_stream_writer_epochs_commit_exactly_once(spark, tmp_path):
+    """writeStream.format("manifest"): each micro-batch is one atomic
+    manifest commit; the (txn_app_id, batchId) ledger advances with the
+    data, an empty pass commits nothing, and a replayed epoch raises
+    into the no-op path — the crash window between sink commit and
+    checkpoint advance collapses."""
+    import pytest
+
+    ms.register_manifest_sources(spark)
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(2).write.parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(src)
+            .writeStream.format("manifest")
+            .option("path", table)
+            .option("keys", "k")
+            .option("n_buckets", 4)
+            .option("txn_app_id", "q1")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert mf.manifest_row_count(table) == 50
+    assert mf.read_manifest(table)["txns"] == {"q1": 0}
+    assert mf.read_manifest(table)["operation"] == "streaming-update"
+
+    spark.range(45, 60).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # resume: only the new file, keyed merge
+    assert mf.manifest_row_count(table) == 60
+    assert mf.read_manifest(table)["txns"] == {"q1": 1}
+    assert (
+        mf.read_manifest_lookup(spark, table, {"k": 47}).collect()[0].v == 0
+    )
+
+    v = mf.read_manifest(table)["version"]
+    run_once()  # nothing new: zero version churn
+    assert mf.read_manifest(table)["version"] == v
+
+    # the ledger is atomic with the data: a replayed (app, batch) commit
+    # is refused with the table untouched
+    replay = spark.createDataFrame([(1, 777)], "k long, v long")
+    with pytest.raises(mf.TxnAlreadyCommittedError):
+        mf.manifest_upsert(spark, table, replay, ["k"], txn=("q1", 1))
+    assert mf.read_manifest(table)["version"] == v
+    assert (
+        mf.read_manifest_lookup(spark, table, {"k": 1}).collect()[0].v == 2
+    )
+
+
+def test_txns_carry_through_other_commit_types(spark, tmp_path):
+    """The exactly-once ledger must survive every other commit — an
+    optimize or delete between epochs must not reopen the replay
+    window; a restore keeps the CURRENT ledger (rolled-back data must
+    not trick the writer into re-applying batches)."""
+    table = str(tmp_path / "t")
+    rows = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2, txn=("q1", 5))
+    mf.delete_where(spark, table, "k = 0")
+    mf.optimize_table(spark, table)
+    mf.add_table_constraint(spark, table, "v_ok", "v >= 0")
+    mf.restore_table(spark, table, version=1)
+    assert mf.read_manifest(table)["txns"] == {"q1": 5}
+    import pytest
+
+    with pytest.raises(mf.TxnAlreadyCommittedError):
+        mf.manifest_upsert(spark, table, rows, ["k"], txn=("q1", 4))
+    # a HIGHER version commits and advances the ledger
+    mf.manifest_upsert(spark, table, rows.limit(1), ["k"], txn=("q1", 6))
+    assert mf.read_manifest(table)["txns"] == {"q1": 6}
+
+
 def test_vacuum_sweeps_only_aged_staging_orphans(spark, tmp_path):
     table = str(tmp_path / "t")
     rows = spark.range(10).select(F.col("id").alias("k"))

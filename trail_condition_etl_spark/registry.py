@@ -934,6 +934,15 @@ def q_pyds_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_source.pyds_manifest_write_query(spark, sf_dir)
 
 
+@query("pyds_stream_sink", oracle=manifest_source.PYDS_STREAM_SINK_SQL)
+def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # writeStream.format("manifest"): each micro-batch is one atomic
+    # manifest commit, exactly-once via the (txn_app_id, batchId)
+    # ledger recorded atomically with the data
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_stream_sink_query(spark, sf_dir)
+
+
 @query("pyds_cdc_stream", oracle=manifest_source.PYDS_CDC_STREAM_SQL)
 def q_pyds_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CDC change feed as a genuine readStream source (offsets are
@@ -1577,8 +1586,8 @@ _SAMPLE_HEAD = [
     # flagship + this round's changed surfaces
     "trail_classifier", "cdc_incremental", "manifest_lookup",
     "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
-    "pyds_cdc_stream", "pyds_manifest_write", "manifest_history",
-    "manifest_merge_into",
+    "pyds_cdc_stream", "pyds_manifest_write", "pyds_stream_sink",
+    "manifest_history", "manifest_merge_into",
     "manifest_mor_delete", "manifest_update_where", "manifest_restore",
     "stream_roundtrip", "stream_roundtrip_multibatch",
     # fixed in r2 but never re-sampled since the r1 red rows

@@ -160,6 +160,13 @@ _MAX_STAT_STRING = 64
 _STAGING_TTL_SECONDS = 24 * 3600
 
 
+class TxnAlreadyCommittedError(Exception):
+    """An idempotent writer (`manifest_upsert(txn=...)`) tried to commit
+    an (app_id, version) at or below the version the manifest already
+    records for that app — a replayed streaming epoch. The table is
+    untouched; catching this and moving on IS the exactly-once path."""
+
+
 def _stat_columns(schema: StructType) -> list[str]:
     return [
         f.name
@@ -545,6 +552,7 @@ def delete_where(
             "deletes": deletes,
             "delete_counts": delete_counts,
             "constraints": mf.get("constraints", {}),
+            "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(
                 _dt.timezone.utc
             ).isoformat(),
@@ -687,6 +695,10 @@ def restore_table(
             "deletes": old.get("deletes", {}),
             "delete_counts": old.get("delete_counts", {}),
             "constraints": cur.get("constraints", {}),
+            # writer-progress state carries from CURRENT, not the
+            # restored snapshot: a restore must not trick a streaming
+            # writer into re-applying already-committed batches
+            "txns": cur.get("txns", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": "restore",
             "op_metrics": {
@@ -718,6 +730,7 @@ def manifest_upsert(
     collect_stats: bool = True,
     operation: str = "upsert",
     replace: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE-style upsert with an atomic commit: new rows win over
     existing rows with the same key; untouched buckets carry over by
@@ -746,7 +759,15 @@ def manifest_upsert(
     time-travel-readable in the old ones. Table identity (keys, layout,
     running-union schema, constraints) is validated the same as an
     upsert; incompatible with `tombstone_col` (deleting from data you
-    are replacing is a contradiction)."""
+    are replacing is a contradiction).
+
+    `txn=(app_id, version)` is Delta's `txnAppId`/`txnVersion`
+    idempotent-writer protocol: the pair is recorded in the manifest's
+    `txns` map ATOMICALLY with the data, and a later attempt to commit
+    the SAME app at a version <= the recorded one raises
+    `TxnAlreadyCommittedError` — the atomic dedup a streaming sink
+    needs to make epoch replays exactly-once (the committed batchId
+    and its data cannot diverge, unlike any out-of-band cursor)."""
     if replace and tombstone_col is not None:
         raise ValueError(
             "replace=True cannot be combined with tombstone_col: a "
@@ -769,6 +790,14 @@ def manifest_upsert(
     def attempt() -> int:
         check_fence(table_path, token)
         mf = read_manifest(table_path)
+        if txn is not None and mf is not None:
+            prev_txn = mf.get("txns", {}).get(txn[0])
+            if prev_txn is not None and prev_txn >= txn[1]:
+                raise TxnAlreadyCommittedError(
+                    f"writer {txn[0]!r} already committed version "
+                    f"{prev_txn} >= {txn[1]} to {table_path}: replayed "
+                    "batch, nothing to do"
+                )
         if mf is not None:
             if list(keys) != list(mf["keys"]):
                 raise ValueError(
@@ -929,6 +958,10 @@ def manifest_upsert(
             "deletes": deletes,
             "delete_counts": delete_counts,
             "constraints": mf.get("constraints", {}) if mf else {},
+            "txns": {
+                **(mf.get("txns", {}) if mf else {}),
+                **({txn[0]: txn[1]} if txn else {}),
+            },
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": operation,
             "op_metrics": {
@@ -944,7 +977,8 @@ def manifest_upsert(
 
     try:
         version = retry_with_backoff(
-            attempt, fatal=(WriterFencedError, ValueError)
+            attempt,
+            fatal=(WriterFencedError, ValueError, TxnAlreadyCommittedError),
         )
         record_commit(table_path, token)
         return version
@@ -1527,6 +1561,7 @@ def optimize_table(
             "file_stats": file_stats,
             "row_counts": row_counts,
             "constraints": mf.get("constraints", {}),
+            "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": "optimize",
             "op_metrics": {

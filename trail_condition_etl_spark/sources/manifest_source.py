@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -378,11 +379,112 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         shutil.rmtree(self._stage, ignore_errors=True)
 
 
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("manifest")``: each micro-batch lands as
+    ONE atomic manifest commit, made EXACTLY-ONCE by the table's own
+    txn protocol (Delta's txnAppId/txnVersion): `commit(messages,
+    batchId)` runs the staged epoch through
+    `manifest_upsert(txn=(app_id, batchId))`, which records the pair
+    atomically with the data and raises `TxnAlreadyCommittedError` for
+    a replayed epoch — the crash window between sink commit and
+    checkpoint advance (the loss/duplication window of naive file
+    sinks) collapses to a no-op replay.
+
+    Options: `path` (required); `keys` (required to CREATE the table);
+    `n_buckets` (creation only); `txn_app_id` — the writer identity for
+    the exactly-once ledger. REQUIRED for exactly-once across restarts:
+    it must be stable for the lifetime of the logical stream (e.g.
+    derived from the checkpoint location). Without it a fresh identity
+    is generated per run, and a replayed first epoch after a crash
+    commits twice — still CORRECT state for keyed upserts (idempotent
+    merge), but two versions. Output mode drives replace: `complete`
+    mode arrives as overwrite=True and each epoch replaces the table;
+    `append`/`update` merge by key."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._schema = schema
+        self._table_path = options["path"]
+        keys = options.get("keys")
+        self._keys = (
+            [k.strip() for k in keys.split(",") if k.strip()]
+            if keys
+            else None
+        )
+        nb = options.get("n_buckets")
+        self._n_buckets = int(nb) if nb is not None else None
+        self._overwrite = overwrite
+        self._app_id = options.get("txn_app_id") or (
+            f"manifest-stream-{uuid.uuid4().hex[:12]}"
+        )
+        self._stage = os.path.join(
+            self._table_path, "_staging", uuid.uuid4().hex[:12]
+        )
+
+    # staging is identical to the batch writer's: one parquet part per
+    # task, no added shuffle
+    write = ManifestBatchWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyspark.sql import SparkSession
+
+        from ..sinks.manifest import TxnAlreadyCommittedError
+
+        spark = SparkSession.getActiveSession() or (
+            SparkSession.builder.getOrCreate()
+        )
+        files = [m.path for m in messages if m is not None and m.path]
+        try:
+            keys = self._keys
+            if keys is None:
+                mf = read_manifest(self._table_path)
+                if mf is None:
+                    raise ValueError(
+                        'option "keys" is required to CREATE a manifest '
+                        f"table ({self._table_path})"
+                    )
+                keys = mf["keys"]
+            if not files and not self._overwrite:
+                return  # empty epoch: no version churn
+            df = (
+                spark.read.schema(self._schema).parquet(*files)
+                if files
+                else spark.createDataFrame([], self._schema)
+            )
+            try:
+                manifest_upsert(
+                    spark,
+                    self._table_path,
+                    df,
+                    keys,
+                    n_buckets=self._n_buckets,
+                    operation="streaming-update",
+                    replace=self._overwrite,
+                    txn=(self._app_id, int(batchId)),
+                )
+            except TxnAlreadyCommittedError:
+                pass  # replayed epoch: the table already has this batch
+        finally:
+            for f in files:
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.unlink(m.path)
+                except OSError:
+                    pass
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("manifest")``: options `path` (required) and
     `version` (optional time travel). ``df.write.format("manifest")``:
     append = keyed MERGE upsert, overwrite = atomic replace (see
-    `ManifestBatchWriter`)."""
+    `ManifestBatchWriter`). ``df.writeStream.format("manifest")``:
+    exactly-once epoch commits (see `ManifestStreamWriter`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -401,6 +503,11 @@ class ManifestDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestBatchWriter:
         return ManifestBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> ManifestStreamWriter:
+        return ManifestStreamWriter(schema, self.options, overwrite)
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +817,67 @@ WITH v2 AS (
 SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM v2 GROUP BY source
 """
+
+
+def pyds_stream_sink_query(spark, sf_dir: str):
+    """[EXT] The exactly-once streaming sink end-to-end: documents rows
+    staged as files, consumed by ``readStream`` and written through
+    ``writeStream.format("manifest")`` in TWO AvailableNow passes (base
+    %3==0, then updates %6==0 doubled + inserts %3==1) against one
+    checkpoint — each epoch an atomic manifest commit with its batchId
+    in the txn ledger. The final snapshot aggregates to the same v2
+    state as `manifest_merge`; the ledger reaching batch 1 exactly once
+    is what the epochs-exactly-once pytest pins."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+
+    register_manifest_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = scratch_dir("pyds_sink_")
+    src = os.path.join(root, "in")
+    table = os.path.join(root, "t")
+    ck = os.path.join(root, "ck")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(2).write.parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(
+                "doc_id long, source string, n_chars long"
+            )
+            .parquet(src)
+            .writeStream.format("manifest")
+            .option("path", table)
+            .option("keys", "doc_id")
+            .option("n_buckets", 8)
+            .option("txn_app_id", "pyds-sink")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    updates.unionByName(inserts).coalesce(2).write.mode("append").parquet(
+        src
+    )
+    run_once()
+    df = spark.read.format("manifest").option("path", table).load()
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+#: same final state as the DataFrameWriter path — one MERGE per epoch
+PYDS_STREAM_SINK_SQL = PYDS_MANIFEST_WRITE_SQL
 
 
 def pyds_cdc_stream_query(spark, sf_dir: str):
