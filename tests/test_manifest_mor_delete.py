@@ -241,6 +241,53 @@ def test_delete_with_skip_hint_matches_unpruned_delete(spark, tmp_path):
     assert mf.manifest_row_count(b) == 90
 
 
+def test_racing_dml_serializes_to_a_deterministic_state(spark, tmp_path):
+    """The whole DML surface shares one lease+fencing protocol: an
+    upsert, a merge-on-read delete, an update, and an optimize racing
+    from four threads on DISJOINT key ranges must serialize into four
+    clean versions whose final state is order-independent — no torn
+    commit, no lost delete file, metadata count still exact."""
+    import threading
+
+    table = _table(spark, tmp_path)  # keys 0..99, v = k*10
+    errs = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ops = [
+        lambda: mf.manifest_upsert(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(k, 7) for k in range(100, 110)], "k int, v long"
+            ),
+            ["k"],
+        ),
+        lambda: mf.delete_where(spark, table, "k < 10"),
+        lambda: mf.update_where(
+            spark, table, "20 <= k AND k < 30", {"v": F.lit(0).cast("long")}
+        ),
+        lambda: mf.optimize_table(spark, table),
+    ]
+    threads = [threading.Thread(target=run, args=(op,)) for op in ops]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert mf.read_manifest(table)["version"] == 5
+    got = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
+    want = {k: k * 10 for k in range(10, 100)}
+    want.update({k: 0 for k in range(20, 30)})
+    want.update({k: 7 for k in range(100, 110)})
+    assert got == want
+    assert mf.manifest_row_count(table) == len(want)
+
+
 def test_batch_datasource_applies_deletes(spark, tmp_path):
     table = _table(spark, tmp_path)
     mf.delete_where(spark, table, "k % 10 = 0")

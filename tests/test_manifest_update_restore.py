@@ -110,6 +110,81 @@ def test_update_with_skip_hint_matches_unpruned_update(spark, tmp_path):
     assert _rows(spark, b)[5][1] == "hot"
 
 
+def test_require_version_precondition_guards_stale_commits(spark, tmp_path):
+    """The OCC primitive: a commit preconditioned on a snapshot version
+    aborts (table untouched) when another writer landed first."""
+    table = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(0, 1, "x")], "k int, v long, tag string")
+    with pytest.raises(mf.ConcurrentWriteError):
+        mf.manifest_upsert(spark, table, batch, ["k"], require_version=7)
+    assert mf.read_manifest(table)["version"] == 1
+    assert _rows(spark, table)[0] == (0, "s0")
+    # the matching version commits
+    v = mf.manifest_upsert(spark, table, batch, ["k"], require_version=1)
+    assert v == 2
+
+
+def test_update_recomputes_when_a_writer_lands_mid_flight(spark, tmp_path):
+    """Write-skew guard: a delete that lands between the UPDATE's
+    snapshot read and its commit must NOT be overwritten — the update
+    recomputes against the new snapshot, so the deleted row stays
+    deleted and the survivors still get updated."""
+    table = _table(spark, tmp_path)
+    real_upsert = mf.manifest_upsert
+    fired = {"n": 0}
+
+    def sneaky(*args, **kwargs):
+        if kwargs.get("operation") == "update" and fired["n"] == 0:
+            fired["n"] += 1
+            mf.delete_where(spark, table, "k = 1")  # lands first
+        return real_upsert(*args, **kwargs)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(mf, "manifest_upsert", side_effect=sneaky):
+        mf.update_where(spark, table, "k < 3", {"tag": "'hot'"})
+    assert fired["n"] == 1
+    got = _rows(spark, table)
+    assert 1 not in got  # the concurrent delete was not overwritten
+    assert got[0][1] == "hot" and got[2][1] == "hot"
+    # versions: base, delete, then exactly ONE update commit
+    hist = [
+        r.operation
+        for r in mf.describe_history(spark, table)
+        .orderBy("version")
+        .collect()
+    ]
+    assert hist == ["upsert", "delete", "update"]
+
+
+def test_merge_into_retries_on_conflict(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    real_upsert = mf.manifest_upsert
+    fired = {"n": 0}
+
+    def sneaky(*args, **kwargs):
+        if kwargs.get("operation") == "merge" and fired["n"] == 0:
+            fired["n"] += 1
+            mf.delete_where(spark, table, "k = 2")
+        return real_upsert(*args, **kwargs)
+
+    import unittest.mock as mock
+
+    src = spark.createDataFrame([(2, 5, "m")], "k int, v long, tag string")
+    with mock.patch.object(mf, "manifest_upsert", side_effect=sneaky):
+        mf.merge_into(
+            spark,
+            table,
+            src,
+            when_matched_update={"v": F.col("src.v")},
+        )
+    got = _rows(spark, table)
+    # the delete landed first, so k=2 was NOT MATCHED on recompute and
+    # inserted fresh from the source (not updated in place)
+    assert got[2] == (5, "m")
+    assert fired["n"] == 1
+
+
 def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
     table = _table(spark, tmp_path)
     mf.update_where(spark, table, "k < 50", {"v": F.lit(0).cast("long")})

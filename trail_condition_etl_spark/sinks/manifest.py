@@ -167,6 +167,15 @@ class TxnAlreadyCommittedError(Exception):
     untouched; catching this and moving on IS the exactly-once path."""
 
 
+class ConcurrentWriteError(Exception):
+    """A commit preconditioned on a snapshot version
+    (`manifest_upsert(require_version=...)`) found a different version
+    under the lease — another writer landed between the caller's
+    snapshot read and its commit (Delta's ConcurrentAppendException).
+    The table is untouched; callers recompute against the new snapshot
+    and retry (`update_where`/`merge_into` do this automatically)."""
+
+
 def _stat_columns(schema: StructType) -> list[str]:
     return [
         f.name
@@ -593,38 +602,64 @@ def update_where(
     matching nothing commits nothing. Returns the committed (or
     unchanged) version. `skip` prunes the matched-row scan via stats,
     same contract as `delete_where`: every conjunct must be IMPLIED by
-    `condition`."""
-    mf = read_manifest(table_path)
-    if mf is None:
-        raise FileNotFoundError(f"no committed manifest under {table_path}")
-    bad = sorted(set.keys() & {*mf["keys"]})
-    if bad:
-        raise ValueError(
-            f"cannot SET merge key column(s) {bad} ({table_path}): "
-            "rekeying a row is a delete + insert, not an update"
-        )
-    known = {f.name for f in _data_schema(mf).fields}
-    unknown = sorted(set.keys() - known)
-    if unknown:
-        raise ValueError(
-            f"SET column(s) {unknown} not in table schema ({table_path}); "
-            "UPDATE never adds columns — widen via an upsert batch"
-        )
+    `condition`.
+
+    Concurrency is OPTIMISTIC and serializable: the matched set is
+    computed against a pinned snapshot version and the commit is
+    preconditioned on it (`require_version`), so a writer landing in
+    between triggers a recompute against the new snapshot instead of a
+    silent lost update — Delta's conflict-detect-and-retry, bounded at
+    `_OCC_MAX_ATTEMPTS`."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     exprs = {
         c: F.expr(e) if isinstance(e, str) else e for c, e in set.items()
     }
-    matched = read_manifest_table(spark, table_path, skip=skip).filter(cond)
-    if matched.isEmpty():
-        return mf["version"]  # nothing matched: no empty commit
-    updated = matched.select(
-        *[
-            exprs[c].alias(c) if c in exprs else F.col(c)
-            for c in matched.columns
-        ]
-    )
-    return manifest_upsert(
-        spark, table_path, updated, mf["keys"], operation="update"
+    for _ in range(_OCC_MAX_ATTEMPTS):
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        bad = sorted(set.keys() & {*mf["keys"]})
+        if bad:
+            raise ValueError(
+                f"cannot SET merge key column(s) {bad} ({table_path}): "
+                "rekeying a row is a delete + insert, not an update"
+            )
+        known = {f.name for f in _data_schema(mf).fields}
+        unknown = sorted(set.keys() - known)
+        if unknown:
+            raise ValueError(
+                f"SET column(s) {unknown} not in table schema "
+                f"({table_path}); UPDATE never adds columns — widen via "
+                "an upsert batch"
+            )
+        snap_v = mf["version"]
+        matched = read_manifest_table(
+            spark, table_path, version=snap_v, skip=skip
+        ).filter(cond)
+        if matched.isEmpty():
+            return snap_v  # nothing matched: no empty commit
+        updated = matched.select(
+            *[
+                exprs[c].alias(c) if c in exprs else F.col(c)
+                for c in matched.columns
+            ]
+        )
+        try:
+            return manifest_upsert(
+                spark,
+                table_path,
+                updated,
+                mf["keys"],
+                operation="update",
+                require_version=snap_v,
+            )
+        except ConcurrentWriteError:
+            continue  # a writer landed mid-flight: recompute and retry
+    raise ConcurrentWriteError(
+        f"update on {table_path} lost the commit race "
+        f"{_OCC_MAX_ATTEMPTS} times; coordinate writers or retry later"
     )
 
 
@@ -731,6 +766,7 @@ def manifest_upsert(
     operation: str = "upsert",
     replace: bool = False,
     txn: tuple[str, int] | None = None,
+    require_version: int | None = None,
 ) -> int:
     """MERGE-style upsert with an atomic commit: new rows win over
     existing rows with the same key; untouched buckets carry over by
@@ -767,7 +803,15 @@ def manifest_upsert(
     the SAME app at a version <= the recorded one raises
     `TxnAlreadyCommittedError` — the atomic dedup a streaming sink
     needs to make epoch replays exactly-once (the committed batchId
-    and its data cannot diverge, unlike any out-of-band cursor)."""
+    and its data cannot diverge, unlike any out-of-band cursor).
+
+    `require_version` is the optimistic-concurrency precondition: the
+    commit aborts with `ConcurrentWriteError` (table untouched) if the
+    manifest under the lease is no longer at that version. Callers
+    whose BATCH was computed from a snapshot (UPDATE/MERGE matched
+    sets) pass the snapshot's version so a writer landing between
+    their read and their commit can never be silently overwritten —
+    write-skew becomes recompute-and-retry."""
     if replace and tombstone_col is not None:
         raise ValueError(
             "replace=True cannot be combined with tombstone_col: a "
@@ -790,6 +834,14 @@ def manifest_upsert(
     def attempt() -> int:
         check_fence(table_path, token)
         mf = read_manifest(table_path)
+        if require_version is not None:
+            found = mf["version"] if mf else 0
+            if found != require_version:
+                raise ConcurrentWriteError(
+                    f"snapshot version {require_version} is stale: "
+                    f"{table_path} is at {found} — a concurrent writer "
+                    "landed; recompute against the new snapshot"
+                )
         if txn is not None and mf is not None:
             prev_txn = mf.get("txns", {}).get(txn[0])
             if prev_txn is not None and prev_txn >= txn[1]:
@@ -978,12 +1030,24 @@ def manifest_upsert(
     try:
         version = retry_with_backoff(
             attempt,
-            fatal=(WriterFencedError, ValueError, TxnAlreadyCommittedError),
+            fatal=(
+                WriterFencedError,
+                ValueError,
+                TxnAlreadyCommittedError,
+                ConcurrentWriteError,
+            ),
         )
         record_commit(table_path, token)
         return version
     finally:
         release_table_lease(table_path, token)
+
+
+#: optimistic-concurrency recompute attempts for UPDATE/MERGE before
+#: giving up (every retry re-reads the snapshot, so livelock needs a
+#: writer landing in EVERY window — at that contention rate the caller
+#: should coordinate instead)
+_OCC_MAX_ATTEMPTS = 5
 
 
 def merge_into(
@@ -1016,7 +1080,39 @@ def merge_into(
     ONLY the bucket dirs the source keys hash into, and the commit
     rewrites only those buckets (everything else carries by reference).
     The reference claim is the server-side MERGE (DESIGN.md:41), here
-    with the full conditional-clause surface."""
+    with the full conditional-clause surface. Concurrency is the same
+    optimistic protocol as `update_where`: the target side is pinned to
+    a snapshot version, the commit is preconditioned on it, and a
+    conflicting writer triggers recompute-and-retry instead of a lost
+    update."""
+    for _ in range(_OCC_MAX_ATTEMPTS):
+        try:
+            return _merge_into_once(
+                spark,
+                table_path,
+                source,
+                when_matched_update,
+                matched_condition,
+                when_matched_delete,
+                insert_not_matched,
+            )
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"merge into {table_path} lost the commit race "
+        f"{_OCC_MAX_ATTEMPTS} times; coordinate writers or retry later"
+    )
+
+
+def _merge_into_once(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    when_matched_update,
+    matched_condition,
+    when_matched_delete,
+    insert_not_matched,
+) -> int:
     mf = read_manifest(table_path)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
@@ -1096,6 +1192,7 @@ def merge_into(
         keys,
         tombstone_col=tomb,
         operation="merge",
+        require_version=mf["version"],
     )
 
 
