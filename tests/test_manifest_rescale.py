@@ -95,6 +95,57 @@ def test_rescale_composes_with_clustering(spark, tmp_path):
     assert sorted(r.k for r in got.collect()) == list(range(10))
 
 
+def test_maintain_table_compacts_only_past_thresholds(spark, tmp_path):
+    """Conditional OPTIMIZE: within thresholds it is a metadata-only
+    no-op (None, no version); past either the small-file or the
+    pending-delete-file threshold it compacts."""
+    table = _table(spark, tmp_path, n=100, n_buckets=2)
+    assert mf.maintain_table(spark, table) is None
+    assert mf.read_manifest(table)["version"] == 1
+
+    # accumulate small files: every epoch-style upsert rewrites its
+    # touched bucket into one more file? No — rewrites replace. Use
+    # MoR deletes to cross the delete-file threshold instead.
+    for i in range(5):
+        mf.delete_where(spark, table, f"k = {i}")
+    assert mf.maintain_table(spark, table, max_delete_files=4) is not None
+    after = mf.read_manifest(table)
+    assert after["operation"] == "optimize"
+    assert not after.get("deletes")
+    assert mf.manifest_row_count(table) == 95
+    # and now it is healthy again
+    assert mf.maintain_table(spark, table, max_delete_files=4) is None
+
+
+def test_maintain_table_compacts_scattered_small_files(spark, tmp_path):
+    """The small-file trigger: a bucket dir holding more parquet files
+    than the threshold (the shape a many-task write leaves behind)
+    compacts to one file per bucket."""
+    import os as _os
+
+    table = _table(spark, tmp_path, n=50, n_buckets=1)
+    rows = spark.range(200, 400).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(12)  # multiple tasks -> multiple files in the bucket dir
+    mf.manifest_upsert(spark, table, rows, ["k"])
+
+    def n_files():
+        d = _os.path.join(table, mf.read_manifest(table)["buckets"]["0"])
+        return sum(1 for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    frag = n_files()
+    assert frag > 1  # genuinely fragmented (AQE may coalesce, never to 1)
+    # at-or-below threshold: untouched
+    assert mf.maintain_table(spark, table, max_files_per_bucket=frag) is None
+    # above threshold: compacted to one file per bucket
+    assert (
+        mf.maintain_table(spark, table, max_files_per_bucket=frag - 1)
+        is not None
+    )
+    assert n_files() == 1
+    assert mf.manifest_row_count(table) == 250
+
+
 def test_rescale_rejects_bad_count_and_restore_goes_back(spark, tmp_path):
     table = _table(spark, tmp_path, n_buckets=2)
     with pytest.raises(ValueError, match="n_buckets"):

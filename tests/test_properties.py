@@ -497,6 +497,10 @@ _mops = st.lists(
             st.just("mor_delete"),
             st.sets(st.integers(0, 30), min_size=1, max_size=4),
         ),
+        st.tuples(
+            st.just("update"),
+            st.sets(st.integers(0, 30), min_size=1, max_size=4),
+        ),
         st.tuples(st.just("optimize"), st.booleans()),
         st.tuples(st.just("vacuum"), st.just(None)),
     ),
@@ -515,10 +519,11 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     spark, tmp_path_factory, ops
 ):
     """Model-based check: ANY interleaving of upserts, tombstone
-    deletes, merge-on-read deletes (both including absent keys),
-    plain/clustered optimizes, and vacuums leaves the table exactly
-    equal to a dict that applied the same ops — and a stats-skip read
-    and the metadata-only count agree with the model too."""
+    deletes, merge-on-read deletes, updates (each including absent
+    keys), plain/clustered optimizes, and vacuums leaves the table
+    exactly equal to a dict that applied the same ops — and a
+    stats-skip read and the metadata-only count agree with the model
+    too."""
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     table = str(tmp_path_factory.mktemp("prop_manifest") / "t")
@@ -546,6 +551,16 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             mfm.delete_where(spark, table, F.col("k").isin(sorted(arg)))
             for k in arg:
                 model.pop(k, None)
+        elif kind == "update" and committed:
+            mfm.update_where(
+                spark,
+                table,
+                F.col("k").isin(sorted(arg)),
+                {"v": F.col("v") + F.lit(1000)},
+            )
+            for k in arg:
+                if k in model:
+                    model[k] += 1000
         elif kind == "optimize" and committed:
             mfm.optimize_table(
                 spark,

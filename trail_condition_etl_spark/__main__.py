@@ -13,6 +13,8 @@ manifest-table operator console.
     python -m trail_condition_etl_spark table update PATH --where "SQL expr" \\
         --set "col = expr" [--set "col2 = expr2"]
     python -m trail_condition_etl_spark table restore PATH --version N
+    python -m trail_condition_etl_spark table maintain PATH \\
+        [--max-files-per-bucket N] [--max-delete-files N]
 
 `run` prints the result (truncated to -n rows); `explain` prints the
 formatted physical plan — the same artifact tests/test_plans.py asserts
@@ -44,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     tsub = pt.add_subparsers(dest="tcmd", required=True)
     for tcmd in (
         "history", "count", "optimize", "vacuum", "delete", "update",
-        "restore",
+        "restore", "maintain",
     ):
         tp = tsub.add_parser(tcmd)
         tp.add_argument("path")
@@ -65,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
                             help='"col = expr", repeatable')
         if tcmd == "restore":
             tp.add_argument("--version", type=int, required=True)
+        if tcmd == "maintain":
+            tp.add_argument("--max-files-per-bucket", type=int, default=8)
+            tp.add_argument("--max-delete-files", type=int, default=16)
     args = parser.parse_args(argv)
 
     if args.cmd == "table":
@@ -158,6 +163,16 @@ def _table_cmd(args) -> int:
     elif args.tcmd == "restore":
         v = mf.restore_table(spark, args.path, version=args.version)
         print(f"restored to version {args.version} -> version {v}")
+    elif args.tcmd == "maintain":
+        v = mf.maintain_table(
+            spark, args.path,
+            max_files_per_bucket=args.max_files_per_bucket,
+            max_delete_files=args.max_delete_files,
+        )
+        print(
+            f"compacted -> version {v}" if v is not None
+            else "within thresholds; nothing to do"
+        )
     return 0
 
 

@@ -1682,6 +1682,46 @@ def optimize_table(
         release_table_lease(table_path, token)
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_path: str,
+    max_files_per_bucket: int = 8,
+    max_delete_files: int = 16,
+    cluster_by: list[str] | None = None,
+) -> int | None:
+    """Conditional OPTIMIZE (Delta's auto-compaction policy, made an
+    explicit call): inspect the CURRENT snapshot's physical layout —
+    per-bucket data-file counts and pending MoR delete files — and
+    rewrite only when a threshold is exceeded. A streaming sink commits
+    one segment per epoch and a delete-heavy workload accumulates
+    equality-delete files; both degrade reads gradually, and the
+    decision of WHEN to pay the rewrite belongs in one policy point,
+    not in every pipeline. The check is pure metadata (one manifest
+    read + a dir listing per bucket, no data scanned). Returns the new
+    version when an optimize ran, None when the table is within
+    thresholds."""
+    mf = read_manifest(table_path)
+    if mf is None:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    worst_files = 0
+    for d in mf["buckets"].values():
+        try:
+            n = sum(
+                1
+                for fn in os.listdir(os.path.join(table_path, d))
+                if fn.endswith(".parquet")
+            )
+        except OSError:
+            n = 0
+        worst_files = max(worst_files, n)
+    n_delete_files = sum(len(v) for v in mf.get("deletes", {}).values())
+    if worst_files <= max_files_per_bucket and (
+        n_delete_files <= max_delete_files
+    ):
+        return None
+    return optimize_table(spark, table_path, cluster_by=cluster_by)
+
+
 def table_changes(
     spark: SparkSession,
     table_path: str,
