@@ -13,6 +13,15 @@ user expects:
   Spark (partial pushdown): pruning is an IO optimization, Spark's
   residual evaluation keeps results exact — the same
   stats-prune + residual contract as `read_manifest_table(skip=...)`.
+* ``df.write.format("manifest")`` — the DataFrameWriter side: each task
+  stages its Arrow batches as ONE private parquet part, and the
+  driver-side commit runs the staged data through `manifest_upsert`,
+  so ``mode("append")`` IS a keyed MERGE and ``mode("overwrite")`` an
+  atomic whole-table replace, every table invariant (lease+fencing,
+  validation, CHECK constraints, stats) enforced unchanged.
+* ``df.writeStream.format("manifest")`` — the exactly-once streaming
+  sink: one atomic manifest commit per micro-batch, deduplicated
+  across crash replays by the manifest's (txn_app_id, batchId) ledger.
 * ``spark.readStream.format("manifest_cdc").option("path", t)`` — a
   Structured Streaming CDC source whose OFFSETS are table VERSIONS
   (Delta's streaming source / `readChangeFeed` reduced to its
