@@ -521,9 +521,10 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     """Model-based check: ANY interleaving of upserts, tombstone
     deletes, merge-on-read deletes, updates (each including absent
     keys), plain/clustered optimizes, and vacuums leaves the table
-    exactly equal to a dict that applied the same ops — and a
-    stats-skip read and the metadata-only count agree with the model
-    too."""
+    exactly equal to a dict that applied the same ops — and the
+    stats-skip read, the metadata-only count, the Python DataSource
+    batch read, and a CDC-replay reconstruction (oldest snapshot +
+    change feed) all agree with the model too."""
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     table = str(tmp_path_factory.mktemp("prop_manifest") / "t")
@@ -581,3 +582,43 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     assert {r.k: r.v for r in skipped.collect()} == {
         k: v for k, v in model.items() if v >= 0
     }
+    # every read path agrees: the Python DataSource batch reader must
+    # see the same state (incl. pending MoR deletes) as the library read
+    from trail_condition_etl_spark.sources.manifest_source import (
+        register_manifest_sources,
+    )
+
+    register_manifest_sources(spark)
+    ds = {
+        r.k: r.v
+        for r in spark.read.format("manifest")
+        .option("path", table)
+        .load()
+        .collect()
+    }
+    assert ds == model
+    # CDC replay invariant: applying table_changes(oldest -> latest)
+    # onto the oldest retained snapshot reconstructs the latest exactly
+    versions = mfm.list_versions(table)
+    if versions[-1] > versions[0]:
+        base_v = versions[0]
+        feed = mfm.table_changes(spark, table, base_v).collect()
+        replay = str(tmp_path_factory.mktemp("prop_replay") / "t")
+        mfm.manifest_upsert(
+            spark,
+            replay,
+            mfm.read_manifest_table(spark, table, version=base_v),
+            ["k"],
+            n_buckets=4,
+        )
+        if feed:
+            df = spark.createDataFrame(
+                [(r.k, r.v, r.change_type == "delete") for r in feed],
+                "k int, v long, _gone boolean",
+            )
+            mfm.manifest_upsert(spark, replay, df, ["k"], tombstone_col="_gone")
+        got2 = {
+            r.k: r.v
+            for r in mfm.read_manifest_table(spark, replay).collect()
+        }
+        assert got2 == model
