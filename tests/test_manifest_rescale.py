@@ -146,6 +146,23 @@ def test_maintain_table_compacts_scattered_small_files(spark, tmp_path):
     assert mf.manifest_row_count(table) == 250
 
 
+def test_maintain_preserves_the_clustered_layout(spark, tmp_path):
+    """Routine maintenance must not silently strip a Z-ordered table of
+    its per-file stats: with cluster_by unset, maintain reuses the most
+    recent optimize's clustering."""
+    table = _table(spark, tmp_path, n=200, n_buckets=2)
+    mf.optimize_table(spark, table, cluster_by=["v"], files_per_bucket=4)
+    assert mf.read_manifest(table)["file_stats"]
+    for i in range(5):
+        mf.delete_where(spark, table, f"k = {i}")
+    assert mf.maintain_table(spark, table, max_delete_files=4) is not None
+    after = mf.read_manifest(table)
+    assert after["op_metrics"]["cluster_by"] == ["v"]  # layout preserved
+    assert after["file_stats"]
+    got = mf.read_manifest_table(spark, table, skip=[("v", "<", 100)])
+    assert sorted(r.k for r in got.collect()) == list(range(5, 10))
+
+
 def test_rescale_rejects_bad_count_and_restore_goes_back(spark, tmp_path):
     table = _table(spark, tmp_path, n_buckets=2)
     with pytest.raises(ValueError, match="n_buckets"):

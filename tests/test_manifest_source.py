@@ -352,6 +352,63 @@ def test_txns_carry_through_other_commit_types(spark, tmp_path):
     assert mf.read_manifest(table)["txns"] == {"q1": 6}
 
 
+def test_cdc_stream_is_quiet_across_a_bucket_rescale(spark, tmp_path):
+    """A rescale commit moves every row to a new bucket id without
+    changing content: the per-bucket diff would see phantom
+    delete+insert pairs, so the reader must detect the layout change
+    and fall back to one global diff — which emits NOTHING for a
+    content-identical rescale, and exactly the real changes when a
+    delete shares the span."""
+    import pyarrow as pa
+
+    table = _table(spark, tmp_path, n=100, n_buckets=2)
+    mf.optimize_table(spark, table, n_buckets=8)  # v2: layout-only
+    manifest = mf.read_manifest(table)
+    schema = ms.cdc_schema(mf._data_schema(manifest))
+    r = ms.ManifestCDCStreamReader(schema, {"path": table})
+    parts = r.partitions({"version": 1}, {"version": 2})
+    rows = [
+        row
+        for p in parts
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    ]
+    assert rows == []  # no phantom churn
+
+    mf.delete_where(spark, table, "k = 7")  # v3: one real change
+    parts = r.partitions({"version": 1}, {"version": 3})
+    rows = [
+        row
+        for p in parts
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    ]
+    assert [(row["k"], row["change_type"]) for row in rows] == [
+        (7, "delete")
+    ]
+
+
+def test_empty_create_intent_append_commits_an_empty_table(spark, tmp_path):
+    """An empty DataFrame written with the keys option must CREATE the
+    table (version 1, schema recorded, zero rows) — not silently do
+    nothing and leave later readers with FileNotFoundError."""
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    empty = spark.range(0).select(
+        F.col("id").cast("int").alias("k"), F.lit("x").alias("v")
+    )
+    (
+        empty.write.format("manifest")
+        .option("path", table).option("keys", "k").mode("append").save()
+    )
+    assert mf.read_manifest(table)["version"] == 1
+    assert mf.manifest_row_count(table) == 0
+    assert mf.read_manifest_table(spark, table).columns == ["k", "v"]
+    # and an empty append to the EXISTING table commits nothing
+    empty.write.format("manifest").option("path", table).mode("append").save()
+    assert mf.read_manifest(table)["version"] == 1
+
+
 def test_vacuum_sweeps_only_aged_staging_orphans(spark, tmp_path):
     table = str(tmp_path / "t")
     rows = spark.range(10).select(F.col("id").alias("k"))

@@ -237,6 +237,34 @@ def test_restore_keeps_current_constraints(spark, tmp_path):
         mf.update_where(spark, table, "k = 1", {"v": F.lit(-5).cast("long")})
 
 
+def test_update_rejects_empty_set(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one SET"):
+        mf.update_where(spark, table, "k < 5", {})
+    assert mf.read_manifest(table)["version"] == 1
+
+
+def test_restore_refuses_constraints_the_old_schema_cannot_resolve(
+    spark, tmp_path
+):
+    """A current constraint referencing a column added AFTER the restore
+    target would wedge every later narrow-batch commit on an
+    unresolved-column error — the restore must refuse loudly instead."""
+    table = _table(spark, tmp_path)
+    widen = spark.createDataFrame(
+        [(0, 0, "s0", 5)], "k int, v long, tag string, x long"
+    )
+    mf.manifest_upsert(spark, table, widen, ["k"])  # v2 adds column x
+    mf.add_table_constraint(spark, table, "x_ok", "x IS NULL OR x >= 0")
+    with pytest.raises(ValueError, match="x_ok"):
+        mf.restore_table(spark, table, version=1)
+    assert mf.read_manifest(table)["operation"] == "add-constraint"
+    # dropping the constraint unblocks the rollback
+    mf.drop_table_constraint(spark, table, "x_ok")
+    v = mf.restore_table(spark, table, version=1)
+    assert mf.read_manifest(table, v)["op_metrics"]["restored_version"] == 1
+
+
 def test_restore_by_timestamp(spark, tmp_path):
     table = _table(spark, tmp_path)
     stamp = mf.read_manifest(table)["committed_at"]

@@ -577,7 +577,10 @@ def delete_where(
         return manifest["version"]
 
     try:
-        version = retry_with_backoff(attempt, fatal=(WriterFencedError,))
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
         record_commit(table_path, token)
         return version
     finally:
@@ -610,6 +613,11 @@ def update_where(
     between triggers a recompute against the new snapshot instead of a
     silent lost update — Delta's conflict-detect-and-retry, bounded at
     `_OCC_MAX_ATTEMPTS`."""
+    if not set:
+        raise ValueError(
+            "UPDATE requires at least one SET assignment: an empty dict "
+            "would rewrite every matched bucket byte-identically"
+        )
     cond = F.expr(condition) if isinstance(condition, str) else condition
     exprs = {
         c: F.expr(e) if isinstance(e, str) else e for c, e in set.items()
@@ -717,6 +725,20 @@ def restore_table(
                 f"{len(missing)} referenced dir(s) were vacuumed away "
                 f"(e.g. {missing[0]})"
             )
+        # current constraints carry forward — but one referencing a
+        # column the restored schema lacks would wedge every later
+        # narrow-batch commit on an unresolved-column error. Refuse
+        # loudly instead of committing a poisoned table state.
+        probe = spark.createDataFrame([], _data_schema(old))
+        for cname, cexpr in cur.get("constraints", {}).items():
+            try:
+                probe.filter(F.coalesce(F.expr(cexpr), F.lit(True)))
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot restore {table_path} to version {target}: "
+                    f"carried constraint {cname!r} ({cexpr}) does not "
+                    "resolve against the restored schema; drop it first"
+                ) from exc
         manifest = {
             "version": cur["version"] + 1,
             "token": token,
@@ -747,7 +769,8 @@ def restore_table(
 
     try:
         version_out = retry_with_backoff(
-            attempt, fatal=(WriterFencedError, ValueError)
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
         )
         record_commit(table_path, token)
         return version_out
@@ -1244,7 +1267,8 @@ def add_table_constraint(
 
     try:
         version = retry_with_backoff(
-            attempt, fatal=(WriterFencedError, ValueError)
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
         )
         record_commit(table_path, token)
         return version
@@ -1286,7 +1310,8 @@ def drop_table_constraint(
 
     try:
         version = retry_with_backoff(
-            attempt, fatal=(WriterFencedError, ValueError)
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
         )
         record_commit(table_path, token)
         return version
@@ -1675,7 +1700,10 @@ def optimize_table(
         return manifest["version"]
 
     try:
-        version = retry_with_backoff(attempt, fatal=(WriterFencedError,))
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
         record_commit(table_path, token)
         return version
     finally:
@@ -1699,10 +1727,23 @@ def maintain_table(
     not in every pipeline. The check is pure metadata (one manifest
     read + a dir listing per bucket, no data scanned). Returns the new
     version when an optimize ran, None when the table is within
-    thresholds."""
+    thresholds.
+
+    With `cluster_by=None` (the default), maintenance PRESERVES the
+    operator's layout intent: the most recent retained optimize
+    commit's `cluster_by` is reused (None if that optimize was plain) —
+    a routine compaction must never silently strip a Z-ordered table of
+    its per-file stats and downgrade clustered-range reads to
+    full-bucket scans. Pass an explicit list to re-cluster differently."""
     mf = read_manifest(table_path)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
+    if cluster_by is None:
+        for v in reversed(list_versions(table_path)):
+            past = read_manifest(table_path, v) or {}
+            if past.get("operation") == "optimize":
+                cluster_by = past.get("op_metrics", {}).get("cluster_by")
+                break
     worst_files = 0
     for d in mf["buckets"].values():
         try:
@@ -1842,8 +1883,9 @@ def _vacuum_locked(table_path: str, keep_last: int) -> int:
         except OSError:
             continue
         if age > _STAGING_TTL_SECONDS:
+            # swept but NOT counted: the return value is the segment-dir
+            # sweep count per the docstring, and operators read it that way
             shutil.rmtree(p, ignore_errors=True)
-            removed += 1
     return removed
 
 

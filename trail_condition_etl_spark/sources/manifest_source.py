@@ -292,6 +292,45 @@ class _StagedFile(WriterCommitMessage):
     rows: int
 
 
+def _active_session():
+    """The live SparkSession from a writer's driver-side commit, which
+    runs on a worker thread where no session is "active"."""
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or (
+        SparkSession.builder.getOrCreate()
+    )
+
+
+def _commit_inputs(
+    table_path: str, keys_opt: list[str] | None, messages
+) -> tuple[list[str], list[str]]:
+    """Shared commit preamble of both writers: the staged file list and
+    the resolved merge keys (the option to CREATE, the manifest's own
+    otherwise)."""
+    files = [m.path for m in messages if m is not None and m.path]
+    keys = keys_opt
+    if keys is None:
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise ValueError(
+                'option "keys" is required to CREATE a manifest table '
+                f"({table_path}); an existing table supplies its own"
+            )
+        keys = mf["keys"]
+    return files, keys
+
+
+def _staged_df(spark, schema: StructType, files: list[str]):
+    """The staged epoch/job as one DataFrame (empty => schema-true empty
+    frame, the INSERT OVERWRITE truncation / empty-create path)."""
+    return (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+
+
 class ManifestBatchWriter(DataSourceArrowWriter):
     """``df.write.format("manifest")``: each task streams its Arrow
     batches into ONE private parquet file under `<table>/_staging/<job>/`
@@ -346,36 +385,23 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         return _StagedFile(path=path, rows=rows)
 
     def commit(self, messages) -> None:
-        from pyspark.sql import SparkSession
-
-        # commit() runs driver-side but on a worker thread where no
-        # session is "active"; getOrCreate returns the live one
-        spark = SparkSession.getActiveSession() or (
-            SparkSession.builder.getOrCreate()
-        )
-        files = [m.path for m in messages if m is not None and m.path]
+        spark = _active_session()
         try:
-            keys = self._keys
-            if keys is None:
-                mf = read_manifest(self._table_path)
-                if mf is None:
-                    raise ValueError(
-                        'option "keys" is required to CREATE a manifest '
-                        f"table ({self._table_path}); an existing table "
-                        "supplies its own"
-                    )
-                keys = mf["keys"]
-            if not files and not self._overwrite:
-                return  # empty append: nothing to commit
-            df = (
-                spark.read.schema(self._schema).parquet(*files)
-                if files
-                else spark.createDataFrame([], self._schema)
-            )  # empty overwrite truncates, like INSERT OVERWRITE
+            files, keys = _commit_inputs(
+                self._table_path, self._keys, messages
+            )
+            if (
+                not files
+                and not self._overwrite
+                and read_manifest(self._table_path) is not None
+            ):
+                return  # empty append to an existing table: no churn
+            # empty overwrite truncates (INSERT OVERWRITE); an empty
+            # CREATE-intent append commits version 1 with the schema
             manifest_upsert(
                 spark,
                 self._table_path,
-                df,
+                _staged_df(spark, self._schema, files),
                 keys,
                 n_buckets=self._n_buckets,
                 operation="replace" if self._overwrite else "append",
@@ -434,36 +460,19 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
     write = ManifestBatchWriter.write
 
     def commit(self, messages, batchId: int) -> None:
-        from pyspark.sql import SparkSession
-
         from ..sinks.manifest import TxnAlreadyCommittedError
 
-        spark = SparkSession.getActiveSession() or (
-            SparkSession.builder.getOrCreate()
-        )
+        spark = _active_session()
         files = [m.path for m in messages if m is not None and m.path]
         try:
-            keys = self._keys
-            if keys is None:
-                mf = read_manifest(self._table_path)
-                if mf is None:
-                    raise ValueError(
-                        'option "keys" is required to CREATE a manifest '
-                        f"table ({self._table_path})"
-                    )
-                keys = mf["keys"]
+            _, keys = _commit_inputs(self._table_path, self._keys, messages)
             if not files and not self._overwrite:
                 return  # empty epoch: no version churn
-            df = (
-                spark.read.schema(self._schema).parquet(*files)
-                if files
-                else spark.createDataFrame([], self._schema)
-            )
             try:
                 manifest_upsert(
                     spark,
                     self._table_path,
-                    df,
+                    _staged_df(spark, self._schema, files),
                     keys,
                     n_buckets=self._n_buckets,
                     operation="streaming-update",
@@ -596,6 +605,44 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         )
         old_dmap = old_mf.get("deletes", {}) if old_mf else {}
         new_dmap = new_mf.get("deletes", {})
+        if old_mf is not None and old_mf["n_buckets"] != new_mf["n_buckets"]:
+            # a bucket-layout rescale sits inside the span: "same bucket
+            # id" no longer means "same keys", so a per-bucket diff
+            # would emit phantom delete+insert pairs for every row that
+            # merely moved buckets. Fall back to ONE global diff
+            # partition — correctness over parallelism for the rare
+            # rescale epoch (the library table_changes, a global
+            # full-outer join, is immune by construction).
+            return [
+                _BucketChangePartition(
+                    "*",
+                    [
+                        f
+                        for d in old_buckets.values()
+                        for f in _dir_files(self._table_path, d)
+                    ],
+                    [
+                        f
+                        for d in new_mf["buckets"].values()
+                        for f in _dir_files(self._table_path, d)
+                    ],
+                    new_mf["keys"],
+                    old_schema,
+                    new_mf["schema"],
+                    [
+                        f
+                        for lst in old_dmap.values()
+                        for d in lst
+                        for f in _dir_files(self._table_path, d)
+                    ],
+                    [
+                        f
+                        for lst in new_dmap.values()
+                        for d in lst
+                        for f in _dir_files(self._table_path, d)
+                    ],
+                )
+            ]
         parts = []
         for b in sorted(
             set(new_mf["buckets"]) | set(old_buckets), key=int
