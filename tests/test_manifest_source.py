@@ -447,3 +447,86 @@ def test_cdc_partitions_skip_carried_buckets(spark, tmp_path):
         tuple(d.values()) for d in tbl.to_pylist()
     }
     assert (5, 1.0, "vN", "update") in rows
+
+
+def test_batch_source_reads_evolved_table(spark, tmp_path):
+    """ADVICE r6: buckets carried across an additive schema evolution
+    lack later-added columns; the reader must project only what each
+    FILE has (pyarrow raises for absent columns=) and null-fill the
+    rest — same semantics as read_manifest_table."""
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        ["k"],
+        n_buckets=4,
+    )
+    wide = spark.createDataFrame(
+        [(3, "c", 9.5)], "k int, v string, score double"
+    )
+    mf.manifest_upsert(spark, table, wide, ["k"])
+    got = {
+        r.k: (r.v, r.score)
+        for r in spark.read.format("manifest")
+        .option("path", table)
+        .load()
+        .collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+
+def test_time_travel_surfaces_that_versions_schema(spark, tmp_path):
+    """ADVICE r6: schema() must resolve the SAME version the reader
+    plans from — a time-travel read of a pre-evolution snapshot gets
+    that snapshot's narrower schema, not the latest."""
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        ["k"],
+        n_buckets=4,
+    )
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(2, "b", 1.5)], "k int, v string, score double"),
+        ["k"],
+    )
+    v1 = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.columns == ["k", "v"]
+    assert {tuple(r) for r in v1.collect()} == {(1, "a")}
+
+
+def test_stream_writer_cleans_its_staging_dir(spark, tmp_path):
+    """ADVICE r6: the stream writer must rmtree its _staging/<id> dir
+    (not just unlink staged parts) so runs don't accumulate empty dirs
+    until vacuum's TTL sweep."""
+    ms.register_manifest_sources(spark)
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .writeStream.format("manifest")
+        .option("path", table)
+        .option("keys", "k")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert mf.manifest_row_count(table) == 10
+    staging = os.path.join(table, "_staging")
+    assert (not os.path.isdir(staging)) or os.listdir(staging) == []

@@ -37,8 +37,23 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
-def test_all_queries_have_rows(spark):
-    # every registered query must at least run and return a stable schema
+def test_all_queries_have_rows_and_flat_schemas(spark):
+    """Every registered query must run, return a stable schema, and emit
+    ONLY flat scalar columns. The driver's canonicalizer pandas-sorts and
+    hashes every column: ArrayType/MapType/StructType die with
+    `TypeError: unhashable type` (the r6 `inverted_index` red row).
+    Nested results must be serialized — arrays as delimiter-joined
+    strings, same convention as timestamps-as-formatted-strings."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.columns, f"{name} returned no columns"
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType)
+            ), (
+                f"{name}.{f.name} is {f.dataType.simpleString()}: registered "
+                "query outputs must be flat scalars (driver canonicalizer "
+                "cannot hash nested values) — serialize to string"
+            )

@@ -24,7 +24,13 @@ QUERY_TERMS = ("fast", "merge", "window")
 
 
 def inverted_index(documents: DataFrame, cap: int = MAX_POSTINGS) -> DataFrame:
-    """token -> (exact df, first-`cap` posting list ordered by doc_id)."""
+    """token -> (exact df, first-`cap` posting list ordered by doc_id).
+
+    The posting list is emitted as a comma-joined STRING, not an
+    ArrayType column: registered query outputs must be flat scalars so
+    every harness (driver canonicalizer, DuckDB oracle hash, pandas
+    sort) can order and hash them — the same convention as timestamps
+    (always formatted strings, never raw)."""
     pairs = (
         documents.select(
             "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
@@ -37,8 +43,16 @@ def inverted_index(documents: DataFrame, cap: int = MAX_POSTINGS) -> DataFrame:
         ranked.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.array_sort(
-                F.collect_list(F.when(F.col("rk") <= cap, F.col("doc_id")))
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rk") <= cap, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
             ).alias("postings"),
         )
     )
@@ -55,7 +69,8 @@ ranked AS (
   FROM pairs
 )
 SELECT token, COUNT(*) AS df,
-       list(doc_id ORDER BY doc_id) FILTER (WHERE rk <= 50) AS postings
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         FILTER (WHERE rk <= 50) AS postings
 FROM ranked GROUP BY token
 """
 

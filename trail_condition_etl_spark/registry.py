@@ -1219,17 +1219,19 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_minhash_pairs(documents)
 
 
-@query("minhash_near_dup_x64")
+@query("minhash_near_dup_x64", oracle=dedup.MINHASH_X64_PARITY_SQL)
 def q_minhash_near_dup_x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit-id production variant (xxhash64 shingle ids): the BENCH
     # entry for the dedup family — the sha-prefix ids mod 1e6+3 used by
     # the oracle path birthday-collide at ~1e9 distinct shingles,
     # silently merging shingles at corpus scale; xxhash64 does not.
-    # No DuckDB oracle (DuckDB has no xxhash64 — driver records the
-    # rows-only check); pair-set equality vs the oracle path is pinned
-    # in tests/test_dedup.py::test_minhash_xxhash_agrees_with_horner.
+    # DuckDB has no xxhash64, so the driver-checkable contract is a
+    # parity REPORT (r6 directive 6): x64 pair set fully-outer-joined
+    # against the Horner (oracle-replayable) pair set, oracle pinning
+    # (|pairs|, 0, 0); pair-set equality is also pinned in
+    # tests/test_dedup.py::test_minhash_xxhash_agrees_with_horner.
     (documents,) = _tables(spark, sf_dir, "documents")
-    return dedup.shared_minhash_pairs_x64(documents)
+    return dedup.minhash_x64_parity_report(documents)
 
 
 @query("incremental_near_dup", oracle=dedup.MINHASH_PAIRS_SQL)
@@ -1573,45 +1575,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # families, so ANY prefix of the dict spans the whole engine.
 # ---------------------------------------------------------------------------
 
-# ROTATION POLICY (VERDICT r5 directive 3): the head is re-dealt each
-# round to queries that have never had a driver-green row — after five
-# rounds 61 of 172 had only ever been checked by local parity. The r1-r5
-# sample (flagships + heavy production paths) is retired to the
-# round-robin tail; its members stay covered by tests/test_parity.py.
-# Kept at the front: the flagship smoke, the surfaces CHANGED this round
-# (manifest read paths, CDC reader, manifest-backed stream roundtrips),
-# and the two r1 hash-mismatches (doc_fingerprint, json_props) that were
-# fixed but never re-sampled.
-_SAMPLE_HEAD = [
-    # flagship + this round's changed surfaces
-    "trail_classifier", "cdc_incremental", "manifest_lookup",
-    "manifest_skip_scan", "zorder_skip_scan", "pyds_manifest_scan",
-    "pyds_cdc_stream", "pyds_manifest_write", "pyds_stream_sink",
-    "manifest_history", "manifest_merge_into",
-    "manifest_mor_delete", "manifest_update_where", "manifest_restore",
-    "stream_roundtrip", "stream_roundtrip_multibatch",
-    # fixed in r2 but never re-sampled since the r1 red rows
-    "doc_fingerprint", "json_props",
-    # never driver-sampled: streaming
-    "asof_tolerance", "stream_static_enrich", "stream_scd2",
-    "stream_windowed_update", "stream_attribution", "sliding_window_agg",
-    # never driver-sampled: pipeline / ingestion / kits
-    "inverted_index", "variant_props", "dlq_redrive", "array_kit",
-    "map_kit", "join_kit", "regex_kit", "categorization_tasks",
-    "jsonl_roundtrip", "schema_evolution", "dq_checks",
-    # never driver-sampled: dedup / similarity
-    "cluster_split_leakage", "dedup_quality_report", "degree_distribution",
-    "dup_rate_by_source", "embedding_near_dup_exact", "embedding_quantize",
-    "fuzzy_pairs", "incremental_near_dup", "ivf_index_probe",
-    "label_centroids", "near_dup_pagerank",
-    # never driver-sampled: text / search / curation
-    "chunk_documents", "embed_chunks", "keyword_search", "ngram_topk",
-    "heavy_hitters", "dataset_split", "mixture_weights", "hash_sample_k",
-    # never driver-sampled: timeseries / behavior / warehouse / media
-    "activity_streaks", "event_transitions", "linear_interp",
-    "incremental_rollup", "grouping_sets_volume", "audio_window_features",
-    "frame_sample", "media_resize",
+# ROTATION POLICY (VERDICT r5 directive 3, mechanized per r6 directive
+# 7): driver_coverage.json (this package dir) records query -> first
+# round with a driver-green CORRECTNESS row; it is regenerated each
+# round by tools/update_driver_coverage.py from the round's
+# CORRECTNESS_r{N}.json. The sample head is DERIVED: the flagship and
+# this round's changed surfaces pinned up front, then every registered
+# query with no coverage entry yet (never driver-green), then recently
+# changed-but-covered surfaces. Everything else stays in the
+# family-round-robin tail, covered by tests/test_parity.py.
+
+# hand-pinned per round: flagship smoke + the surfaces whose CODE
+# changed this round (r7: inverted_index array->string fix; the
+# manifest DataSource evolved-read/schema-version/staging fixes; the
+# minhash x64 oracle; the CDC diff bounding; the bench fixture hoist
+# touching the manifest lifecycle queries)
+_PINNED_HEAD = [
+    "trail_classifier", "inverted_index", "pyds_manifest_scan",
+    "pyds_stream_sink", "minhash_near_dup_x64",
 ]
+
+# changed-but-already-covered surfaces re-sampled AFTER the never-green
+# block (they have prior green rows; a re-check is cheap insurance)
+_CHANGED_TAIL = [
+    "pyds_manifest_write", "pyds_cdc_stream", "cdc_incremental",
+    "manifest_lookup", "manifest_skip_scan", "zorder_skip_scan",
+    "manifest_mor_delete", "stream_roundtrip",
+]
+
+
+def _driver_coverage() -> dict[str, int]:
+    """query name -> first round with a driver-green CORRECTNESS row."""
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "driver_coverage.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _sample_head() -> list[str]:
+    covered = _driver_coverage()
+    head = list(_PINNED_HEAD)
+    seen = set(head)
+    # every registered query that has never been driver-green, in
+    # registration order (stable across runs)
+    for n in _QUERIES:
+        if n not in seen and n not in covered:
+            head.append(n)
+            seen.add(n)
+    for n in _CHANGED_TAIL:
+        if n not in seen:
+            head.append(n)
+            seen.add(n)
+    return head
 
 _FAMILY_PATTERNS: list[tuple[str, tuple[str, ...]]] = [
     ("streaming", ("stream_", "stateful", "sliding")),
@@ -1638,7 +1658,7 @@ def _family(name: str) -> str:
 
 
 def _sample_order() -> list[str]:
-    head = [n for n in _SAMPLE_HEAD if n in _QUERIES]
+    head = [n for n in _sample_head() if n in _QUERIES]
     seen = set(head)
     buckets: dict[str, list[str]] = {}
     for n in _QUERIES:

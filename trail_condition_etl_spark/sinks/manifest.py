@@ -49,6 +49,11 @@ upsert.py (`acquire_table_lease` / `check_fence` / `record_commit`),
 but here a fenced abort is total — the stale writer's segment is
 orphaned data no manifest references, swept by `vacuum`, and the table
 never saw a byte of it.
+
+Full format spec (layout, manifest fields, DML matrix, 100 TB notes
+incl. "Bucket sizing at scale" — target bytes/bucket, when
+`maintain_table` rescales, the CDC-reader implication):
+docs/TABLE_FORMAT.md.
 """
 
 from __future__ import annotations
@@ -1710,12 +1715,23 @@ def optimize_table(
         release_table_lease(table_path, token)
 
 
+# Bucket-size ceiling for maintenance (see docs/TABLE_FORMAT.md
+# "Bucket sizing at scale"): the CDC DataSource reader diffs one
+# bucket's old+new snapshots inside ONE Arrow task
+# (sources/manifest_source.py), so bytes-per-bucket IS
+# bytes-per-diff-task. 256 MiB of parquet decodes to roughly 1-2 GB of
+# pandas — the largest diff task a routinely-sized executor should
+# carry. `maintain_table` rescales the bucket layout past this.
+MAX_BUCKET_BYTES = 256 * 1024 * 1024
+
+
 def maintain_table(
     spark: SparkSession,
     table_path: str,
     max_files_per_bucket: int = 8,
     max_delete_files: int = 16,
     cluster_by: list[str] | None = None,
+    max_bucket_bytes: int | None = MAX_BUCKET_BYTES,
 ) -> int | None:
     """Conditional OPTIMIZE (Delta's auto-compaction policy, made an
     explicit call): inspect the CURRENT snapshot's physical layout —
@@ -1734,7 +1750,17 @@ def maintain_table(
     commit's `cluster_by` is reused (None if that optimize was plain) —
     a routine compaction must never silently strip a Z-ordered table of
     its per-file stats and downgrade clustered-range reads to
-    full-bucket scans. Pass an explicit list to re-cluster differently."""
+    full-bucket scans. Pass an explicit list to re-cluster differently.
+
+    With `max_bucket_bytes` (default `MAX_BUCKET_BYTES`, None disables):
+    bucket-SIZE policy (VERDICT r6 directive 5). Bucket count is fixed
+    at creation, so a growing table's buckets fatten without bound —
+    and bytes-per-bucket is the unit of work for per-bucket consumers
+    (the CDC DataSource diffs one bucket per Arrow task; commit rewrites
+    one file per touched bucket). When the largest bucket exceeds the
+    ceiling, the optimize RESCALES the layout (`n_buckets` grows) so
+    post-maintenance buckets sit at about half the ceiling — the same
+    check is still pure metadata (the dir listing already in hand)."""
     mf = read_manifest(table_path)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
@@ -1745,22 +1771,44 @@ def maintain_table(
                 cluster_by = past.get("op_metrics", {}).get("cluster_by")
                 break
     worst_files = 0
+    worst_bytes = 0
+    total_bytes = 0
     for d in mf["buckets"].values():
+        n = 0
+        b_bytes = 0
         try:
-            n = sum(
-                1
-                for fn in os.listdir(os.path.join(table_path, d))
-                if fn.endswith(".parquet")
-            )
+            for fn in os.listdir(os.path.join(table_path, d)):
+                if fn.endswith(".parquet"):
+                    n += 1
+                    try:
+                        b_bytes += os.path.getsize(
+                            os.path.join(table_path, d, fn)
+                        )
+                    except OSError:
+                        pass
         except OSError:
-            n = 0
+            pass
         worst_files = max(worst_files, n)
+        worst_bytes = max(worst_bytes, b_bytes)
+        total_bytes += b_bytes
+    rescale_to = None
+    if max_bucket_bytes is not None and worst_bytes > max_bucket_bytes:
+        # size new buckets at ~half the ceiling so the next maintenance
+        # isn't immediately due; never shrink the layout here
+        target = max(1, max_bucket_bytes // 2)
+        rescale_to = max(
+            mf["n_buckets"] + 1, -(-total_bytes // target)
+        )
     n_delete_files = sum(len(v) for v in mf.get("deletes", {}).values())
-    if worst_files <= max_files_per_bucket and (
-        n_delete_files <= max_delete_files
+    if (
+        rescale_to is None
+        and worst_files <= max_files_per_bucket
+        and n_delete_files <= max_delete_files
     ):
         return None
-    return optimize_table(spark, table_path, cluster_by=cluster_by)
+    return optimize_table(
+        spark, table_path, cluster_by=cluster_by, n_buckets=rescale_to
+    )
 
 
 def table_changes(
@@ -1902,7 +1950,7 @@ def manifest_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Version 1 must show only the base rows, version 2 the merged state —
     proving atomic commit, update-wins merge semantics, and snapshot
     isolation in one driver-visible row set."""
-    table = _two_commit_table(spark, sf_dir, "manifest_table_")
+    table = _two_commit_table(spark, sf_dir)
 
     def agg(df: DataFrame, version: int) -> DataFrame:
         return (
@@ -1926,7 +1974,7 @@ def manifest_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled) as updates, and the untouched %3==0 docs are absent. The
     oracle derives the same classification from the documents table
     directly, so the content-based diff is pinned end-to-end."""
-    table = _two_commit_table(spark, sf_dir, "manifest_cdc_")
+    table = _two_commit_table(spark, sf_dir)
     return table_changes(spark, table, 1, 2)
 
 
@@ -1938,8 +1986,13 @@ def manifest_mor_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot (time travel to v2) and the post-delete snapshot are read
     back and aggregated per (version, source). The deleted keys must be
     gone from v3, intact in v2 — snapshot isolation across a delete."""
-    table = _two_commit_table(spark, sf_dir, "manifest_mor_del_")
-    delete_where(spark, table, F.col("doc_id") % 9 == 0)
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        _build_two_commits(spark, docs, table)
+        delete_where(spark, table, F.col("doc_id") % 9 == 0)
+
+    table = _fixture_table(docs, "manifest_mor_delete", build)
 
     def agg(df: DataFrame, version: int) -> DataFrame:
         return (
@@ -1979,13 +2032,18 @@ def manifest_update_where_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites exactly the matched rows (copy-on-write of their buckets),
     then the post-update snapshot aggregates per source. The oracle
     applies the same CASE to the derived v2 state."""
-    table = _two_commit_table(spark, sf_dir, "manifest_upd_")
-    update_where(
-        spark,
-        table,
-        F.col("n_chars") < 500,
-        {"n_chars": F.col("n_chars") + F.lit(1000)},
-    )
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        _build_two_commits(spark, docs, table)
+        update_where(
+            spark,
+            table,
+            F.col("n_chars") < 500,
+            {"n_chars": F.col("n_chars") + F.lit(1000)},
+        )
+
+    table = _fixture_table(docs, "manifest_update_where", build)
     return read_manifest_table(spark, table).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("sum_chars"),
@@ -2012,8 +2070,16 @@ def manifest_restore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the latest read must equal the BASE snapshot while the undone
     version 2 stays time-travel-readable — rollback without history
     loss, in one driver-visible row set."""
-    table = _two_commit_table(spark, sf_dir, "manifest_restore_")
-    restored = restore_table(spark, table, version=1)
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        _build_two_commits(spark, docs, table)
+        restore_table(spark, table, version=1)
+
+    table = _fixture_table(docs, "manifest_restore", build)
+    # the restore commit is the fixture's latest version (deterministic:
+    # two upserts + one restore = 3), re-read rather than re-restored
+    restored = read_manifest(table)["version"]
 
     def agg(df: DataFrame, version: int) -> DataFrame:
         return (
@@ -2059,27 +2125,62 @@ WHERE doc_id % 6 = 0 AND n_chars <> 0
 """
 
 
-def _two_commit_table(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    """The shared fixture of the manifest queries: commit a base snapshot
-    (doc_id %3==0), then a second commit that UPDATES half the base keys
-    (%6==0, n_chars doubled) and INSERTS a disjoint set (%3==1)."""
+def _docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
-    from ..operators.artifacts import scratch_dir
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+def _fixture_table(source: DataFrame, kind: str, build_fn) -> str:
+    """A manifest-table FIXTURE cached per corpus snapshot (VERDICT r6
+    directive 3: the lifecycle queries must measure the READ they
+    showcase, not the fixture's commits — pre-hoist the steady loop was
+    re-paying ~2 s of commit wall per run and `manifest_lookup` steady
+    exceeded its own cold). Same artifact mechanism as the LSH pair
+    graph / IVF index (operators/artifacts.materialize_dir): one build
+    per (kind, corpus snapshot), exit-cleaned, and bench's
+    `build_count()` hook splits {build, probe} automatically.
+
+    MUTATING queries (MoR delete, UPDATE WHERE, RESTORE, MERGE INTO,
+    CDC propagation) run their mutation INSIDE `build_fn` and get a
+    PRIVATE kind — a cached fixture must never be mutated after
+    publication, or the second invocation reads a different table."""
+    from ..operators.artifacts import materialize_dir
+
+    def build(path: str) -> None:
+        build_fn(os.path.join(path, "t"))
+
+    return os.path.join(materialize_dir(source, kind, build), "t")
+
+
+def _two_commit_table(spark: SparkSession, sf_dir: str) -> str:
+    """The shared READ-ONLY fixture of the manifest queries: commit a
+    base snapshot (doc_id %3==0), then a second commit that UPDATES half
+    the base keys (%6==0, n_chars doubled) and INSERTS a disjoint set
+    (%3==1). Cached per corpus snapshot; consumers (manifest_merge,
+    manifest_changes, manifest_lookup, manifest_skip_scan,
+    manifest_history) only READ it — mutating queries build their own
+    fixture kinds."""
+    docs = _docs_frame(spark, sf_dir)
+    return _fixture_table(
+        docs,
+        "manifest_two_commit",
+        lambda table: _build_two_commits(spark, docs, table),
+    )
+
+
+def _build_two_commits(spark: SparkSession, docs: DataFrame, table: str) -> None:
     base = docs.filter(F.col("doc_id") % 3 == 0)
     updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
         "n_chars", F.col("n_chars") * 2
     )
     inserts = docs.filter(F.col("doc_id") % 3 == 1)
-    table = os.path.join(scratch_dir(prefix), "t")
     manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
     manifest_upsert(
         spark, table, updates.unionByName(inserts), ["doc_id"], n_buckets=8
     )
-    return table
 
 
 def manifest_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,18 +2189,32 @@ def manifest_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id ≡ 0 (mod 25) — present keys return their MERGED (v2) row,
     absent keys (%3==2, never committed) return nothing, and the read
     opens only the bucket dirs the requested keys hash into (pinned by
-    the inputFiles test in test_manifest.py)."""
-    from ..catalog import load_table
+    the inputFiles test in test_manifest.py).
 
-    table = _two_commit_table(spark, sf_dir, "manifest_lookup_")
+    The requested-key LIST is query INPUT, not the measured operator —
+    it is memoized per corpus snapshot so a steady-state invocation
+    times the pruned lookup read, not a documents scan (r6 directive 3:
+    measure the read the query showcases)."""
+    from ..catalog import load_table
+    from ..operators.artifacts import corpus_key
+
+    table = _two_commit_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    ids = [
-        {"doc_id": r.doc_id}
-        for r in docs.filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id")
-        .collect()  # bounded: |docs| / 25 keys
-    ]
+    key = corpus_key(docs)
+    ids = _LOOKUP_IDS.get(key) if key is not None else None
+    if ids is None:
+        ids = [
+            {"doc_id": r.doc_id}
+            for r in docs.filter(F.col("doc_id") % 25 == 0)
+            .select("doc_id")
+            .collect()  # bounded: |docs| / 25 keys
+        ]
+        if key is not None:
+            _LOOKUP_IDS[key] = ids
     return read_manifest_lookup(spark, table, ids)
+
+
+_LOOKUP_IDS: dict[tuple, list[dict]] = {}
 
 
 MANIFEST_LOOKUP_SQL = """
@@ -2117,7 +2232,7 @@ def manifest_skip_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars range conjunct — dirs whose recorded [min, max] fall outside
     the range are never opened, and the residual filter keeps the result
     exact regardless of how much pruning the stats allowed."""
-    table = _two_commit_table(spark, sf_dir, "manifest_skip_")
+    table = _two_commit_table(spark, sf_dir)
     df = read_manifest_table(
         spark, table, skip=[("n_chars", "between", (300, 900))]
     )
@@ -2150,16 +2265,18 @@ def zorder_skip_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     count pinned by test_manifest.py). The residual filter keeps the
     result exact either way."""
     from ..catalog import load_table
-    from ..operators.artifacts import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    table = os.path.join(scratch_dir("manifest_zorder_"), "t")
-    manifest_upsert(spark, table, orders, ["o_orderkey"], n_buckets=8)
-    optimize_table(
-        spark, table, cluster_by=["o_totalprice"], files_per_bucket=4
-    )
+
+    def build(table: str) -> None:
+        manifest_upsert(spark, table, orders, ["o_orderkey"], n_buckets=8)
+        optimize_table(
+            spark, table, cluster_by=["o_totalprice"], files_per_bucket=4
+        )
+
+    table = _fixture_table(orders, "manifest_zorder", build)
     df = read_manifest_table(
         spark, table,
         skip=[("o_totalprice", "between", (150000.0, 250000.0))],
@@ -2188,7 +2305,7 @@ def manifest_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     `table_rows` computed from the per-bucket row counts recorded at
     commit — zero data files opened — which the oracle recomputes by
     actually counting the documents table."""
-    table = _two_commit_table(spark, sf_dir, "manifest_hist_")
+    table = _two_commit_table(spark, sf_dir)
     return describe_history(spark, table).select(
         "version", "operation", "table_rows"
     )
@@ -2212,30 +2329,28 @@ def merge_into_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     target value; unmatched source rows INSERT. The summary aggregates
     the post-merge table — one atomic commit — which the oracle
     re-derives from `documents` with the same clause algebra."""
-    from ..catalog import load_table
-    from ..operators.artifacts import scratch_dir
+    docs = _docs_frame(spark, sf_dir)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    table = os.path.join(scratch_dir("manifest_minto_"), "t")
-    manifest_upsert(
-        spark, table, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
-        n_buckets=8,
-    )
-    src = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
-        "n_chars", F.col("n_chars") * 3
-    )
-    merge_into(
-        spark,
-        table,
-        src,
-        when_matched_update={
-            "n_chars": F.col("tgt.n_chars") + F.col("src.n_chars")
-        },
-        matched_condition=F.col("src.doc_id") % 4 == 0,
-        when_matched_delete=F.col("src.n_chars") % 7 == 0,
-    )
+    def build(table: str) -> None:
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
+            n_buckets=8,
+        )
+        src = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "n_chars", F.col("n_chars") * 3
+        )
+        merge_into(
+            spark,
+            table,
+            src,
+            when_matched_update={
+                "n_chars": F.col("tgt.n_chars") + F.col("src.n_chars")
+            },
+            matched_condition=F.col("src.doc_id") % 4 == 0,
+            when_matched_delete=F.col("src.n_chars") % 7 == 0,
+        )
+
+    table = _fixture_table(docs, "manifest_merge_into", build)
     return (
         read_manifest_table(spark, table)
         .groupBy("source")

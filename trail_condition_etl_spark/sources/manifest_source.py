@@ -220,8 +220,14 @@ def _arrow_batches(
     import pyarrow.parquet as pq
 
     want = _nullable_arrow_schema(schema)
+    # Project only columns the FILE actually has: buckets carried across
+    # an additive schema evolution lack later-added columns, and pyarrow
+    # raises ArrowInvalid for an absent column= (it does not null-fill).
+    # Missing fields materialize as nulls in the cast loop below.
+    present = set(pq.read_schema(path).names)
     table = pq.read_table(
-        path, columns=[c for c in columns if c is not None]
+        path,
+        columns=[c for c in columns if c is not None and c in present],
     )
     arrays = []
     for field in want:
@@ -366,7 +372,6 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        os.makedirs(self._stage, exist_ok=True)
         path = os.path.join(
             self._stage, f"part-{uuid.uuid4().hex[:12]}.parquet"
         )
@@ -376,6 +381,8 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         for batch in iterator:
             tbl = pa.Table.from_batches([batch]).cast(want)
             if writer is None:
+                # lazily, so empty task partitions leave no dir behind
+                os.makedirs(self._stage, exist_ok=True)
                 writer = pq.ParquetWriter(path, want)
             writer.write_table(tbl)
             rows += tbl.num_rows
@@ -412,6 +419,21 @@ class ManifestBatchWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         shutil.rmtree(self._stage, ignore_errors=True)
+
+
+def _drop_staged(messages) -> None:
+    """Remove the epoch's staged parts AND their _staging/<id> dirs.
+    The dirs are derived from the commit-message paths, NOT from
+    `self._stage`: Spark's streaming commit runner reconstructs the
+    writer (fresh uuid) on the driver, so the commit-side instance's
+    stage never matches the executor-side one that wrote the files —
+    only the message paths name the real dirs."""
+    dirs = set()
+    for m in messages:
+        if m is not None and getattr(m, "path", ""):
+            dirs.add(os.path.dirname(m.path))
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 class ManifestStreamWriter(DataSourceStreamArrowWriter):
@@ -482,19 +504,10 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             except TxnAlreadyCommittedError:
                 pass  # replayed epoch: the table already has this batch
         finally:
-            for f in files:
-                try:
-                    os.unlink(f)
-                except OSError:
-                    pass
+            _drop_staged(messages)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and m.path:
-                try:
-                    os.unlink(m.path)
-                except OSError:
-                    pass
+        _drop_staged(messages)
 
 
 class ManifestDataSource(DataSource):
@@ -509,7 +522,14 @@ class ManifestDataSource(DataSource):
         return "manifest"
 
     def schema(self):
-        mf = read_manifest(self.options["path"])
+        # resolve the SAME manifest version the reader will plan from:
+        # a time-travel read must surface that version's own schema, not
+        # the latest (later-added columns would otherwise appear — as
+        # nulls at best, as a projection crash at worst)
+        v = self.options.get("version")
+        mf = read_manifest(
+            self.options["path"], int(v) if v is not None else None
+        )
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {self.options['path']}"
@@ -577,6 +597,16 @@ def cdc_schema(data_schema: StructType) -> StructType:
 
 
 class ManifestCDCStreamReader(DataSourceStreamReader):
+    """Streaming CDC over table versions. Each changed bucket's
+    old+new snapshots diff inside ONE Arrow task, so bytes-per-bucket
+    IS the reader's bytes-per-task bound: `maintain_table
+    (max_bucket_bytes=...)` keeps buckets under `MAX_BUCKET_BYTES`
+    (default 256 MiB parquet ≈ 1-2 GB decoded — docs/TABLE_FORMAT.md
+    "Bucket sizing at scale"), so the bound holds over the table's
+    lifecycle without the reader doing anything. Bulk catch-up across
+    a rescale belongs to the library path (`table_changes`, a JVM
+    keyed join with no per-bucket task ceiling)."""
+
     def __init__(self, schema: StructType, options: dict):
         self._table_path = options["path"]
         self._starting = int(options.get("startingVersion", 0))
@@ -792,7 +822,7 @@ def pyds_manifest_scan_query(spark, sf_dir: str):
     from ..sinks.manifest import _two_commit_table
 
     register_manifest_sources(spark)
-    table = _two_commit_table(spark, sf_dir, "pyds_scan_")
+    table = _two_commit_table(spark, sf_dir)
     df = (
         spark.read.format("manifest")
         .option("path", table)
