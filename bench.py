@@ -29,6 +29,22 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   `steady_above_cold_anomalies` non-empty means the measurement was
   contended — rerun before believing any regression it contains.
 * the HEADLINE list is append-only so per-query series stay comparable.
+* KNOWN BASELINE BREAK at r6 (verified r7, VERDICT r6 directive 4):
+  every r5-shared query runs ~1.3x slower than BENCH_r05 on an IDLE
+  machine, and the ROUND-5 CODE ITSELF (git worktree at 8ec4a2d, same
+  testdata, same session) reproduces the shift — the host got slower
+  between the r5 and r6 measurement windows; the conf added in r6
+  (spark.sql.python.filterPushdown.enabled) A/B-measures at <=2%.
+  Cross-round per-query comparisons should anchor to r6+ numbers, not
+  r5 and earlier.
+* FIXTURE HOIST at r7 (VERDICT r6 directive 3): the manifest lifecycle
+  queries (manifest_merge, manifest_skip_scan, manifest_lookup,
+  cdc_incremental, zorder_skip_scan, manifest_mor_delete) now build
+  their tables ONCE per corpus snapshot in the artifact cache — their
+  COLD numbers include that one-time build ({build, probe} split lands
+  in `phases`), their steady numbers are pure pruned reads. Do not
+  compare their r7+ colds/steadies to r6 (which rebuilt fixtures every
+  run).
 
 Each query is forced with a noop-format write (computes the full plan,
 collects nothing to the driver), timed after a warm-up pass of the

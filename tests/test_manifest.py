@@ -1132,3 +1132,92 @@ def test_drop_constraint_reopens_the_gate(spark, tmp_path):
     mf.add_table_constraint(spark, table, "k_nn", "k IS NOT NULL")
     mf.optimize_table(spark, table)
     assert "k_nn" in mf.read_manifest(table)["constraints"]
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """sinks/keyhash.py replicates Spark's xxhash64 bit-for-bit — the
+    invariant that lets read_manifest_lookup plan bucket dirs driver-
+    side with zero Spark jobs. Covers every supported type's primitive
+    path, all string-length regimes of the streaming algorithm (<4,
+    4-7, 8-31, >=32 bytes, multi-byte UTF-8), signed edges, null
+    skipping, and multi-column seed chaining."""
+    import random
+
+    from pyspark.sql import functions as F
+    from trail_condition_etl_spark.sinks.keyhash import (
+        spark_xxhash64,
+        supported_types,
+    )
+
+    rng = random.Random(7)
+    ints = [0, 1, -1, 2**31 - 1, -(2**31), 42] + [
+        rng.randint(-(2**31), 2**31 - 1) for _ in range(40)
+    ]
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 10**12] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(40)
+    ]
+    strs = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "héllo wörld",
+            "日本語テキスト"] + [
+        "x" * n for n in (9, 15, 16, 31, 32, 33, 63, 64, 100)
+    ] + [
+        "".join(rng.choice("abcdef ghij") for _ in range(rng.randint(0, 80)))
+        for _ in range(30)
+    ]
+    n = max(len(ints), len(longs), len(strs))
+    rows = [
+        (
+            ints[i % len(ints)],
+            longs[i % len(longs)],
+            strs[i % len(strs)],
+        )
+        for i in range(n)
+    ] + [(None, 5, "x"), (3, None, "x"), (3, 5, None), (None, None, None)]
+    df = spark.createDataFrame(rows, "i int, l bigint, s string")
+    got = df.select(
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("i", "l", "s").alias("hc"),
+    ).collect()
+    assert supported_types(["int", "bigint", "string"])
+    assert not supported_types(["int", "double"])
+    for (i, l, s), r in zip(rows, got):
+        assert r.hi == spark_xxhash64((i,), ["int"]), f"int {i}"
+        assert r.hl == spark_xxhash64((l,), ["bigint"]), f"long {l}"
+        assert r.hs == spark_xxhash64((s,), ["string"]), f"str {s!r}"
+        assert r.hc == spark_xxhash64(
+            (i, l, s), ["int", "bigint", "string"]
+        ), f"chained {(i, l, s)!r}"
+
+
+def test_lookup_plans_buckets_without_a_spark_job(spark, tmp_path):
+    """The driver-side bucket planner and the engine agree end-to-end:
+    lookups over int, long, and string keys return exactly the
+    requested rows (a planner that hashed into the WRONG bucket would
+    silently return empty for present keys)."""
+    for typ, keyfn in (
+        ("int", lambda i: i),
+        ("bigint", lambda i: i * 10**10),
+        ("string", lambda i: f"key-{i:04d}"),
+    ):
+        table = str(tmp_path / f"t_{typ}")
+        rows = spark.range(300).select(
+            F.col("id").cast("long").alias("raw"),
+            (F.col("id") * 2).alias("v"),
+        )
+        if typ == "int":
+            rows = rows.select(F.col("raw").cast("int").alias("k"), "v")
+        elif typ == "bigint":
+            rows = rows.select((F.col("raw") * 10**10).alias("k"), "v")
+        else:
+            rows = rows.select(
+                F.format_string("key-%04d", F.col("raw")).alias("k"), "v"
+            )
+        mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=8)
+        want = [keyfn(i) for i in (0, 7, 131, 299)]
+        got = mf.read_manifest_lookup(
+            spark, table, [{"k": w} for w in want] + [{"k": keyfn(100000)}]
+        )
+        assert sorted(
+            (r.k, r.v) for r in got.collect()
+        ) == sorted((keyfn(i), i * 2) for i in (0, 7, 131, 299))

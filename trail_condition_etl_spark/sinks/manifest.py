@@ -1424,6 +1424,8 @@ def read_manifest_lookup(
     into, never the table — the manifest-table form of the reference's
     per-city read-back (categorize-trail-conditions/src/client.py:31-56,
     which never scans other cities)."""
+    from .keyhash import bucket_of, supported_types
+
     mf = read_manifest(table_path, version)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
@@ -1435,13 +1437,22 @@ def read_manifest_lookup(
     key_schema = StructType([fields[k] for k in keys])
     rows = [tuple(kv[k] for k in keys) for kv in key_values]
     lookup = spark.createDataFrame(rows, key_schema)
-    bucket_ids = sorted(
-        r.pk_bucket
-        for r in _with_bucket(lookup, keys, mf["n_buckets"])
-        .select("pk_bucket")
-        .distinct()
-        .collect()
-    )  # bounded by the number of requested keys
+    type_names = [fields[k].dataType.simpleString() for k in keys]
+    if supported_types(type_names):
+        # bucket planning is driver-side arithmetic (sinks/keyhash.py
+        # replicates Spark's xxhash64 bit-for-bit): a point lookup pays
+        # ZERO Spark jobs before the pruned read itself
+        bucket_ids = sorted(
+            {bucket_of(r, type_names, mf["n_buckets"]) for r in rows}
+        )
+    else:  # exotic key type: plan with the engine's own hash
+        bucket_ids = sorted(
+            r.pk_bucket
+            for r in _with_bucket(lookup, keys, mf["n_buckets"])
+            .select("pk_bucket")
+            .distinct()
+            .collect()
+        )  # bounded by the number of requested keys
     stats = mf.get("stats", {})
     fstats = mf.get("file_stats", {})
     skip = [
