@@ -45,6 +45,11 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   in `phases`), their steady numbers are pure pruned reads. Do not
   compare their r7+ colds/steadies to r6 (which rebuilt fixtures every
   run).
+* SERIES BREAK at r7: `minhash_near_dup_x64` changed from emitting the
+  x64 pair set to a PARITY REPORT (both hash families' pair graphs +
+  a full-outer-join diff — VERDICT r6 directive 6, giving the query a
+  DuckDB-checkable oracle), so its steady cost roughly tripled
+  (~0.07 s -> ~0.2 s) by DESIGN; its pre-r7 series is not comparable.
 
 Each query is forced with a noop-format write (computes the full plan,
 collects nothing to the driver), timed after a warm-up pass of the

@@ -217,6 +217,13 @@ def test_maintain_table_rescales_oversized_buckets(spark, tmp_path):
     assert mf.manifest_row_count(table) == 4000
     got = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
     assert got == {k: k * 10 for k in range(4000)}
+    # CONVERGENCE: an immediate re-check at the same ceiling is a no-op
+    # (the layout is now sized for the table's bytes; a still-fat bucket
+    # would be irreducible key skew, which re-hashing cannot shrink, and
+    # re-triggering would repeat the full rewrite forever)
+    v = mf.read_manifest(table)["version"]
+    assert mf.maintain_table(spark, table, max_bucket_bytes=cap) is None
+    assert mf.read_manifest(table)["version"] == v
     # disabled policy: no rescale however fat the bucket
     assert (
         mf.maintain_table(spark, table, max_bucket_bytes=None) is None

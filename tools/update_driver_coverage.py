@@ -49,9 +49,14 @@ def first_green_rounds() -> dict[str, int]:
 
 def main() -> None:
     cov = first_green_rounds()
-    with open(OUT, "w") as fh:
+    # atomic replace: a crash mid-write must never leave a truncated
+    # JSON (registry would silently treat EVERY query as never-green
+    # and the sample rotation would degrade)
+    tmp = f"{OUT}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump(cov, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    os.replace(tmp, OUT)
     print(f"{len(cov)} ever-green queries -> {OUT}")
 
 

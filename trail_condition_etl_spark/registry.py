@@ -1605,15 +1605,25 @@ _CHANGED_TAIL = [
 
 
 def _driver_coverage() -> dict[str, int]:
-    """query name -> first round with a driver-green CORRECTNESS row."""
+    """query name -> first round with a driver-green CORRECTNESS row.
+    A missing/corrupt file degrades the sample rotation (everything
+    counts as never-green), so it warns instead of failing silently —
+    the file ships with the package and is rewritten atomically by
+    tools/update_driver_coverage.py."""
     import json
     import os
+    import warnings
 
     p = os.path.join(os.path.dirname(__file__), "driver_coverage.json")
     try:
         with open(p) as fh:
             return json.load(fh)
-    except (OSError, ValueError):
+    except (OSError, ValueError) as ex:
+        warnings.warn(
+            f"driver_coverage.json unreadable ({ex!r}): sample rotation "
+            "falls back to registration order",
+            stacklevel=2,
+        )
         return {}
 
 

@@ -1781,6 +1781,7 @@ def maintain_table(
             if past.get("operation") == "optimize":
                 cluster_by = past.get("op_metrics", {}).get("cluster_by")
                 break
+    size_policy = max_bucket_bytes is not None
     worst_files = 0
     worst_bytes = 0
     total_bytes = 0
@@ -1791,25 +1792,31 @@ def maintain_table(
             for fn in os.listdir(os.path.join(table_path, d)):
                 if fn.endswith(".parquet"):
                     n += 1
-                    try:
-                        b_bytes += os.path.getsize(
-                            os.path.join(table_path, d, fn)
-                        )
-                    except OSError:
-                        pass
+                    if size_policy:
+                        try:
+                            b_bytes += os.path.getsize(
+                                os.path.join(table_path, d, fn)
+                            )
+                        except OSError:
+                            pass
         except OSError:
             pass
         worst_files = max(worst_files, n)
         worst_bytes = max(worst_bytes, b_bytes)
         total_bytes += b_bytes
     rescale_to = None
-    if max_bucket_bytes is not None and worst_bytes > max_bucket_bytes:
+    if size_policy and worst_bytes > max_bucket_bytes:
         # size new buckets at ~half the ceiling so the next maintenance
-        # isn't immediately due; never shrink the layout here
+        # isn't immediately due; never shrink the layout here. CONVERGES
+        # by construction: rescale only when the layout is UNDERSIZED
+        # for the table's total bytes — a bucket still fat at (or past)
+        # the computed count is irreducible key skew (one hot key larger
+        # than the ceiling), which re-hashing cannot shrink, and
+        # re-triggering would repeat a full-table rewrite forever.
         target = max(1, max_bucket_bytes // 2)
-        rescale_to = max(
-            mf["n_buckets"] + 1, -(-total_bytes // target)
-        )
+        want = -(-total_bytes // target)
+        if want > mf["n_buckets"]:
+            rescale_to = want
     n_delete_files = sum(len(v) for v in mf.get("deletes", {}).values())
     if (
         rescale_to is None

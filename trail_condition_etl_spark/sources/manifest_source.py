@@ -223,11 +223,13 @@ def _arrow_batches(
     # Project only columns the FILE actually has: buckets carried across
     # an additive schema evolution lack later-added columns, and pyarrow
     # raises ArrowInvalid for an absent column= (it does not null-fill).
-    # Missing fields materialize as nulls in the cast loop below.
-    present = set(pq.read_schema(path).names)
-    table = pq.read_table(
-        path,
-        columns=[c for c in columns if c is not None and c in present],
+    # Missing fields materialize as nulls in the cast loop below. One
+    # ParquetFile handle serves both the schema probe and the read —
+    # one footer parse per file, not two.
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    table = pf.read(
+        columns=[c for c in columns if c is not None and c in present]
     )
     arrays = []
     for field in want:
