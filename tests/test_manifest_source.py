@@ -354,11 +354,11 @@ def test_txns_carry_through_other_commit_types(spark, tmp_path):
 
 def test_cdc_stream_is_quiet_across_a_bucket_rescale(spark, tmp_path):
     """A rescale commit moves every row to a new bucket id without
-    changing content: the per-bucket diff would see phantom
+    changing content: a naive per-bucket diff would see phantom
     delete+insert pairs, so the reader must detect the layout change
-    and fall back to one global diff — which emits NOTHING for a
-    content-identical rescale, and exactly the real changes when a
-    delete shares the span."""
+    (here 2->8: the ALIGNED per-bucket path with old-side rehash
+    filtering) — and emit NOTHING for a content-identical rescale, and
+    exactly the real changes when a delete shares the span."""
     import pyarrow as pa
 
     table = _table(spark, tmp_path, n=100, n_buckets=2)
@@ -530,3 +530,70 @@ def test_stream_writer_cleans_its_staging_dir(spark, tmp_path):
     assert mf.manifest_row_count(table) == 10
     staging = os.path.join(table, "_staging")
     assert (not os.path.isdir(staging)) or os.listdir(staging) == []
+
+
+def test_cdc_rescale_span_stays_per_bucket_when_aligned(spark, tmp_path):
+    """VERDICT r6 directive 5 follow-through: a span containing an
+    ALIGNED rescale (new count a multiple of the old) plans one diff
+    partition per NEW bucket — never one global task — and the
+    old-side rehash filter keeps sibling keys from reading as phantom
+    deletes. An UNALIGNED rescale (or exotic key type) still falls
+    back to the single global diff."""
+    import pyarrow as pa
+
+    table = _table(spark, tmp_path, n=200, n_buckets=2)
+    one = spark.createDataFrame(
+        [(5, 1.0, "vN"), (201, 2.0, "new")], "k int, price double, v string"
+    )
+    mf.manifest_upsert(spark, table, one, ["k"])  # v2: update 5, insert 201
+    mf.optimize_table(spark, table, n_buckets=8)  # v3: aligned rescale
+    manifest = mf.read_manifest(table)
+    schema = ms.cdc_schema(mf._data_schema(manifest))
+    r = ms.ManifestCDCStreamReader(schema, {"path": table})
+    parts = r.partitions({"version": 1}, {"version": 3})
+    assert len(parts) == 8  # per-NEW-bucket, not one global task
+    assert all(p.rehash_n == 8 for p in parts)
+    rows = {
+        (row["k"], row["change_type"])
+        for p in parts
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    }
+    assert rows == {(5, "update"), (201, "insert")}  # no phantoms
+
+    # unaligned: 8 -> 12 is not a multiple; one global partition
+    mf.optimize_table(spark, table, n_buckets=12)
+    r2 = ms.ManifestCDCStreamReader(schema, {"path": table})
+    parts = r2.partitions(
+        {"version": 3}, {"version": mf.read_manifest(table)["version"]}
+    )
+    assert len(parts) == 1 and parts[0].bucket == "*"
+    rows = [
+        row
+        for b in r2.read(parts[0])
+        for row in pa.Table.from_batches([b]).to_pylist()
+    ]
+    assert rows == []  # layout-only rescale: quiet
+
+
+def test_maintain_rescale_counts_are_aligned(spark, tmp_path):
+    """maintain_table's auto-rescale must emit a MULTIPLE of the current
+    bucket count, so a CDC stream spanning the maintenance commit keeps
+    its per-bucket diff parallelism."""
+    rows = spark.range(3000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=3)
+    m = mf.read_manifest(table)
+    worst = max(
+        sum(
+            os.path.getsize(os.path.join(table, d, f))
+            for f in os.listdir(os.path.join(table, d))
+            if f.endswith(".parquet")
+        )
+        for d in m["buckets"].values()
+    )
+    assert mf.maintain_table(spark, table, max_bucket_bytes=worst // 2) is not None
+    assert mf.read_manifest(table)["n_buckets"] % 3 == 0

@@ -1813,10 +1813,16 @@ def maintain_table(
         # the computed count is irreducible key skew (one hot key larger
         # than the ceiling), which re-hashing cannot shrink, and
         # re-triggering would repeat a full-table rewrite forever.
+        # The count is rounded UP to a MULTIPLE of the current layout:
+        # an aligned rescale keeps the CDC stream reader per-bucket
+        # (each new bucket diffs against exactly old bucket b % old_n —
+        # sources/manifest_source.py), where an arbitrary count would
+        # collapse any stream span containing the rescale to one task.
         target = max(1, max_bucket_bytes // 2)
         want = -(-total_bytes // target)
-        if want > mf["n_buckets"]:
-            rescale_to = want
+        n = mf["n_buckets"]
+        if want > n:
+            rescale_to = -(-want // n) * n
     n_delete_files = sum(len(v) for v in mf.get("deletes", {}).values())
     if (
         rescale_to is None

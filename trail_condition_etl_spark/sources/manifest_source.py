@@ -566,6 +566,8 @@ class _BucketChangePartition(InputPartition):
         new_schema_json: str,
         old_delete_files: list[str] = (),
         new_delete_files: list[str] = (),
+        rehash_n: int | None = None,
+        rehash_types: list[str] = (),
     ):
         self.bucket = bucket
         self.old_files = old_files
@@ -575,6 +577,12 @@ class _BucketChangePartition(InputPartition):
         self.new_schema_json = new_schema_json
         self.old_delete_files = list(old_delete_files)
         self.new_delete_files = list(new_delete_files)
+        # set when the span contains an aligned bucket rescale: the OLD
+        # side is a superset bucket (new bucket `bucket`'s keys plus its
+        # siblings'), filtered in read() to keys whose NEW-layout hash
+        # is `bucket` (sinks/keyhash.py replicates the engine's hash)
+        self.rehash_n = rehash_n
+        self.rehash_types = list(rehash_types)
 
 
 def _dir_files(table_path: str, rel_dir: str) -> list[str]:
@@ -605,9 +613,12 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
     (max_bucket_bytes=...)` keeps buckets under `MAX_BUCKET_BYTES`
     (default 256 MiB parquet ≈ 1-2 GB decoded — docs/TABLE_FORMAT.md
     "Bucket sizing at scale"), so the bound holds over the table's
-    lifecycle without the reader doing anything. Bulk catch-up across
-    a rescale belongs to the library path (`table_changes`, a JVM
-    keyed join with no per-bucket task ceiling)."""
+    lifecycle without the reader doing anything. A span containing an
+    ALIGNED rescale (new count a multiple of the old — what
+    `maintain_table` emits) stays per-bucket via the old-side rehash
+    filter; only an unaligned rescale falls back to one global diff,
+    where bulk catch-up belongs to the library path (`table_changes`,
+    a JVM keyed join with no per-bucket task ceiling)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._table_path = options["path"]
@@ -639,12 +650,19 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         new_dmap = new_mf.get("deletes", {})
         if old_mf is not None and old_mf["n_buckets"] != new_mf["n_buckets"]:
             # a bucket-layout rescale sits inside the span: "same bucket
-            # id" no longer means "same keys", so a per-bucket diff
-            # would emit phantom delete+insert pairs for every row that
-            # merely moved buckets. Fall back to ONE global diff
-            # partition — correctness over parallelism for the rare
-            # rescale epoch (the library table_changes, a global
-            # full-outer join, is immune by construction).
+            # id" no longer means "same keys", so a naive per-bucket
+            # diff would emit phantom delete+insert pairs for every row
+            # that merely moved buckets.
+            aligned = self._aligned_rescale_partitions(
+                old_mf, new_mf, old_dmap, new_dmap
+            )
+            if aligned is not None:
+                return aligned
+            # unaligned layouts (new count not a multiple of the old,
+            # or an exotic key type the driver-side hash can't plan):
+            # ONE global diff partition — correctness over parallelism
+            # for the rare unaligned rescale (the library table_changes,
+            # a global full-outer join, is immune by construction).
             return [
                 _BucketChangePartition(
                     "*",
@@ -700,6 +718,63 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _aligned_rescale_partitions(
+        self, old_mf: dict, new_mf: dict, old_dmap: dict, new_dmap: dict
+    ) -> list | None:
+        """Per-bucket partitions across an ALIGNED rescale (new count a
+        multiple of the old). `pk_bucket = pmod(xxhash64(keys), n)`, so
+        when new_n % old_n == 0, a key in NEW bucket b can only have
+        lived in OLD bucket b % old_n — each partition diffs new bucket
+        b against that one superset old bucket, with the old side
+        filtered in read() to keys rehashing to b (sinks/keyhash.py).
+        Old-side IO is amplified by new_n/old_n (each old bucket is
+        read by that many sibling partitions) but stays bucket-bounded;
+        `maintain_table`'s auto-rescale emits aligned counts on
+        purpose. Returns None when the layouts are unaligned or a key
+        type has no driver-side hash — the caller falls back to the
+        one global diff partition."""
+        from ..sinks.keyhash import supported_types
+
+        old_n, new_n = old_mf["n_buckets"], new_mf["n_buckets"]
+        if new_n <= old_n or new_n % old_n != 0:
+            return None
+        keys = new_mf["keys"]
+        fields = {f.name: f for f in _data_schema(new_mf).fields}
+        type_names = [fields[k].dataType.simpleString() for k in keys]
+        if not supported_types(type_names):
+            return None
+        parts = []
+        for b in range(new_n):
+            ob = str(b % old_n)
+            nb = str(b)
+            old_d = old_mf["buckets"].get(ob)
+            new_d = new_mf["buckets"].get(nb)
+            if old_d is None and new_d is None:
+                continue
+            parts.append(
+                _BucketChangePartition(
+                    nb,
+                    _dir_files(self._table_path, old_d) if old_d else [],
+                    _dir_files(self._table_path, new_d) if new_d else [],
+                    keys,
+                    old_mf["schema"],
+                    new_mf["schema"],
+                    [
+                        f
+                        for d in old_dmap.get(ob, [])
+                        for f in _dir_files(self._table_path, d)
+                    ],
+                    [
+                        f
+                        for d in new_dmap.get(nb, [])
+                        for f in _dir_files(self._table_path, d)
+                    ],
+                    rehash_n=new_n,
+                    rehash_types=type_names,
+                )
+            )
+        return parts
+
     def read(self, partition: _BucketChangePartition) -> Iterator:
         import pandas as pd
         import pyarrow as pa
@@ -735,6 +810,27 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
 
         old = load(partition.old_files, partition.old_delete_files)
         new = load(partition.new_files, partition.new_delete_files)
+        if partition.rehash_n and len(old):
+            # aligned-rescale partition: the old side is the SUPERSET
+            # bucket (this new bucket's keys plus its siblings'); keep
+            # only keys whose new-layout hash is this bucket, or the
+            # siblings' rows would read as phantom deletes
+            from ..sinks.keyhash import bucket_of
+
+            want_b = int(partition.bucket)
+            tn = partition.rehash_types
+
+            def _py(v):
+                if pd.isna(v):
+                    return None
+                return v.item() if hasattr(v, "item") else v
+
+            mask = [
+                bucket_of(tuple(_py(v) for v in t), tn, partition.rehash_n)
+                == want_b
+                for t in old[keys].itertuples(index=False, name=None)
+            ]
+            old = old[pd.Series(mask, index=old.index)]
         compare = [f.name for f in data_fields if f.name not in keys]
 
         def norm(df: pd.DataFrame) -> dict:
