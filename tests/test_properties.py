@@ -503,6 +503,12 @@ _mops = st.lists(
         ),
         st.tuples(st.just("optimize"), st.booleans()),
         st.tuples(st.just("vacuum"), st.just(None)),
+        # bucket-layout evolution mid-sequence: 8 is aligned with the
+        # creation layout (4), 6 is not — both must be state-preserving
+        st.tuples(st.just("rescale"), st.sampled_from([6, 8])),
+        # byte-policy maintenance: may or may not trigger a rescale at
+        # this tiny ceiling; either way the state must be untouched
+        st.tuples(st.just("maintain"), st.just(None)),
     ),
     min_size=1,
     max_size=6,
@@ -569,6 +575,10 @@ def test_manifest_table_matches_model_under_any_op_sequence(
                 cluster_by=["v"] if arg else None,
                 files_per_bucket=2,
             )
+        elif kind == "rescale" and committed:
+            mfm.optimize_table(spark, table, n_buckets=arg)
+        elif kind == "maintain" and committed:
+            mfm.maintain_table(spark, table, max_bucket_bytes=4096)
         elif kind == "vacuum" and committed:
             mfm.vacuum(table, keep_last=1)
     if not committed:
@@ -597,6 +607,16 @@ def test_manifest_table_matches_model_under_any_op_sequence(
         .collect()
     }
     assert ds == model
+    # point-lookup path (driver-side bucket planning) agrees too, for a
+    # mix of present and absent keys
+    probe = sorted(set(list(model)[:3] + [97, 98]))
+    looked = {
+        r.k: r.v
+        for r in mfm.read_manifest_lookup(
+            spark, table, [{"k": k} for k in probe]
+        ).collect()
+    }
+    assert looked == {k: model[k] for k in probe if k in model}
     # CDC replay invariant: applying table_changes(oldest -> latest)
     # onto the oldest retained snapshot reconstructs the latest exactly
     versions = mfm.list_versions(table)
@@ -622,3 +642,24 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             for r in mfm.read_manifest_table(spark, replay).collect()
         }
         assert got2 == model
+        # the STREAM reader's per-bucket diff (aligned-rescale path or
+        # global fallback, depending on the sequence's rescales) must
+        # emit exactly the library change feed over the same span
+        import pyarrow as pa
+
+        from trail_condition_etl_spark.sources import manifest_source as msrc
+
+        stream_schema = msrc.cdc_schema(
+            mfm._data_schema(mfm.read_manifest(table))
+        )
+        rdr = msrc.ManifestCDCStreamReader(stream_schema, {"path": table})
+        parts = rdr.partitions(
+            {"version": base_v}, {"version": versions[-1]}
+        )
+        streamed = {
+            (row["k"], row["v"], row["change_type"])
+            for p in parts
+            for b in rdr.read(p)
+            for row in pa.Table.from_batches([b]).to_pylist()
+        }
+        assert streamed == {(r.k, r.v, r.change_type) for r in feed}
