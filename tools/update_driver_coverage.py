@@ -6,11 +6,14 @@ CORRECTNESS_r{N}.json for the previous round:
 
     python tools/update_driver_coverage.py
 
-The file maps query name -> FIRST round whose CORRECTNESS row was fully
-green (rows + schema + hash match, no error). registry.py derives the
-driver sample head from it: registered queries absent from the file
-have never been driver-verified and go to the front of the sample
-order, so each round's ~50-query prefix closes the remaining gap.
+The file maps query name -> {"first": F, "last": L}: the FIRST and the
+most recent (LAST) round whose CORRECTNESS row was fully green (rows +
+schema + hash match, no error). registry.py derives the driver sample
+head from it: registered queries absent from the file have never been
+driver-verified and go to the front of the sample order; everything
+else is ordered stalest-first (oldest LAST-green round first), so each
+round's ~50-query prefix re-verifies the rows whose green evidence is
+oldest (VERDICT r7 directive 1).
 """
 
 from __future__ import annotations
@@ -26,8 +29,8 @@ OUT = os.path.join(
 )
 
 
-def first_green_rounds() -> dict[str, int]:
-    cov: dict[str, int] = {}
+def green_rounds() -> dict[str, dict[str, int]]:
+    cov: dict[str, dict[str, int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -42,13 +45,16 @@ def first_green_rounds() -> dict[str, int]:
                 and row.get("hash_match")
                 and not row.get("err")
             )
-            if green and (name not in cov or rnd < cov[name]):
-                cov[name] = rnd
+            if not green:
+                continue
+            ent = cov.setdefault(name, {"first": rnd, "last": rnd})
+            ent["first"] = min(ent["first"], rnd)
+            ent["last"] = max(ent["last"], rnd)
     return cov
 
 
 def main() -> None:
-    cov = first_green_rounds()
+    cov = green_rounds()
     # atomic replace: a crash mid-write must never leave a truncated
     # JSON (registry would silently treat EVERY query as never-green
     # and the sample rotation would degrade)

@@ -1576,40 +1576,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROTATION POLICY (VERDICT r5 directive 3, mechanized per r6 directive
-# 7): driver_coverage.json (this package dir) records query -> first
-# round with a driver-green CORRECTNESS row; it is regenerated each
-# round by tools/update_driver_coverage.py from the round's
-# CORRECTNESS_r{N}.json. The sample head is DERIVED: the flagship and
-# this round's changed surfaces pinned up front, then every registered
-# query with no coverage entry yet (never driver-green), then recently
-# changed-but-covered surfaces. Everything else stays in the
-# family-round-robin tail, covered by tests/test_parity.py.
+# 7, staleness-ordered per r7 directive 1): driver_coverage.json (this
+# package dir) records query -> {"first": F, "last": L} driver-green
+# rounds; it is regenerated each round by
+# tools/update_driver_coverage.py from the rounds' CORRECTNESS_r{N}
+# records. The sample head is DERIVED: the flagship and this round's
+# changed surfaces pinned up front, then every registered query with no
+# coverage entry yet (never driver-green), then recently
+# changed-but-covered surfaces, then EVERYTHING ELSE stalest-first
+# (oldest last-green round first, family round-robin within a
+# staleness group so any prefix still spans families).
 
 # hand-pinned per round: flagship smoke + the surfaces whose CODE
-# changed this round (r7: inverted_index array->string fix; the
-# manifest DataSource evolved-read/schema-version/staging fixes; the
-# minhash x64 oracle; the CDC diff bounding; the bench fixture hoist
-# touching the manifest lifecycle queries)
+# changed this round (r8: the evolved-schema/time-travel DataSource
+# reads registered as pyds_evolved_scan; the CDC unaligned-rescale
+# parallel diff; the lookup key-type validation; the vacuum cursor
+# retention guard)
 _PINNED_HEAD = [
-    "trail_classifier", "inverted_index", "pyds_manifest_scan",
-    "pyds_stream_sink", "minhash_near_dup_x64",
+    "trail_classifier", "pyds_evolved_scan", "pyds_cdc_stream",
+    "cdc_incremental", "manifest_lookup",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green
 # block (they have prior green rows; a re-check is cheap insurance)
 _CHANGED_TAIL = [
-    "pyds_manifest_write", "pyds_cdc_stream", "cdc_incremental",
-    "manifest_lookup", "manifest_skip_scan", "zorder_skip_scan",
-    "manifest_mor_delete", "stream_roundtrip",
+    "pyds_manifest_write", "pyds_manifest_scan", "pyds_stream_sink",
+    "manifest_merge", "stream_roundtrip",
 ]
 
 
-def _driver_coverage() -> dict[str, int]:
-    """query name -> first round with a driver-green CORRECTNESS row.
-    A missing/corrupt file degrades the sample rotation (everything
-    counts as never-green), so it warns instead of failing silently —
-    the file ships with the package and is rewritten atomically by
-    tools/update_driver_coverage.py."""
+def _driver_coverage() -> dict[str, dict[str, int]]:
+    """query name -> {"first": F, "last": L} driver-green rounds.
+    Accepts the pre-r8 flat form (name -> first round) for
+    compatibility. A missing/corrupt file degrades the sample rotation
+    (everything counts as never-green), so it warns instead of failing
+    silently — the file ships with the package and is rewritten
+    atomically by tools/update_driver_coverage.py."""
     import json
     import os
     import warnings
@@ -1617,7 +1619,7 @@ def _driver_coverage() -> dict[str, int]:
     p = os.path.join(os.path.dirname(__file__), "driver_coverage.json")
     try:
         with open(p) as fh:
-            return json.load(fh)
+            raw = json.load(fh)
     except (OSError, ValueError) as ex:
         warnings.warn(
             f"driver_coverage.json unreadable ({ex!r}): sample rotation "
@@ -1625,10 +1627,15 @@ def _driver_coverage() -> dict[str, int]:
             stacklevel=2,
         )
         return {}
+    return {
+        n: (v if isinstance(v, dict) else {"first": v, "last": v})
+        for n, v in raw.items()
+    }
 
 
-def _sample_head() -> list[str]:
-    covered = _driver_coverage()
+def _sample_head(covered: dict[str, dict[str, int]] | None = None) -> list[str]:
+    if covered is None:
+        covered = _driver_coverage()
     head = list(_PINNED_HEAD)
     seen = set(head)
     # every registered query that has never been driver-green, in
@@ -1641,6 +1648,26 @@ def _sample_head() -> list[str]:
         if n not in seen:
             head.append(n)
             seen.add(n)
+    # stalest-first re-verification (r7 directive 1): order the covered
+    # remainder by oldest LAST-green round (a query re-greened last
+    # round is fresh regardless of when it first went green), family
+    # round-robined within each staleness group so any sample prefix
+    # still spans the engine's families.
+    reg_pos = {n: i for i, n in enumerate(_QUERIES)}
+    remainder = sorted(
+        (n for n in _QUERIES if n not in seen and n in covered),
+        key=lambda n: (covered[n].get("last", 0), reg_pos[n]),
+    )
+    by_round: dict[int, dict[str, list[str]]] = {}
+    for n in remainder:
+        grp = by_round.setdefault(covered[n].get("last", 0), {})
+        grp.setdefault(_family(n), []).append(n)
+    for rnd in sorted(by_round):
+        buckets = by_round[rnd]
+        while any(buckets.values()):
+            for fam in list(buckets):
+                if buckets[fam]:
+                    head.append(buckets[fam].pop(0))
     return head
 
 _FAMILY_PATTERNS: list[tuple[str, tuple[str, ...]]] = [
