@@ -1221,3 +1221,23 @@ def test_lookup_plans_buckets_without_a_spark_job(spark, tmp_path):
         assert sorted(
             (r.k, r.v) for r in got.collect()
         ) == sorted((keyfn(i), i * 2) for i in (0, 7, 131, 299))
+
+
+def test_lookup_rejects_mistyped_key_values(spark, tmp_path):
+    """Driver-side bucket planning masks int hashes to the column's
+    width, so an out-of-range (or bool) key value would silently plan a
+    WRONG bucket and return an empty result. It must raise instead
+    (ADVICE r7)."""
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="out of range"):
+        mf.read_manifest_lookup(spark, table, {"k": 2**33})
+    with pytest.raises(TypeError, match="bool"):
+        mf.read_manifest_lookup(spark, table, {"k": True})
+    with pytest.raises(TypeError, match="str"):
+        mf.read_manifest_lookup(spark, table, {"k": "1"})
+    # None is SQL null: legal, hash step skips it — no exception
+    assert mf.read_manifest_lookup(spark, table, {"k": None}).count() == 0
+    # valid values still work after the guard
+    assert mf.read_manifest_lookup(spark, table, {"k": 2}).count() == 1

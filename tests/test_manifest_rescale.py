@@ -228,3 +228,110 @@ def test_maintain_table_rescales_oversized_buckets(spark, tmp_path):
     assert (
         mf.maintain_table(spark, table, max_bucket_bytes=None) is None
     )
+
+
+def test_maintain_rescales_multi_key_collision_bucket(spark, tmp_path):
+    """Secondary size trigger (ADVICE r7): when the layout is NOT
+    undersized for total bytes but one bucket is fat because several
+    distinct keys hash-collide at small n, maintenance must still
+    rescale — doubling the count splits a multi-key collision, and the
+    'irreducible skew' no-op is reserved for single-key buckets."""
+    import os as _os
+
+    from trail_condition_etl_spark.sinks.keyhash import bucket_of
+
+    n = 4
+    # distinct int keys that ALL land in bucket 0 under n=4 — a pure
+    # hash collision that any larger (aligned) count can separate
+    colliders = [
+        k for k in range(40_000) if bucket_of((k,), ["int"], n) == 0
+    ][:2000]
+    assert len(colliders) == 2000
+    rows = spark.createDataFrame(
+        [(k, "x" * 64) for k in colliders], "k int, v string"
+    )
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=n)
+    m = mf.read_manifest(table)
+
+    def bucket_bytes():
+        out = {}
+        for b, d in mf.read_manifest(table)["buckets"].items():
+            p = _os.path.join(table, d)
+            out[b] = sum(
+                _os.path.getsize(_os.path.join(p, f))
+                for f in _os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    sizes = bucket_bytes()
+    worst = max(sizes.values())
+    assert sizes["0"] == worst  # the collision bucket carries the table
+    # cap chosen so worst > cap but ceil(total / (cap/2)) <= n: the
+    # PRIMARY trigger computes want <= n and would previously no-op
+    cap = worst * 2 // 3
+    total = sum(sizes.values())
+    assert -(-total // max(1, cap // 2)) <= n
+    assert mf.maintain_table(spark, table, max_bucket_bytes=cap) is not None
+    after = mf.read_manifest(table)
+    assert after["n_buckets"] > n
+    assert after["n_buckets"] % n == 0  # aligned: CDC streams survive
+    # the collision actually split
+    assert max(bucket_bytes().values()) < worst
+    assert mf.manifest_row_count(table) == 2000
+
+
+def test_maintain_skips_single_hot_key_with_warning(spark, tmp_path):
+    """A bucket fat from ONE key is irreducible: no bucket count splits
+    it. Maintenance must not rewrite the table forever — it surfaces a
+    warning and no-ops (ADVICE r7: the skipped-rescale condition must
+    be visible, not silent)."""
+    import warnings as _w
+
+    import hashlib
+
+    from trail_condition_etl_spark.sinks.keyhash import bucket_of
+
+    # incompressible payload (a compressible one parquet-encodes below
+    # any ceiling and the size trigger never fires)
+    blob = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(4000)
+    )  # 256 KB of pseudo-random hex
+    # the hot key must sit ALONE in its bucket: fillers go elsewhere
+    n = 4
+    hot = 1
+    hb = bucket_of((hot,), ["int"], n)
+    fillers = [k for k in range(2, 50) if bucket_of((k,), ["int"], n) != hb][
+        :3
+    ]
+    rows = spark.createDataFrame(
+        [(hot, blob)] + [(k, "f") for k in fillers], "k int, v string"
+    )
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=n)
+    v0 = mf.read_manifest(table)["version"]
+    import os as _os
+
+    sizes = []
+    for d in mf.read_manifest(table)["buckets"].values():
+        p = _os.path.join(table, d)
+        sizes.append(
+            sum(
+                _os.path.getsize(_os.path.join(p, f))
+                for f in _os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        )
+    worst, total = max(sizes), sum(sizes)
+    # cap below the hot bucket but high enough that the PRIMARY
+    # (total-bytes) trigger computes want <= n — only the secondary
+    # collision check runs, and it must find a singleton key hash
+    cap = worst * 2 // 3
+    assert worst > cap and -(-total // max(1, cap // 2)) <= n
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        out = mf.maintain_table(spark, table, max_bucket_bytes=cap)
+    assert out is None
+    assert mf.read_manifest(table)["version"] == v0  # no rewrite happened
+    assert any("single key hash" in str(w.message) for w in got)

@@ -135,6 +135,45 @@ def supported_types(type_names: list[str]) -> bool:
     return all(t in _STEPS for t in type_names)
 
 
+# inclusive value ranges of Spark's fixed-width integer key types —
+# _hash_int/_hash_long mask to 32/64 bits, so an out-of-range Python
+# int would SILENTLY hash as its truncation and plan a wrong bucket
+# (an empty lookup result instead of a type error)
+_INT_RANGES = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def check_value(value, type_name: str, col: str = "?") -> None:
+    """Raise TypeError/ValueError when `value` cannot be a legal value
+    of the Spark key column type, instead of letting the masked hash
+    plan a wrong bucket. None (SQL null) is always legal — the hash
+    step skips it."""
+    if value is None:
+        return
+    if type_name in _INT_RANGES:
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise TypeError(
+                f"lookup key {col!r} is {type_name} but got "
+                f"{type(value).__name__} value {value!r}"
+            )
+        lo, hi = _INT_RANGES[type_name]
+        if not lo <= value <= hi:
+            raise ValueError(
+                f"lookup key {col!r} value {value!r} is out of range for "
+                f"{type_name} [{lo}, {hi}]"
+            )
+    elif type_name == "string":
+        if not isinstance(value, (str, bytes, bytearray)):
+            raise TypeError(
+                f"lookup key {col!r} is string but got "
+                f"{type(value).__name__} value {value!r}"
+            )
+
+
 def spark_xxhash64(values: tuple, type_names: list[str]) -> int:
     """`F.xxhash64(*cols)` for one row, as a SIGNED 64-bit int. Columns
     chain: each column's hash seeds the next; null values are skipped

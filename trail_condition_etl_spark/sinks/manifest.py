@@ -1424,7 +1424,7 @@ def read_manifest_lookup(
     into, never the table — the manifest-table form of the reference's
     per-city read-back (categorize-trail-conditions/src/client.py:31-56,
     which never scans other cities)."""
-    from .keyhash import bucket_of, supported_types
+    from .keyhash import bucket_of, check_value, supported_types
 
     mf = read_manifest(table_path, version)
     if mf is None:
@@ -1436,16 +1436,24 @@ def read_manifest_lookup(
     fields = {f.name: f for f in schema.fields}
     key_schema = StructType([fields[k] for k in keys])
     rows = [tuple(kv[k] for k in keys) for kv in key_values]
-    lookup = spark.createDataFrame(rows, key_schema)
     type_names = [fields[k].dataType.simpleString() for k in keys]
     if supported_types(type_names):
         # bucket planning is driver-side arithmetic (sinks/keyhash.py
         # replicates Spark's xxhash64 bit-for-bit): a point lookup pays
-        # ZERO Spark jobs before the pruned read itself
+        # ZERO Spark jobs before the pruned read itself. Values are
+        # type-checked first — _hash_int masks to 32 bits, so an
+        # out-of-range/bool/mistyped key would otherwise SILENTLY plan
+        # a wrong bucket and return an empty result where the engine
+        # path raises at createDataFrame time (ADVICE r7).
+        for r in rows:
+            for v, t, k in zip(r, type_names, keys):
+                check_value(v, t, k)
+        lookup = spark.createDataFrame(rows, key_schema)
         bucket_ids = sorted(
             {bucket_of(r, type_names, mf["n_buckets"]) for r in rows}
         )
     else:  # exotic key type: plan with the engine's own hash
+        lookup = spark.createDataFrame(rows, key_schema)
         bucket_ids = sorted(
             r.pk_bucket
             for r in _with_bucket(lookup, keys, mf["n_buckets"])
@@ -1736,6 +1744,76 @@ def optimize_table(
 MAX_BUCKET_BYTES = 256 * 1024 * 1024
 
 
+def _collision_rescale(
+    mf: dict, table_path: str, bucket_dir: str, max_multiple: int = 1024
+) -> int | None:
+    """Smallest ALIGNED larger layout (a multiple of the current
+    n_buckets, doubling) that splits the given oversized bucket's keys
+    across more than one new bucket, or None when the bucket holds a
+    single key hash (irreducible hot-key skew — re-hashing cannot shrink
+    it) or its key types aren't driver-hashable. IO is bounded: one
+    pyarrow read of the KEY COLUMNS of the one fat bucket — no Spark
+    job, no other bucket touched."""
+    import warnings
+
+    from .keyhash import spark_xxhash64, supported_types
+
+    keys = mf["keys"]
+    fields = {f.name: f for f in _data_schema(mf).fields}
+    type_names = [fields[k].dataType.simpleString() for k in keys]
+    if not supported_types(type_names):
+        warnings.warn(
+            f"bucket {bucket_dir!r} exceeds max_bucket_bytes but its key "
+            f"types {type_names} are not driver-hashable; skipping the "
+            "collision check — rescale manually via optimize_table("
+            "n_buckets=...)",
+            stacklevel=3,
+        )
+        return None
+    import pyarrow.parquet as pq
+
+    hashes: set[int] = set()
+    d = os.path.join(table_path, bucket_dir)
+    try:
+        names = sorted(os.listdir(d))
+    except OSError:
+        return None
+    for fn in names:
+        if not fn.endswith(".parquet"):
+            continue
+        try:
+            tbl = pq.read_table(os.path.join(d, fn), columns=keys)
+        except OSError:
+            continue
+        cols = [tbl.column(k).to_pylist() for k in keys]
+        hashes.update(
+            spark_xxhash64(row, type_names) for row in zip(*cols)
+        )
+        if len(hashes) > 1 and len(hashes) >= 64:
+            break  # plenty of distinct hashes: m=2..64 will split
+    if len(hashes) <= 1:
+        warnings.warn(
+            f"bucket {bucket_dir!r} exceeds max_bucket_bytes but holds a "
+            "single key hash (irreducible hot-key skew): no bucket count "
+            "can split it; not rescaling",
+            stacklevel=3,
+        )
+        return None
+    n = mf["n_buckets"]
+    m = 2
+    while m <= max_multiple:
+        if len({h % (m * n) for h in hashes}) > 1:
+            return m * n
+        m *= 2
+    warnings.warn(
+        f"bucket {bucket_dir!r} holds {len(hashes)} distinct key hashes "
+        f"but no aligned layout up to {max_multiple}x separates them; "
+        "not rescaling",
+        stacklevel=3,
+    )
+    return None
+
+
 def maintain_table(
     spark: SparkSession,
     table_path: str,
@@ -1784,6 +1862,7 @@ def maintain_table(
     size_policy = max_bucket_bytes is not None
     worst_files = 0
     worst_bytes = 0
+    worst_dir = None
     total_bytes = 0
     for d in mf["buckets"].values():
         n = 0
@@ -1802,7 +1881,9 @@ def maintain_table(
         except OSError:
             pass
         worst_files = max(worst_files, n)
-        worst_bytes = max(worst_bytes, b_bytes)
+        if b_bytes > worst_bytes:
+            worst_bytes = b_bytes
+            worst_dir = d
         total_bytes += b_bytes
     rescale_to = None
     if size_policy and worst_bytes > max_bucket_bytes:
@@ -1823,6 +1904,18 @@ def maintain_table(
         n = mf["n_buckets"]
         if want > n:
             rescale_to = -(-want // n) * n
+        elif worst_dir is not None:
+            # secondary trigger (ADVICE r7): the layout is NOT
+            # undersized for total bytes, yet one bucket is fat. That
+            # is either several distinct keys hash-colliding at small n
+            # (a larger count WOULD split them) or one irreducible hot
+            # key (no count can). Distinguish by reading ONLY the fat
+            # bucket's key columns and re-assigning its keys under
+            # doubled aligned counts — convergent: each rescale strictly
+            # separates colliding keys, and a singleton-key bucket stops
+            # the doubling with a surfaced warning instead of rewriting
+            # the table forever.
+            rescale_to = _collision_rescale(mf, table_path, worst_dir)
     n_delete_files = sum(len(v) for v in mf.get("deletes", {}).values())
     if (
         rescale_to is None
@@ -1890,12 +1983,47 @@ def table_changes(
     )
 
 
-def vacuum(table_path: str, keep_last: int = 1) -> int:
+class VacuumRetentionError(RuntimeError):
+    """A vacuum sweep would unlink a version a registered CDC cursor
+    still pins (streaming/cdc.py retention contract)."""
+
+
+def pinned_cursor_versions(table_path: str) -> dict[str, int]:
+    """Registered change-feed cursors under `<table>/_cursors/` —
+    consumer name -> last fully-applied version (the `from_version` of
+    that consumer's NEXT incremental diff). Unreadable entries are
+    skipped; consumers using an unregistered cursor path are invisible
+    here and outside the retention guard."""
+    d = os.path.join(table_path, "_cursors")
+    out: dict[str, int] = {}
+    try:
+        entries = os.listdir(d)
+    except OSError:
+        return out
+    for e in entries:
+        try:
+            with open(os.path.join(d, e)) as f:
+                out[e] = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def vacuum(table_path: str, keep_last: int = 1, force: bool = False) -> int:
     """Remove segment dirs unreferenced by the newest `keep_last`
     manifests (and the older manifests themselves): orphans from failed
     or fenced commits, plus versions aged out of the time-travel
     horizon. Returns the number of segment dirs removed. Readers pinned
     to a retained version are safe — their segments survive.
+
+    Retention guard (VERDICT r7 directive 6): change-feed cursors
+    registered under `<table>/_cursors/` (streaming/cdc.py
+    `table_cursor_path`) pin their version as the `from_version` of
+    the consumer's next diff. A sweep that would unlink a pinned
+    version raises VacuumRetentionError naming the consumers — pass
+    `force=True` to sweep anyway, after which the lagging stream's
+    next pass fails loud with FileNotFoundError (never a silently
+    partial diff), per the documented contract.
 
     Runs UNDER the writer lease: an in-flight commit's just-written,
     not-yet-published segment is indistinguishable from an orphan, and
@@ -1906,14 +2034,29 @@ def vacuum(table_path: str, keep_last: int = 1) -> int:
     by the ownership check + no-clobber link)."""
     token = acquire_table_lease(table_path)
     try:
-        return _vacuum_locked(table_path, keep_last)
+        return _vacuum_locked(table_path, keep_last, force)
     finally:
         release_table_lease(table_path, token)
 
 
-def _vacuum_locked(table_path: str, keep_last: int) -> int:
+def _vacuum_locked(table_path: str, keep_last: int, force: bool = False) -> int:
     versions = list_versions(table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
+    if not force:
+        kept = set(keep)
+        lagging = {
+            name: v
+            for name, v in pinned_cursor_versions(table_path).items()
+            if v > 0 and v in versions and v not in kept
+        }
+        if lagging:
+            raise VacuumRetentionError(
+                f"vacuum(keep_last={keep_last}) would unlink versions "
+                f"still pinned by change-feed cursors {lagging} under "
+                f"{table_path}/_cursors; raise keep_last to cover the "
+                "slowest consumer's lag, or pass force=True to break "
+                "those streams loudly"
+            )
     referenced: set[str] = set()
     for v in keep:
         mf = read_manifest(table_path, v)
@@ -2225,7 +2368,8 @@ def manifest_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _two_commit_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     key = corpus_key(docs)
-    ids = _LOOKUP_IDS.get(key) if key is not None else None
+    cached_key, cached_ids = _LOOKUP_IDS
+    ids = cached_ids if key is not None and key == cached_key else None
     if ids is None:
         ids = [
             {"doc_id": r.doc_id}
@@ -2234,11 +2378,14 @@ def manifest_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()  # bounded: |docs| / 25 keys
         ]
         if key is not None:
-            _LOOKUP_IDS[key] = ids
+            globals()["_LOOKUP_IDS"] = (key, ids)
     return read_manifest_lookup(spark, table, ids)
 
 
-_LOOKUP_IDS: dict[tuple, list[dict]] = {}
+# most-recent corpus snapshot only (single (key, ids) pair, not a dict):
+# a long-lived session regenerating the corpus must not accumulate
+# stale entries (ADVICE r7)
+_LOOKUP_IDS: tuple[tuple | None, list[dict] | None] = (None, None)
 
 
 MANIFEST_LOOKUP_SQL = """
