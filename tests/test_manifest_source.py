@@ -537,8 +537,7 @@ def test_cdc_rescale_span_stays_per_bucket_when_aligned(spark, tmp_path):
     ALIGNED rescale (new count a multiple of the old) plans one diff
     partition per NEW bucket — never one global task — and the
     old-side rehash filter keeps sibling keys from reading as phantom
-    deletes. An UNALIGNED rescale (or exotic key type) still falls
-    back to the single global diff."""
+    deletes."""
     import pyarrow as pa
 
     table = _table(spark, tmp_path, n=200, n_buckets=2)
@@ -553,6 +552,15 @@ def test_cdc_rescale_span_stays_per_bucket_when_aligned(spark, tmp_path):
     parts = r.partitions({"version": 1}, {"version": 3})
     assert len(parts) == 8  # per-NEW-bucket, not one global task
     assert all(p.rehash_n == 8 for p in parts)
+    # aligned == gcd(2, 8) = 2: each partition reads exactly ONE
+    # superset old bucket (the historical fast path, now the g=old_n
+    # special case of the general residue-class planner)
+    old_dirs = {
+        os.path.dirname(f) for p in parts for f in p.old_files
+    }
+    assert all(
+        len({os.path.dirname(f) for f in p.old_files}) <= 1 for p in parts
+    )
     rows = {
         (row["k"], row["change_type"])
         for p in parts
@@ -561,19 +569,82 @@ def test_cdc_rescale_span_stays_per_bucket_when_aligned(spark, tmp_path):
     }
     assert rows == {(5, "update"), (201, "insert")}  # no phantoms
 
-    # unaligned: 8 -> 12 is not a multiple; one global partition
-    mf.optimize_table(spark, table, n_buckets=12)
-    r2 = ms.ManifestCDCStreamReader(schema, {"path": table})
-    parts = r2.partitions(
-        {"version": 3}, {"version": mf.read_manifest(table)["version"]}
+
+def test_cdc_unaligned_rescale_span_is_parallel_and_exact(spark, tmp_path):
+    """VERDICT r7 directive 2: an UNALIGNED rescale span must NOT
+    collapse to one global diff task. With driver-hashable key types
+    the planner emits one partition per NEW bucket (old side bounded to
+    the gcd residue class, rehash-filtered in read()); the change set
+    stays exact — no phantom delete+insert pairs, real changes
+    attributed once."""
+    import pyarrow as pa
+
+    table = _table(spark, tmp_path, n=200, n_buckets=8)
+    one = spark.createDataFrame(
+        [(5, 1.0, "vN"), (201, 2.0, "new")], "k int, price double, v string"
     )
-    assert len(parts) == 1 and parts[0].bucket == "*"
-    rows = [
+    mf.manifest_upsert(spark, table, one, ["k"])  # v2: update 5, insert 201
+    mf.optimize_table(spark, table, n_buckets=12)  # v3: UNALIGNED (8->12)
+    manifest = mf.read_manifest(table)
+    schema = ms.cdc_schema(mf._data_schema(manifest))
+    r = ms.ManifestCDCStreamReader(schema, {"path": table})
+    parts = r.partitions({"version": 1}, {"version": 3})
+    assert len(parts) > 1, "unaligned rescale must stay parallel"
+    assert all(p.bucket != "*" for p in parts)
+    assert len(parts) == 12 and all(p.rehash_n == 12 for p in parts)
+    # old-side reads are bounded to the residue class mod gcd(8,12)=4:
+    # each new bucket reads at most 8/4 = 2 old buckets
+    for p in parts:
+        assert len({os.path.dirname(f) for f in p.old_files}) <= 2
+    rows = {
+        (row["k"], row["change_type"])
+        for p in parts
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    }
+    assert rows == {(5, "update"), (201, "insert")}  # exact, no phantoms
+    # a layout-only unaligned span (v2 -> v3) is quiet
+    quiet = [
         row
-        for b in r2.read(parts[0])
+        for p in r.partitions({"version": 2}, {"version": 3})
+        for b in r.read(p)
         for row in pa.Table.from_batches([b]).to_pylist()
     ]
-    assert rows == []  # layout-only rescale: quiet
+    assert quiet == []
+
+
+def test_cdc_unaligned_rescale_exotic_keys_use_residue_classes(
+    spark, tmp_path
+):
+    """Key types with no driver-side hash replica cannot be
+    rehash-filtered per new bucket, but a key's old and new bucket ids
+    are congruent mod gcd(old_n, new_n) — so the planner diffs one
+    partition per residue class, exact with NO rehashing, and only a
+    coprime rescale of an exotic-keyed table degenerates to one task."""
+    import pyarrow as pa
+
+    rows = spark.range(120).select(
+        (F.col("id") / 4.0).alias("k"),  # double key: not driver-hashable
+        (F.col("id") * 2).alias("v"),
+    )
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=4)
+    mf.delete_where(spark, table, "v = 10")  # v2: one real delete
+    mf.optimize_table(spark, table, n_buckets=6)  # v3: unaligned 4->6
+    manifest = mf.read_manifest(table)
+    schema = ms.cdc_schema(mf._data_schema(manifest))
+    r = ms.ManifestCDCStreamReader(schema, {"path": table})
+    parts = r.partitions({"version": 1}, {"version": 3})
+    assert len(parts) == 2  # gcd(4, 6) residue classes, not one global
+    assert all(p.bucket.startswith("class-") for p in parts)
+    assert all(p.rehash_n is None for p in parts)
+    got = {
+        (row["k"], row["change_type"])
+        for p in parts
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    }
+    assert got == {(1.25, "delete")}  # v=10 row; no phantom churn
 
 
 def test_maintain_rescale_counts_are_aligned(spark, tmp_path):

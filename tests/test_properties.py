@@ -663,3 +663,186 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             for row in pa.Table.from_batches([b]).to_pylist()
         }
         assert streamed == {(r.k, r.v, r.change_type) for r in feed}
+
+
+# ---------------------------------------------------------------------------
+# two-writer model test (VERDICT r7 directive 5): random interleavings
+# of ops from two writer identities with FORCED lease expiries between
+# them — the model state must converge and no committed version may
+# ever be lost (a crashed holder's late publish is fenced, never
+# silently clobbers)
+# ---------------------------------------------------------------------------
+
+_w_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.one_of(
+            st.tuples(
+                st.just("upsert"),
+                st.dictionaries(
+                    st.integers(0, 20), st.integers(-50, 50),
+                    min_size=1, max_size=5,
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.sets(st.integers(0, 20), min_size=1, max_size=3),
+            ),
+            st.tuples(
+                st.just("update"),
+                st.sets(st.integers(0, 20), min_size=1, max_size=3),
+            ),
+            st.tuples(st.just("optimize"), st.booleans()),
+            st.tuples(st.just("maintain"), st.just(None)),
+            # stream epoch: txn-ledgered commit; a replayed/old epoch id
+            # must raise and leave the state untouched
+            st.tuples(
+                st.just("epoch"),
+                st.tuples(
+                    st.integers(0, 2),
+                    st.dictionaries(
+                        st.integers(0, 20), st.integers(-50, 50),
+                        min_size=1, max_size=4,
+                    ),
+                ),
+            ),
+        ),
+        st.booleans(),  # forge a crashed-writer lease before this op
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+def _forge_crashed_lease(table: str) -> bool:
+    """Leave behind what a writer crashed mid-acquire leaves: the lock
+    dir with a stale mtime and no heartbeat. The next legitimate op
+    must STEAL it (age > TTL) instead of timing out."""
+    import os
+    import time
+
+    lock = upsert._lock_dir(table)
+    try:
+        os.mkdir(lock)
+    except FileExistsError:
+        return False
+    with open(os.path.join(lock, "owner"), "w") as f:
+        f.write("0")
+    old = time.time() - 3 * upsert.LOCK_LEASE_TTL_S
+    os.utime(lock, (old, old))
+    return True
+
+
+def _fence_token(table: str) -> int:
+    try:
+        with open(upsert._fence_path(table)) as f:
+            return int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        return 0
+
+
+@given(ops=_w_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_writers_with_lease_steals_converge(
+    spark, tmp_path_factory, ops
+):
+    """ANY interleaving of upsert/delete/update/optimize/maintain/
+    stream-epoch ops issued by two writer identities — with crashed
+    leases forged between ops so the survivor must steal — ends with
+    the table equal to the dict model, versions contiguous 1..latest,
+    every recorded intermediate version still time-travel readable,
+    and the crashed writer's stale fencing token REJECTED on its late
+    publish attempt."""
+    from trail_condition_etl_spark.sinks import manifest as mfm
+
+    table = str(tmp_path_factory.mktemp("two_writers") / "t")
+    model: dict[int, int] = {}
+    mfm.manifest_upsert(
+        spark, table, spark.createDataFrame([(0, 0)], "k int, v long"),
+        ["k"], n_buckets=4,
+    )
+    model[0] = 0
+    last_epoch: dict[str, int] = {}
+    snapshots = [(mfm.read_manifest(table)["version"], dict(model))]
+    stale_tokens = []
+    for writer, (kind, arg), forge in ops:
+        if forge and _forge_crashed_lease(table):
+            # the forged holder "crashed" holding a token no newer than
+            # the current fence; its eventual publish must be fenced
+            stale_tokens.append(_fence_token(table))
+        if kind == "upsert":
+            df = spark.createDataFrame(
+                list(arg.items()), "k int, v long"
+            )
+            mfm.manifest_upsert(spark, table, df, ["k"])
+            model.update(arg)
+        elif kind == "delete":
+            df = spark.createDataFrame(
+                [(k, True) for k in arg], "k int, _gone boolean"
+            )
+            mfm.manifest_upsert(
+                spark, table, df, ["k"], tombstone_col="_gone"
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif kind == "update":
+            mfm.update_where(
+                spark, table, F.col("k").isin(sorted(arg)),
+                {"v": F.col("v") + F.lit(100)},
+            )
+            for k in arg:
+                if k in model:
+                    model[k] += 100
+        elif kind == "optimize":
+            mfm.optimize_table(
+                spark, table, cluster_by=["v"] if arg else None
+            )
+        elif kind == "maintain":
+            mfm.maintain_table(spark, table, max_bucket_bytes=4096)
+        elif kind == "epoch":
+            eid, batch = arg
+            app = f"stream-{writer}"
+            df = spark.createDataFrame(
+                list(batch.items()), "k int, v long"
+            )
+            if app in last_epoch and eid <= last_epoch[app]:
+                import pytest as _pt
+
+                with _pt.raises(mfm.TxnAlreadyCommittedError):
+                    mfm.manifest_upsert(
+                        spark, table, df, ["k"], txn=(app, eid)
+                    )
+                # replay: state untouched
+            else:
+                mfm.manifest_upsert(
+                    spark, table, df, ["k"], txn=(app, eid)
+                )
+                last_epoch[app] = eid
+                model.update(batch)
+        v = mfm.read_manifest(table)["version"]
+        if v != snapshots[-1][0]:
+            snapshots.append((v, dict(model)))
+    # convergence: final table state equals the model
+    got = {
+        r.k: r.v for r in mfm.read_manifest_table(spark, table).collect()
+    }
+    assert got == model
+    # no committed version lost: contiguous 1..latest, all readable
+    versions = mfm.list_versions(table)
+    assert versions == list(range(1, versions[-1] + 1))
+    for v, snap in snapshots:
+        tv = {
+            r.k: r.v
+            for r in mfm.read_manifest_table(spark, table, v).collect()
+        }
+        assert tv == snap, f"version {v} no longer matches its snapshot"
+    # the crashed writers' late publishes are all fenced
+    for tok in stale_tokens:
+        import pytest as _pt
+
+        with _pt.raises(upsert.WriterFencedError):
+            upsert.check_fence(table, tok)

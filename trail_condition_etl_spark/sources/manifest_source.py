@@ -653,46 +653,9 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             # id" no longer means "same keys", so a naive per-bucket
             # diff would emit phantom delete+insert pairs for every row
             # that merely moved buckets.
-            aligned = self._aligned_rescale_partitions(
+            return self._rescale_partitions(
                 old_mf, new_mf, old_dmap, new_dmap
             )
-            if aligned is not None:
-                return aligned
-            # unaligned layouts (new count not a multiple of the old,
-            # or an exotic key type the driver-side hash can't plan):
-            # ONE global diff partition — correctness over parallelism
-            # for the rare unaligned rescale (the library table_changes,
-            # a global full-outer join, is immune by construction).
-            return [
-                _BucketChangePartition(
-                    "*",
-                    [
-                        f
-                        for d in old_buckets.values()
-                        for f in _dir_files(self._table_path, d)
-                    ],
-                    [
-                        f
-                        for d in new_mf["buckets"].values()
-                        for f in _dir_files(self._table_path, d)
-                    ],
-                    new_mf["keys"],
-                    old_schema,
-                    new_mf["schema"],
-                    [
-                        f
-                        for lst in old_dmap.values()
-                        for d in lst
-                        for f in _dir_files(self._table_path, d)
-                    ],
-                    [
-                        f
-                        for lst in new_dmap.values()
-                        for d in lst
-                        for f in _dir_files(self._table_path, d)
-                    ],
-                )
-            ]
         parts = []
         for b in sorted(
             set(new_mf["buckets"]) | set(old_buckets), key=int
@@ -718,59 +681,95 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def _aligned_rescale_partitions(
+    def _rescale_partitions(
         self, old_mf: dict, new_mf: dict, old_dmap: dict, new_dmap: dict
-    ) -> list | None:
-        """Per-bucket partitions across an ALIGNED rescale (new count a
-        multiple of the old). `pk_bucket = pmod(xxhash64(keys), n)`, so
-        when new_n % old_n == 0, a key in NEW bucket b can only have
-        lived in OLD bucket b % old_n — each partition diffs new bucket
-        b against that one superset old bucket, with the old side
-        filtered in read() to keys rehashing to b (sinks/keyhash.py).
-        Old-side IO is amplified by new_n/old_n (each old bucket is
-        read by that many sibling partitions) but stays bucket-bounded;
-        `maintain_table`'s auto-rescale emits aligned counts on
-        purpose. Returns None when the layouts are unaligned or a key
-        type has no driver-side hash — the caller falls back to the
-        one global diff partition."""
+    ) -> list:
+        """Per-bucket partitions across ANY rescale. `pk_bucket =
+        pmod(xxhash64(keys), n)`, so with g = gcd(old_n, new_n) a key's
+        old and new bucket ids are always CONGRUENT mod g — a key in
+        NEW bucket b can only have lived in old buckets ob with
+        ob ≡ b (mod g). Two shapes fall out (VERDICT r7 directive 2 —
+        no global "*" partition remains):
+
+        - driver-hashable key types (sinks/keyhash.py): one partition
+          per NEW bucket, old side = that residue class's old buckets,
+          filtered in read() to keys rehashing to b. The ALIGNED case
+          (new_n % old_n == 0, what `maintain_table` emits) gives
+          g = old_n — exactly one superset old bucket per partition,
+          the historical fast path. Unaligned counts amplify old-side
+          IO by old_n/g reads per partition, but the rehash filter
+          loads key columns first and decodes data columns per
+          surviving row group (ADVICE r7), so per-task MEMORY stays
+          bucket-bounded regardless.
+
+        - exotic key types (no driver-side hash): one partition per
+          residue class mod g, diffing that class's old buckets against
+          its new buckets — EXACT with no rehashing, because keys never
+          cross residue classes. g = 1 degenerates to a single diff
+          task, the mathematically forced floor when rows cannot be
+          attributed to new buckets outside the engine; the JVM
+          `table_changes` join (sinks/manifest.py) remains the bulk
+          path for that corner."""
+        import math
+
         from ..sinks.keyhash import supported_types
 
         old_n, new_n = old_mf["n_buckets"], new_mf["n_buckets"]
-        if new_n <= old_n or new_n % old_n != 0:
-            return None
+        g = math.gcd(old_n, new_n)
         keys = new_mf["keys"]
         fields = {f.name: f for f in _data_schema(new_mf).fields}
         type_names = [fields[k].dataType.simpleString() for k in keys]
-        if not supported_types(type_names):
-            return None
+
+        def files_of(mf_, dmap, ids):
+            data, dels = [], []
+            for i in ids:
+                d = mf_["buckets"].get(str(i))
+                if d:
+                    data.extend(_dir_files(self._table_path, d))
+                for dd in dmap.get(str(i), []):
+                    dels.extend(_dir_files(self._table_path, dd))
+            return data, dels
+
         parts = []
-        for b in range(new_n):
-            ob = str(b % old_n)
-            nb = str(b)
-            old_d = old_mf["buckets"].get(ob)
-            new_d = new_mf["buckets"].get(nb)
-            if old_d is None and new_d is None:
+        if supported_types(type_names):
+            for b in range(new_n):
+                old_ids = [ob for ob in range(old_n) if ob % g == b % g]
+                old_files, old_dels = files_of(old_mf, old_dmap, old_ids)
+                new_files, new_dels = files_of(new_mf, new_dmap, [b])
+                if not old_files and not new_files:
+                    continue
+                parts.append(
+                    _BucketChangePartition(
+                        str(b),
+                        old_files,
+                        new_files,
+                        keys,
+                        old_mf["schema"],
+                        new_mf["schema"],
+                        old_dels,
+                        new_dels,
+                        rehash_n=new_n,
+                        rehash_types=type_names,
+                    )
+                )
+            return parts
+        for r in range(g):
+            old_ids = [ob for ob in range(old_n) if ob % g == r]
+            new_ids = [nb for nb in range(new_n) if nb % g == r]
+            old_files, old_dels = files_of(old_mf, old_dmap, old_ids)
+            new_files, new_dels = files_of(new_mf, new_dmap, new_ids)
+            if not old_files and not new_files:
                 continue
             parts.append(
                 _BucketChangePartition(
-                    nb,
-                    _dir_files(self._table_path, old_d) if old_d else [],
-                    _dir_files(self._table_path, new_d) if new_d else [],
+                    f"class-{r}",
+                    old_files,
+                    new_files,
                     keys,
                     old_mf["schema"],
                     new_mf["schema"],
-                    [
-                        f
-                        for d in old_dmap.get(ob, [])
-                        for f in _dir_files(self._table_path, d)
-                    ],
-                    [
-                        f
-                        for d in new_dmap.get(nb, [])
-                        for f in _dir_files(self._table_path, d)
-                    ],
-                    rehash_n=new_n,
-                    rehash_types=type_names,
+                    old_dels,
+                    new_dels,
                 )
             )
         return parts
@@ -784,14 +783,52 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         data_fields = [f for f in out_schema if f.name != "change_type"]
         keys = partition.keys
 
-        def load(files: list[str], del_files: list[str]) -> pd.DataFrame:
-            if not files:
+        def _read_tables(files: list[str]) -> list:
+            return [pq.read_table(f) for f in files]
+
+        def _read_rehash_filtered(files: list[str]) -> list:
+            # rescale partition: the old side is a SUPERSET (this new
+            # bucket's keys plus rows bound for sibling new buckets);
+            # keep only keys whose NEW-layout hash is this bucket, or
+            # siblings' rows would read as phantom deletes. The filter
+            # is pushed BELOW the full-column load (ADVICE r7): key
+            # columns decode first, and data columns decode only for
+            # row groups with surviving rows — per-task memory is
+            # bounded by one row group plus survivors, not the
+            # pre-rescale superset bucket.
+            from ..sinks.keyhash import bucket_of
+
+            want_b = int(partition.bucket)
+            tn = partition.rehash_types
+            n = partition.rehash_n
+            out = []
+            for f in files:
+                pf = pq.ParquetFile(f)
+                for gi in range(pf.num_row_groups):
+                    kt = pf.read_row_group(gi, columns=keys)
+                    cols = [kt.column(k).to_pylist() for k in keys]
+                    mask = [
+                        bucket_of(row, tn, n) == want_b
+                        for row in zip(*cols)
+                    ]
+                    if not any(mask):
+                        continue
+                    full = pf.read_row_group(gi)
+                    out.append(full.filter(pa.array(mask)))
+            return out
+
+        def load(
+            files: list[str], del_files: list[str], rehash: bool = False
+        ) -> pd.DataFrame:
+            tables = (
+                _read_rehash_filtered(files) if rehash and files
+                else _read_tables(files)
+            )
+            if not tables:
                 return pd.DataFrame(
                     {f.name: pd.Series(dtype=object) for f in data_fields}
                 )
-            tbl = pa.concat_tables(
-                [pq.read_table(f) for f in files], promote_options="default"
-            )
+            tbl = pa.concat_tables(tables, promote_options="default")
             df = tbl.to_pandas()
             for f in data_fields:  # additive evolution: missing -> null
                 if f.name not in df.columns:
@@ -808,29 +845,12 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                 df = df[pd.Series(mask, index=df.index)]
             return df
 
-        old = load(partition.old_files, partition.old_delete_files)
+        old = load(
+            partition.old_files,
+            partition.old_delete_files,
+            rehash=bool(partition.rehash_n),
+        )
         new = load(partition.new_files, partition.new_delete_files)
-        if partition.rehash_n and len(old):
-            # aligned-rescale partition: the old side is the SUPERSET
-            # bucket (this new bucket's keys plus its siblings'); keep
-            # only keys whose new-layout hash is this bucket, or the
-            # siblings' rows would read as phantom deletes
-            from ..sinks.keyhash import bucket_of
-
-            want_b = int(partition.bucket)
-            tn = partition.rehash_types
-
-            def _py(v):
-                if pd.isna(v):
-                    return None
-                return v.item() if hasattr(v, "item") else v
-
-            mask = [
-                bucket_of(tuple(_py(v) for v in t), tn, partition.rehash_n)
-                == want_b
-                for t in old[keys].itertuples(index=False, name=None)
-            ]
-            old = old[pd.Series(mask, index=old.index)]
         compare = [f.name for f in data_fields if f.name not in keys]
 
         def norm(df: pd.DataFrame) -> dict:
@@ -1062,6 +1082,98 @@ def pyds_stream_sink_query(spark, sf_dir: str):
 
 #: same final state as the DataFrameWriter path — one MERGE per epoch
 PYDS_STREAM_SINK_SQL = PYDS_MANIFEST_WRITE_SQL
+
+
+def pyds_evolved_scan_query(spark, sf_dir: str):
+    """[EXT] Schema-evolution + time-travel through the DataSource read
+    path, driver-checked (VERDICT r7 directive 3). Build a table from
+    the base batch (%3==0), evolve it ADDITIVELY with a second batch
+    (%3==1 plus a new `boosted` column), then read BOTH versions through
+    ``spark.read.format("manifest")``:
+
+    - the latest read exercises the evolved-projection path — carried
+      base files lack `boosted`, so `_arrow_batches` must project only
+      file-present columns and null-fill the rest (the r7 HIGH fix);
+    - the ``option("version", 1)`` read exercises version-pinned
+      ``schema()`` — the pre-evolution snapshot surfaces its NARROWER
+      schema (the r7 MEDIUM fix), pinned here via per-version column
+      counts.
+
+    Emits one flat row per version: row count, column count, integer
+    content sum, and nulls observed in the evolved column (NULL where
+    the version predates the column)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+    from ..sinks.manifest import manifest_upsert
+
+    register_manifest_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    table = os.path.join(scratch_dir("pyds_evolved_"), "t")
+    manifest_upsert(
+        spark,
+        table,
+        docs.filter(F.col("doc_id") % 3 == 0),
+        ["doc_id"],
+        n_buckets=8,
+    )
+    manifest_upsert(
+        spark,
+        table,
+        docs.filter(F.col("doc_id") % 3 == 1).withColumn(
+            "boosted", F.col("n_chars") * 2
+        ),
+        ["doc_id"],
+    )
+    latest = spark.read.format("manifest").option("path", table).load()
+    v1 = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("version", 1)
+        .load()
+    )
+    row_v1 = v1.agg(
+        F.lit(1).alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(v1.columns)).alias("n_cols"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(-1).cast("long").alias("n_boosted_null"),
+    )
+    row_latest = latest.agg(
+        F.lit(2).alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(latest.columns)).alias("n_cols"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.col("boosted").isNull().cast("long")
+        ).alias("n_boosted_null"),
+    )
+    return row_v1.unionByName(row_latest)
+
+
+PYDS_EVOLVED_SCAN_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+), ev AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT 1 AS version, COUNT(*) AS n_rows, 3 AS n_cols,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(-1 AS BIGINT) AS n_boosted_null
+FROM base
+UNION ALL
+SELECT 2 AS version,
+       (SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM ev) AS n_rows,
+       4 AS n_cols,
+       CAST((SELECT SUM(n_chars) FROM base)
+            + (SELECT SUM(n_chars) FROM ev) AS BIGINT) AS sum_chars,
+       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_boosted_null
+"""
 
 
 def pyds_cdc_stream_query(spark, sf_dir: str):
