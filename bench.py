@@ -45,6 +45,28 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   in `phases`), their steady numbers are pure pruned reads. Do not
   compare their r7+ colds/steadies to r6 (which rebuilt fixtures every
   run).
+* HEADLINE GROWTH at r8 (VERDICT r7 directive 7): five never-benched
+  heavy families joined the list — stateful_sessions, retention_cohorts,
+  decontaminate, ann_recall_report, incremental_near_dup. Their series
+  start at r8; `cold_total`/`value` grew accordingly (compare the shared
+  subset as always).
+* SCALING RATIOS since r8 (VERDICT r7 directive 4): `detail.scale`
+  reports runtime(sf1.0)/runtime(sf0.1) for one representative query per
+  family (SCALE_QUERIES), where sf1.0 is the deterministic 10x
+  amplification built by tools/make_scale_data.py. sf1 steady = min of
+  2 runs after one cold run (the cold pays artifact builds); ratios are
+  against the sf0.1 steady MEDIAN. INTERPRETATION on this 32-core
+  local node (measured r8): most ratios sit near 1, NOT 10 — at sf0.1
+  the single ~10 MB lineitem parquet plans only ~3 input partitions,
+  so 29 of 32 cores idle, while sf1.0 plans ~31; a 10x input therefore
+  fills the machine instead of stretching the clock (verified: 600k vs
+  6.0M rows scanned, same ~1.2 s wall for pricing_summary). The
+  regression gate is the UPPER bound: any ratio beyond ~12x (10x data
+  + overhead) means super-linear work — a plan that would not survive
+  the next 100x — and needs a named cause or a fix. r8 worst:
+  canonical_docs 1.6x (bounded-round label propagation does its
+  per-round shuffles over 10x pair volume — expected, still far below
+  linear wall growth). Headline carries only `scale_ratio_max`.
 * SERIES BREAK at r7: `minhash_near_dup_x64` changed from emitting the
   x64 pair set to a PARITY REPORT (both hash families' pair graphs +
   a full-outer-join diff — VERDICT r6 directive 6, giving the query a
@@ -131,6 +153,34 @@ HEADLINE = [
     # merge-on-read DELETE: the write-amplification fix (delete files,
     # no segment rewrite) + both snapshot reads through the anti-join
     "manifest_mor_delete",
+    # round-8 additions (VERDICT r7 directive 7): never-benched heavy
+    # families, so perf regressions there stop being invisible —
+    # stateful streaming sessions, cohort retention, broadcast-gram
+    # decontamination, the ANN recall report (exact + approximate
+    # top-k side by side), and the frozen-signature incremental dedup
+    "stateful_sessions",
+    "retention_cohorts",
+    "decontaminate",
+    "ann_recall_report",
+    "incremental_near_dup",
+]
+
+#: one representative per family for the sf0.1 -> sf1.0 scaling ratio
+#: pass (VERDICT r7 directive 4). The sf1.0 input is a deterministic
+#: join-preserving 10x amplification of sf0.1 (tools/make_scale_data.py,
+#: built once into .scale_cache/ and fingerprint-reused). A query
+#: scaling worse than ~12x (10x data + overhead) needs a named cause.
+SCALE_QUERIES = [
+    "pricing_summary",
+    "trail_classifier",
+    "minhash_near_dup_x64",
+    "ivf_pq_topk",
+    "canonical_docs",
+    "curated_snapshot",
+    "cdc_incremental",
+    "manifest_lookup",
+    "cms_estimate",
+    "conversion_funnel",
 ]
 
 
@@ -243,6 +293,34 @@ def main() -> None:
         if timings[name] > cold[name] + max(0.05, 0.10 * cold[name])
     )
 
+    # Scaling-ratio pass (VERDICT r7 directive 4): measure ONE notch of
+    # the scaling curve the "designed for 100 TB" claims rest on. Each
+    # SCALE_QUERIES entry runs against the amplified sf1.0 dataset
+    # (cold once for artifact/fixture builds, then 2 steady runs, min)
+    # and reports runtime(sf1)/runtime(sf0.1-steady-median). Opt out
+    # with SPARK_GRAFT_BENCH_SCALE=0 for quick local loops.
+    scale_ratios: dict[str, float] = {}
+    scale_steady: dict[str, float] = {}
+    scale_status = "skipped"
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0" and sf == 0.1:
+        try:
+            from tools.make_scale_data import build as build_scale
+
+            sf1_dir = build_scale(spark, src=sf_dir)
+            for name in SCALE_QUERIES:
+                # pin the amplified dir regardless of one_run's sf_dir
+                sfn = (lambda f, d: lambda s, _sd: f(s, d))(qs[name], sf1_dir)
+                one_run(sfn)
+                runs = [one_run(sfn)[0] for _ in range(2)]
+                s1 = min(runs)
+                scale_steady[name] = round(s1, 3)
+                if timings.get(name):
+                    scale_ratios[name] = round(s1 / timings[name], 2)
+                artifacts.clear_caches(spark)
+            scale_status = "done"
+        except Exception as ex:  # never let the scale pass kill the
+            scale_status = f"error: {ex!r}"[:120]  # headline contract
+
     # Scale smoke (VERDICT r4 directive 7): the ~10x linear-growth +
     # no-plan-flip assertions run as part of every bench so each round's
     # green evidence includes them. Subprocess keeps its SparkSession out
@@ -275,7 +353,18 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     audit_line = json.dumps({"plan_audit": plan_audit})
     detail_line = json.dumps(
-        {"detail": {"queries": timings, "cold": cold, "phases": phases}}
+        {
+            "detail": {
+                "queries": timings,
+                "cold": cold,
+                "phases": phases,
+                "scale": {
+                    "status": scale_status,
+                    "sf1_steady": scale_steady,
+                    "ratio_vs_sf0.1": scale_ratios,
+                },
+            }
+        }
     )
     for fname, line in (
         ("PLAN_AUDIT.json", audit_line),
@@ -301,6 +390,9 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "steady_above_cold_anomalies": anomalies,
                 "scale_smoke": scale_smoke,
+                "scale_ratio_max": (
+                    max(scale_ratios.values()) if scale_ratios else None
+                ),
             }
         )
     )

@@ -613,12 +613,14 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
     (max_bucket_bytes=...)` keeps buckets under `MAX_BUCKET_BYTES`
     (default 256 MiB parquet ≈ 1-2 GB decoded — docs/TABLE_FORMAT.md
     "Bucket sizing at scale"), so the bound holds over the table's
-    lifecycle without the reader doing anything. A span containing an
-    ALIGNED rescale (new count a multiple of the old — what
-    `maintain_table` emits) stays per-bucket via the old-side rehash
-    filter; only an unaligned rescale falls back to one global diff,
-    where bulk catch-up belongs to the library path (`table_changes`,
-    a JVM keyed join with no per-bucket task ceiling)."""
+    lifecycle without the reader doing anything. A span containing a
+    rescale of ANY shape stays parallel (`_rescale_partitions`): one
+    partition per new bucket (rehash-filtered, residue-class-bounded
+    old side) for driver-hashable keys, one exact partition per
+    gcd-residue class for exotic key types — bulk catch-up across a
+    coprime rescale of an exotic-keyed table belongs to the library
+    path (`table_changes`, a JVM keyed join with no per-task
+    ceiling)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._table_path = options["path"]
