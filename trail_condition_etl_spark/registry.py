@@ -904,6 +904,15 @@ def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.merge_into_query(spark, sf_dir)
 
 
+@query("manifest_vacuum", oracle=manifest_sink.MANIFEST_VACUUM_SQL)
+def q_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VACUUM under the change-feed retention guard: the sweep refuses
+    # while a registered cursor pins an old version, succeeds once the
+    # consumer catches up, and the post-vacuum snapshot stays exact
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_vacuum_query(spark, sf_dir)
+
+
 @query("manifest_history", oracle=manifest_sink.MANIFEST_HISTORY_SQL)
 def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DESCRIBE HISTORY + metadata-only COUNT(*): per-version operation

@@ -2263,6 +2263,74 @@ def manifest_restore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_vacuum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] VACUUM with the change-feed retention guard as an
+    oracle-checked query (VERDICT r7 directive 6 surface): three
+    commits (base %5==0, triple %10==0, MoR-delete %15==0) with a
+    registered cursor consumed only through version 1. The guarded
+    `vacuum(keep_last=1)` must REFUSE (the cursor pins v1); after the
+    consumer catches up, the same sweep succeeds and only the latest
+    version remains — and the post-vacuum read still serves the exact
+    final state. All inside the cached fixture build (a published
+    fixture is never mutated); the guard outcome rides a note file."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        from ..streaming.cdc import consume_table_changes, table_cursor_path
+
+        base = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "n_chars"
+        )
+        manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
+        cur = table_cursor_path(table, "probe")
+        consume_table_changes(spark, table, cur, lambda c, f, t: None)
+        manifest_upsert(
+            spark,
+            table,
+            base.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "n_chars", F.col("n_chars") * 3
+            ),
+            ["doc_id"],
+        )
+        delete_where(spark, table, F.col("doc_id") % 15 == 0)
+        fired = 0
+        try:
+            vacuum(table, keep_last=1)
+        except VacuumRetentionError:
+            fired = 1
+        n_before = len(list_versions(table))
+        consume_table_changes(spark, table, cur, lambda c, f, t: None)
+        vacuum(table, keep_last=1)
+        with open(os.path.join(table, "_vacuum_note.json"), "w") as fh:
+            json.dump(
+                {"guard_fired": fired, "n_versions_before": n_before}, fh
+            )
+
+    table = _fixture_table(docs, "manifest_vacuum", build)
+    with open(os.path.join(table, "_vacuum_note.json")) as fh:
+        note = json.load(fh)
+    return read_manifest_table(spark, table).agg(
+        F.lit(int(note["n_versions_before"])).alias("n_versions_before"),
+        F.lit(len(list_versions(table))).alias("n_versions_after"),
+        F.lit(int(note["guard_fired"])).alias("guard_fired"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+MANIFEST_VACUUM_SQL = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN CAST(n_chars AS BIGINT) * 3
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 15 <> 0
+)
+SELECT 3 AS n_versions_before, 1 AS n_versions_after, 1 AS guard_fired,
+       COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM final
+"""
+
+
 MANIFEST_RESTORE_SQL = """
 WITH v2 AS (
   SELECT doc_id, source,
