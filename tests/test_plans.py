@@ -349,19 +349,28 @@ def test_driver_sample_prefix_spans_families():
     assert len(names) == len(registry._QUERIES)
     head = names[:50]
     for want in (
+        # r8 pins: flagship + the surfaces changed this round (evolved
+        # DataSource reads, parallel rescale CDC, lookup validation,
+        # vacuum retention guard)
         "trail_classifier",
+        "pyds_evolved_scan",
+        "pyds_cdc_stream",
         "cdc_incremental",
         "manifest_lookup",
-        "manifest_skip_scan",
-        "stream_roundtrip",
-        "stream_roundtrip_multibatch",
+        "manifest_vacuum",
     ):
         assert want in head, want
+    # Staleness-first rotation (r7 directive 1) decides the prefix's
+    # family mix: the stalest greens dominate, and which families those
+    # are varies by round — over consecutive rounds every family
+    # re-verifies. Pin breadth (most families present) rather than the
+    # pre-r8 fixed all-seven mix, plus totality of the full order.
     fams = {registry._family(n) for n in head}
-    assert fams == {
+    assert len(fams) >= 5, fams
+    assert {registry._family(n) for n in names} == {
         "relational", "ann", "dedup", "text", "streaming", "curation",
         "ingest",
-    }, fams
+    }
 
 
 def test_paragraph_dedup_two_exchanges_only(spark):

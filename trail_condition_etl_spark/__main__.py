@@ -8,7 +8,7 @@ manifest-table operator console.
     python -m trail_condition_etl_spark table count PATH
     python -m trail_condition_etl_spark table optimize PATH \\
         [--cluster-by col1,col2] [--files-per-bucket N]
-    python -m trail_condition_etl_spark table vacuum PATH [--keep-last N]
+    python -m trail_condition_etl_spark table vacuum PATH [--keep-last N] [--force]
     python -m trail_condition_etl_spark table delete PATH --where "SQL expr"
     python -m trail_condition_etl_spark table update PATH --where "SQL expr" \\
         --set "col = expr" [--set "col2 = expr2"]
@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
                             help="rescale the bucket layout")
         if tcmd == "vacuum":
             tp.add_argument("--keep-last", type=int, default=1)
+            tp.add_argument(
+                "--force", action="store_true",
+                help="sweep even past versions pinned by registered "
+                "change-feed cursors (breaks those streams loudly)",
+            )
         if tcmd == "delete":
             tp.add_argument("--where", required=True,
                             help="SQL predicate (merge-on-read delete)")
@@ -132,7 +137,9 @@ def _table_cmd(args) -> int:
               + (f" (rescaled to {args.n_buckets} buckets)"
                  if args.n_buckets else ""))
     elif args.tcmd == "vacuum":
-        removed = mf.vacuum(args.path, keep_last=args.keep_last)
+        removed = mf.vacuum(
+            args.path, keep_last=args.keep_last, force=args.force
+        )
         print(f"swept {removed} orphan/expired segment dirs")
     elif args.tcmd == "delete":
         before = (mf.read_manifest(args.path) or {}).get("version")
