@@ -973,6 +973,19 @@ def q_pyds_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_source.pyds_cdc_stream_query(spark, sf_dir)
 
 
+@query(
+    "pyds_cdc_rescale_stream",
+    oracle=manifest_source.PYDS_CDC_RESCALE_STREAM_SQL,
+)
+def q_pyds_cdc_rescale_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the CDC readStream across an UNALIGNED bucket rescale: the
+    # residue-class per-new-bucket planner must emit the exact content
+    # diff (no phantom rows for merely-moved keys) through the real
+    # streaming engine (VERDICT r7 directive 2, end-to-end)
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_cdc_rescale_stream_query(spark, sf_dir)
+
+
 @query("stream_roundtrip", oracle=streaming_pipeline.STREAMING_ROUNDTRIP_SQL)
 def q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end Structured Streaming pass (source -> watermark dedup ->

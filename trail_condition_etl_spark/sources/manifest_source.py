@@ -1250,3 +1250,80 @@ SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
        CAST(0 AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id % 9 = 0
 """
+
+
+def pyds_cdc_rescale_stream_query(spark, sf_dir: str):
+    """[EXT] The streaming CDC source across an UNALIGNED bucket
+    rescale, end-to-end (VERDICT r7 directive 2 through the REAL
+    readStream machinery, not direct partitions()/read() calls): a
+    four-commit source (base %4==0 at 6 buckets; updates %8==0 doubled
+    + inserts %4==1; an `optimize_table(n_buckets=9)` — 6→9 is NOT a
+    multiple, gcd 3; tombstone-deletes %12==0), consumed AvailableNow
+    from startingVersion=1. The collapsed micro-batch spans the rescale:
+    the planner's per-new-bucket residue-class partitions must emit the
+    exact content diff — zero phantom delete+insert pairs for the rows
+    the rescale merely moved — which the oracle re-derives from
+    `documents` directly."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+    from ..sinks.manifest import manifest_upsert, optimize_table
+
+    register_manifest_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = scratch_dir("pyds_cdc_rescale_")
+    table = os.path.join(root, "t")
+    manifest_upsert(
+        spark, table, docs.filter(F.col("doc_id") % 4 == 0), ["doc_id"],
+        n_buckets=6,
+    )
+    updates = docs.filter(F.col("doc_id") % 8 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 4 == 1)
+    manifest_upsert(spark, table, updates.unionByName(inserts), ["doc_id"])
+    optimize_table(spark, table, n_buckets=9)  # unaligned: gcd(6,9)=3
+    dels = (
+        docs.filter(F.col("doc_id") % 12 == 0)
+        .select("doc_id")
+        .withColumn("_gone", F.lit(True))
+    )
+    manifest_upsert(spark, table, dels, ["doc_id"], tombstone_col="_gone")
+
+    out = os.path.join(root, "changes")
+    ck = os.path.join(root, "ck")
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .option("path", table)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    changes = spark.read.parquet(out)
+    return changes.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )
+
+
+PYDS_CDC_RESCALE_STREAM_SQL = """
+SELECT 'insert' AS change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 4 = 1
+UNION ALL
+SELECT 'update' AS change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT) * 2) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 8 = 0 AND doc_id % 12 <> 0 AND n_chars <> 0
+UNION ALL
+SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 12 = 0
+"""
