@@ -1241,3 +1241,69 @@ def test_lookup_rejects_mistyped_key_values(spark, tmp_path):
     assert mf.read_manifest_lookup(spark, table, {"k": None}).count() == 0
     # valid values still work after the guard
     assert mf.read_manifest_lookup(spark, table, {"k": 2}).count() == 1
+
+
+def test_cojoin_matches_shuffle_join_with_deletes(spark, tmp_path):
+    """read_manifest_cojoin (storage-partitioned join) must produce the
+    exact rows a regular shuffle join of the two snapshot reads gives —
+    including pending MoR deletes applied per side — while its Spark
+    plan contains NO join operator and no table-data shuffle (the one
+    Exchange moves n_buckets plan rows)."""
+    left = str(tmp_path / "l")
+    right = str(tmp_path / "r")
+    ldf = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k int, v string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 200, 2)], "k int, w long"
+    )
+    mf.manifest_upsert(spark, left, ldf, ["k"], n_buckets=4)
+    mf.manifest_upsert(spark, right, rdf, ["k"], n_buckets=4)
+    mf.delete_where(spark, left, F.col("k") % 30 == 0)
+    mf.delete_where(spark, right, F.col("k") % 14 == 0)
+    got = mf.read_manifest_cojoin(spark, left, right)
+    expected = mf.read_manifest_table(spark, left).join(
+        mf.read_manifest_table(spark, right), "k", "inner"
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # every Exchange moves the n_buckets PLAN rows (hash on `bucket`),
+    # never table data — the whole point of the co-located join
+    import re as _re
+
+    assert plan.count("Exchange") == len(
+        _re.findall(r"Exchange hashpartitioning\(bucket", plan)
+    ), plan
+
+
+def test_cojoin_rejects_incompatible_layouts(spark, tmp_path):
+    left = str(tmp_path / "l")
+    right = str(tmp_path / "r")
+    ldf = spark.createDataFrame([(1, "a")], "k int, v string")
+    mf.manifest_upsert(spark, left, ldf, ["k"], n_buckets=4)
+    # different bucket count
+    mf.manifest_upsert(
+        spark, right, spark.createDataFrame([(1, 5)], "k int, w long"),
+        ["k"], n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="layouts differ"):
+        mf.read_manifest_cojoin(spark, left, right)
+    # different keys
+    other = str(tmp_path / "o")
+    mf.manifest_upsert(
+        spark, other, spark.createDataFrame([(1, 5)], "j int, w long"),
+        ["j"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="keys differ"):
+        mf.read_manifest_cojoin(spark, left, other)
+    # colliding non-key column names
+    clash = str(tmp_path / "c")
+    mf.manifest_upsert(
+        spark, clash, spark.createDataFrame([(1, "x")], "k int, v string"),
+        ["k"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="collide"):
+        mf.read_manifest_cojoin(spark, left, clash)

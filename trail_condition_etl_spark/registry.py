@@ -904,6 +904,16 @@ def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.merge_into_query(spark, sf_dir)
 
 
+@query("colocated_join", oracle=manifest_sink.COLOCATED_JOIN_SQL)
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # storage-partitioned join: two manifest tables on the same key +
+    # bucket layout join one-task-per-bucket with MoR deletes applied
+    # in-task — the plan's only Exchange moves n_buckets PLAN rows,
+    # zero table bytes shuffle
+    ensure_engine_conf(spark)
+    return manifest_sink.colocated_join_query(spark, sf_dir)
+
+
 @query("manifest_vacuum", oracle=manifest_sink.MANIFEST_VACUUM_SQL)
 def q_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VACUUM under the change-feed retention guard: the sweep refuses

@@ -2538,6 +2538,221 @@ GROUP BY o_orderpriority
 """
 
 
+def read_manifest_cojoin(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    version_left: int | None = None,
+    version_right: int | None = None,
+) -> DataFrame:
+    """SHUFFLE-FREE keyed inner join of two manifest tables that share
+    a bucket layout (same merge keys, same n_buckets) — the format's
+    storage-partitioned join (Iceberg SPJ / Spark bucketed-join
+    semantics, planned driver-side from the two manifests):
+
+    * both layouts assign a key to `pmod(xxhash64(keys), n)`, so bucket
+      b of the left table can only join bucket b of the right — the
+      plan is one task per bucket id reading BOTH sides' immutable
+      bucket dirs and merging in Arrow/pandas;
+    * the only Exchange in the Spark plan moves the n_buckets PLAN rows
+      (bucket id + file lists), never table data — at 100 TB the join
+      ships zero bytes through a shuffle, the property co-locating two
+      fact tables on the same key layout exists to buy;
+    * pending MoR delete files apply per side inside the task, so both
+      inputs read exactly their committed snapshots.
+
+    Raises when the layouts are not join-compatible (align first with
+    `optimize_table(n_buckets=...)`) or when non-key column names
+    collide. Inner join only — the outer variants belong to the
+    shuffle path where Spark's planner owns null-extension."""
+    ml = read_manifest(left_table, version_left)
+    mr = read_manifest(right_table, version_right)
+    if ml is None or mr is None:
+        raise FileNotFoundError("both sides need a committed manifest")
+    keys = ml["keys"]
+    if keys != mr["keys"]:
+        raise ValueError(
+            f"merge keys differ: {keys} vs {mr['keys']} — co-located join "
+            "requires identical key columns"
+        )
+    if ml["n_buckets"] != mr["n_buckets"]:
+        raise ValueError(
+            f"bucket layouts differ ({ml['n_buckets']} vs "
+            f"{mr['n_buckets']}): align with optimize_table(n_buckets=...) "
+            "or use a regular shuffle join"
+        )
+    ls, rs = _data_schema(ml), _data_schema(mr)
+    overlap = (set(ls.names) & set(rs.names)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns collide: {sorted(overlap)} — rename before "
+            "joining"
+        )
+    from pyspark.sql.types import StructField
+
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in ls.fields]
+        + [
+            StructField(f.name, f.dataType, True)
+            for f in rs.fields
+            if f.name not in keys
+        ]
+    )
+    l_names = [f.name for f in ls.fields]
+    r_names = [f.name for f in rs.fields]
+    out_names = [f.name for f in out_schema.fields]
+
+    def files_and_deletes(mf_, table_path, b):
+        d = mf_["buckets"].get(b)
+        files = (
+            [
+                os.path.join(table_path, d, fn)
+                for fn in sorted(os.listdir(os.path.join(table_path, d)))
+                if fn.endswith(".parquet")
+            ]
+            if d
+            else []
+        )
+        dels = [
+            os.path.join(table_path, dd, fn)
+            for dd in mf_.get("deletes", {}).get(b, [])
+            for fn in sorted(os.listdir(os.path.join(table_path, dd)))
+            if fn.endswith(".parquet")
+        ]
+        return files, dels
+
+    plan_rows = []
+    for b in range(ml["n_buckets"]):
+        bs = str(b)
+        lf, ld = files_and_deletes(ml, left_table, bs)
+        rf, rd = files_and_deletes(mr, right_table, bs)
+        if not lf or not rf:
+            continue  # inner join: an empty side contributes nothing
+        plan_rows.append(
+            (
+                b,
+                json.dumps(lf),
+                json.dumps(ld),
+                json.dumps(rf),
+                json.dumps(rd),
+            )
+        )
+    plan = spark.createDataFrame(
+        plan_rows or [(0, "[]", "[]", "[]", "[]")],
+        "bucket int, lf string, ld string, rf string, rd string",
+    )
+    n_parts = max(1, len(plan_rows))
+    plan = plan.repartition(n_parts, "bucket")
+    keys_local = list(keys)
+
+    def join_buckets(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from trail_condition_etl_spark.sources.manifest_source import (
+            _delete_key_set,
+        )
+
+        def load(files, dels, names):
+            if not files:
+                return pd.DataFrame(columns=names)
+            tbl = pa.concat_tables(
+                [pq.read_table(f) for f in files],
+                promote_options="default",
+            )
+            df = tbl.to_pandas()
+            for c in names:  # additive evolution: missing -> null
+                if c not in df.columns:
+                    df[c] = None
+            df = df[names]
+            if dels and len(df):
+                gone = _delete_key_set(dels, keys_local)
+                mask = [
+                    t not in gone
+                    for t in df[keys_local].itertuples(
+                        index=False, name=None
+                    )
+                ]
+                df = df[pd.Series(mask, index=df.index)]
+            return df
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                lfs = json.loads(row.lf)
+                rfs = json.loads(row.rf)
+                if not lfs or not rfs:
+                    continue
+                left = load(lfs, json.loads(row.ld), l_names)
+                right = load(rfs, json.loads(row.rd), r_names)
+                if not len(left) or not len(right):
+                    continue
+                joined = left.merge(right, on=keys_local, how="inner")
+                if len(joined):
+                    yield joined[out_names]
+
+    return plan.mapInPandas(join_buckets, schema=out_schema)
+
+
+COLOCATED_JOIN_SQL = """
+WITH l AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 30 <> 0
+), r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) % 97 + 1 AS score
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 42 <> 0
+)
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars * score) AS BIGINT) AS weighted
+FROM l JOIN r USING (doc_id)
+GROUP BY source
+"""
+
+
+def colocated_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The co-located bucket join as an oracle-checked query: two
+    manifest tables built on the SAME key + bucket layout (left: docs
+    %2==0 with a %30 MoR delete; right: a derived score table %3==0
+    with a %42 MoR delete) joined via `read_manifest_cojoin` — one task
+    per bucket, both sides' deletes applied in-task, zero data bytes
+    shuffled — then aggregated per source. The oracle replays the same
+    join in SQL."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        # sibling tables under one fixture root so both bind to the
+        # same corpus snapshot
+        os.makedirs(table, exist_ok=True)  # lease dirs are siblings
+        left, right = os.path.join(table, "l"), os.path.join(table, "r")
+        manifest_upsert(
+            spark,
+            left,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            ["doc_id"],
+            n_buckets=8,
+        )
+        delete_where(spark, left, F.col("doc_id") % 30 == 0)
+        manifest_upsert(
+            spark,
+            right,
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id", (F.col("n_chars") % 97 + 1).alias("score")
+            ),
+            ["doc_id"],
+            n_buckets=8,
+        )
+        delete_where(spark, right, F.col("doc_id") % 42 == 0)
+
+    root = _fixture_table(docs, "colocated_join", build)
+    joined = read_manifest_cojoin(
+        spark, os.path.join(root, "l"), os.path.join(root, "r")
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars") * F.col("score")).alias("weighted"),
+    )
+
+
 def manifest_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] DESCRIBE HISTORY + the metadata-only COUNT(*) as an
     oracle-checked query: the two-commit merge table's commit log, with
