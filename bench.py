@@ -45,7 +45,7 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   in `phases`), their steady numbers are pure pruned reads. Do not
   compare their r7+ colds/steadies to r6 (which rebuilt fixtures every
   run).
-* HEADLINE GROWTH at r8 (VERDICT r7 directive 7): five never-benched
+* HEADLINE GROWTH at r8 (VERDICT r7 directive 7): six never-benched
   heavy families joined the list — stateful_sessions, retention_cohorts,
   decontaminate, ann_recall_report, incremental_near_dup. Their series
   start at r8; `cold_total`/`value` grew accordingly (compare the shared
@@ -163,6 +163,9 @@ HEADLINE = [
     "decontaminate",
     "ann_recall_report",
     "incremental_near_dup",
+    # the storage-partitioned join (r8): one task per bucket, zero
+    # table bytes shuffled — benched so the claim has a number
+    "colocated_join",
 ]
 
 #: one representative per family for the sf0.1 -> sf1.0 scaling ratio
