@@ -1275,7 +1275,7 @@ def test_cojoin_matches_shuffle_join_with_deletes(spark, tmp_path):
     import re as _re
 
     assert plan.count("Exchange") == len(
-        _re.findall(r"Exchange hashpartitioning\(bucket", plan)
+        _re.findall(r"Exchange (?:hash|range)partitioning\(bucket", plan)
     ), plan
 
 
@@ -1307,3 +1307,78 @@ def test_cojoin_rejects_incompatible_layouts(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="collide"):
         mf.read_manifest_cojoin(spark, left, clash)
+
+
+def test_cojoin_rejects_mismatched_key_types_and_skips_null_keys(
+    spark, tmp_path
+):
+    """Same-named key columns of different widths hash to different
+    buckets (the engine hash is width-sensitive) — the join must raise,
+    not return a silently mostly-empty result. And null join keys must
+    NOT match (SQL inner-join semantics; pandas merge would equate
+    NaN keys)."""
+    left = str(tmp_path / "l")
+    wide = str(tmp_path / "w")
+    mf.manifest_upsert(
+        spark, left, spark.createDataFrame([(1, "a")], "k int, v string"),
+        ["k"], n_buckets=4,
+    )
+    mf.manifest_upsert(
+        spark, wide,
+        spark.createDataFrame([(1, 5)], "k bigint, w long"),
+        ["k"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        mf.read_manifest_cojoin(spark, left, wide)
+    # null keys on both sides: the joined result must exclude them
+    ln = str(tmp_path / "ln")
+    rn = str(tmp_path / "rn")
+    mf.manifest_upsert(
+        spark, ln,
+        spark.createDataFrame([(1, "a"), (None, "n")], "k int, v string"),
+        ["k"], n_buckets=2,
+    )
+    mf.manifest_upsert(
+        spark, rn,
+        spark.createDataFrame([(1, 10), (None, 99)], "k int, w long"),
+        ["k"], n_buckets=2,
+    )
+    got = mf.read_manifest_cojoin(spark, ln, rn).collect()
+    assert [(r.k, r.v, r.w) for r in got] == [(1, "a", 10)]
+
+
+def test_vacuum_ignores_crashed_cursor_tmp_files(spark, tmp_path):
+    """A consumer killed between the cursor tmp write and os.replace
+    leaves `<name>.tmp.<pid>.<hex>` in _cursors/ — it must not become a
+    phantom consumer that blocks vacuum forever."""
+    import os
+
+    from trail_condition_etl_spark.streaming import cdc
+
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame([(1, "a")], "k int, v string")
+    mf.manifest_upsert(spark, src, rows, ["k"])
+    mf.manifest_upsert(
+        spark, src, spark.createDataFrame([(2, "b")], "k int, v string"),
+        ["k"],
+    )
+    d = os.path.join(src, "_cursors")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "probe.tmp.1234.abcd"), "w") as fh:
+        fh.write("1")  # valid version content, crash-left staging name
+    assert "probe.tmp.1234.abcd" not in mf.pinned_cursor_versions(src)
+    assert mf.vacuum(src, keep_last=1) >= 0  # no phantom retention block
+
+
+def test_lookup_accepts_numpy_integer_keys(spark, tmp_path):
+    """np.int64 keys (what a pandas frame hands back) hash
+    bit-identically to Python ints and must keep planning correctly
+    through the type guard."""
+    np = pytest.importorskip("numpy")
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(spark, table, rows, ["k"], n_buckets=2)
+    got = mf.read_manifest_lookup(spark, table, {"k": np.int32(2)})
+    assert [(r.k, r.v) for r in got.collect()] == [(2, "b")]
+    with pytest.raises(ValueError, match="out of range"):
+        mf.read_manifest_lookup(spark, table, {"k": np.int64(2**33)})

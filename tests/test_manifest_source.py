@@ -555,9 +555,6 @@ def test_cdc_rescale_span_stays_per_bucket_when_aligned(spark, tmp_path):
     # aligned == gcd(2, 8) = 2: each partition reads exactly ONE
     # superset old bucket (the historical fast path, now the g=old_n
     # special case of the general residue-class planner)
-    old_dirs = {
-        os.path.dirname(f) for p in parts for f in p.old_files
-    }
     assert all(
         len({os.path.dirname(f) for f in p.old_files}) <= 1 for p in parts
     )

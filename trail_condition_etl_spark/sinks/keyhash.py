@@ -152,10 +152,16 @@ def check_value(value, type_name: str, col: str = "?") -> None:
     of the Spark key column type, instead of letting the masked hash
     plan a wrong bucket. None (SQL null) is always legal — the hash
     step skips it."""
+    import numbers
+
     if value is None:
         return
     if type_name in _INT_RANGES:
-        if isinstance(value, bool) or not isinstance(value, int):
+        # numbers.Integral, not just int: numpy scalars (np.int64 from a
+        # pandas frame) hash bit-identically and must keep working
+        if isinstance(value, bool) or not isinstance(
+            value, numbers.Integral
+        ):
             raise TypeError(
                 f"lookup key {col!r} is {type_name} but got "
                 f"{type(value).__name__} value {value!r}"

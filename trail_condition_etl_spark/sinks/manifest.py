@@ -1435,7 +1435,15 @@ def read_manifest_lookup(
         key_values = [key_values]
     fields = {f.name: f for f in schema.fields}
     key_schema = StructType([fields[k] for k in keys])
-    rows = [tuple(kv[k] for k in keys) for kv in key_values]
+    # numpy scalars (np.int64 out of a pandas frame) hash bit-identically
+    # but createDataFrame rejects them — unwrap to Python scalars first
+    rows = [
+        tuple(
+            (v.item() if hasattr(v, "item") else v)
+            for v in (kv[k] for k in keys)
+        )
+        for kv in key_values
+    ]
     type_names = [fields[k].dataType.simpleString() for k in keys]
     if supported_types(type_names):
         # bucket planning is driver-side arithmetic (sinks/keyhash.py
@@ -1776,7 +1784,13 @@ def _collision_rescale(
     d = os.path.join(table_path, bucket_dir)
     try:
         names = sorted(os.listdir(d))
-    except OSError:
+    except OSError as ex:
+        warnings.warn(
+            f"bucket {bucket_dir!r} exceeds max_bucket_bytes but its dir "
+            f"could not be listed ({ex!r}) — likely swept by a concurrent "
+            "optimize/vacuum; skipping the collision check this pass",
+            stacklevel=3,
+        )
         return None
     for fn in names:
         if not fn.endswith(".parquet"):
@@ -1791,7 +1805,18 @@ def _collision_rescale(
         )
         if len(hashes) > 1 and len(hashes) >= 64:
             break  # plenty of distinct hashes: m=2..64 will split
-    if len(hashes) <= 1:
+    if not hashes:
+        # a 'single key hash' diagnosis needs at least one hash read —
+        # zero means the files vanished/are unreadable, a different
+        # (and differently actionable) condition
+        warnings.warn(
+            f"bucket {bucket_dir!r} exceeds max_bucket_bytes but no key "
+            "rows could be read from it; skipping the collision check "
+            "this pass",
+            stacklevel=3,
+        )
+        return None
+    if len(hashes) == 1:
         warnings.warn(
             f"bucket {bucket_dir!r} exceeds max_bucket_bytes but holds a "
             "single key hash (irreducible hot-key skew): no bucket count "
@@ -2001,6 +2026,12 @@ def pinned_cursor_versions(table_path: str) -> dict[str, int]:
     except OSError:
         return out
     for e in entries:
+        if ".tmp." in e:
+            # _write_change_cursor's atomic-replace staging file: a
+            # consumer killed between write and replace leaves one
+            # behind, and counting it would conjure a phantom consumer
+            # that blocks vacuum forever
+            continue
         try:
             with open(os.path.join(d, e)) as f:
                 out[e] = int(f.read().strip() or "0")
@@ -2582,6 +2613,19 @@ def read_manifest_cojoin(
             "or use a regular shuffle join"
         )
     ls, rs = _data_schema(ml), _data_schema(mr)
+    lf_by, rf_by = {f.name: f for f in ls.fields}, {
+        f.name: f for f in rs.fields
+    }
+    for k in keys:
+        if lf_by[k].dataType != rf_by[k].dataType:
+            # same value, different width = different xxhash64 path =
+            # different bucket: the join would be silently mostly-empty
+            raise ValueError(
+                f"key {k!r} types differ ({lf_by[k].dataType.simpleString()}"
+                f" vs {rf_by[k].dataType.simpleString()}): the engine hash "
+                "is width-sensitive, so the layouts are not co-located — "
+                "cast one side and rewrite before joining"
+            )
     overlap = (set(ls.names) & set(rs.names)) - set(keys)
     if overlap:
         raise ValueError(
@@ -2642,7 +2686,11 @@ def read_manifest_cojoin(
         "bucket int, lf string, ld string, rf string, rd string",
     )
     n_parts = max(1, len(plan_rows))
-    plan = plan.repartition(n_parts, "bucket")
+    # RANGE partitioning, not hash: with n distinct bucket ids into n
+    # partitions, hashing birthday-collides ~1/e of slots empty while
+    # some tasks own 2-3 buckets and serialize them; ranges over the
+    # tiny plan relation give (near-)one task per bucket
+    plan = plan.repartitionByRange(n_parts, "bucket")
     keys_local = list(keys)
 
     def join_buckets(batches):
@@ -2685,6 +2733,12 @@ def read_manifest_cojoin(
                     continue
                 left = load(lfs, json.loads(row.ld), l_names)
                 right = load(rfs, json.loads(row.rd), r_names)
+                # SQL inner-join semantics: null never equals null.
+                # pandas merge would match NaN keys (and a null in an
+                # int key column float-coerces it), so drop null-keyed
+                # rows before merging.
+                left = left.dropna(subset=keys_local)
+                right = right.dropna(subset=keys_local)
                 if not len(left) or not len(right):
                     continue
                 joined = left.merge(right, on=keys_local, how="inner")
