@@ -1382,3 +1382,46 @@ def test_lookup_accepts_numpy_integer_keys(spark, tmp_path):
     assert [(r.k, r.v) for r in got.collect()] == [(2, "b")]
     with pytest.raises(ValueError, match="out of range"):
         mf.read_manifest_lookup(spark, table, {"k": np.int64(2**33)})
+
+
+def test_cojoin_semi_and_anti_match_spark_semantics(spark, tmp_path):
+    """left_semi/left_anti co-located joins must match Spark's own
+    semi/anti joins over the same snapshots — including null-keyed left
+    rows (anti keeps them: null matches nothing) and buckets where the
+    right side is empty (anti passes the whole bucket through)."""
+    left = str(tmp_path / "l")
+    right = str(tmp_path / "r")
+    ldf = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)] + [(None, "nul")],
+        "k int, v string",
+    )
+    # sparse right side: some buckets get NO right rows at all
+    rdf = spark.createDataFrame(
+        [(i, i) for i in range(0, 100, 7)], "k int, w long"
+    )
+    mf.manifest_upsert(spark, left, ldf, ["k"], n_buckets=8)
+    mf.manifest_upsert(spark, right, rdf, ["k"], n_buckets=8)
+    mf.delete_where(spark, right, F.col("k") == 14)
+    lsnap = mf.read_manifest_table(spark, left)
+    rsnap = mf.read_manifest_table(spark, right)
+    for how in ("left_semi", "left_anti"):
+        got = mf.read_manifest_cojoin(spark, left, right, how=how)
+        assert got.columns == ["k", "v"]
+        expected = lsnap.join(rsnap, "k", how)
+        assert {(r.k, r.v) for r in got.collect()} == {
+            (r.k, r.v) for r in expected.collect()
+        }, how
+    with pytest.raises(ValueError, match="supported modes"):
+        mf.read_manifest_cojoin(spark, left, right, how="full_outer")
+    # semi/anti never collide on non-key names (left schema only): a
+    # right table sharing column 'v' is fine outside inner mode
+    clash = str(tmp_path / "c")
+    mf.manifest_upsert(
+        spark, clash,
+        spark.createDataFrame([(1, "x")], "k int, v string"),
+        ["k"], n_buckets=8,
+    )
+    assert (
+        mf.read_manifest_cojoin(spark, left, clash, how="left_semi").count()
+        == 1
+    )

@@ -904,6 +904,17 @@ def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.merge_into_query(spark, sf_dir)
 
 
+@query(
+    "colocated_anti_join", oracle=manifest_sink.COLOCATED_ANTI_JOIN_SQL
+)
+def q_colocated_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocklist decontamination at table scale: co-located LEFT ANTI
+    # join (right side reads only key columns; empty blocklist buckets
+    # pass through; zero table bytes shuffle)
+    ensure_engine_conf(spark)
+    return manifest_sink.colocated_anti_join_query(spark, sf_dir)
+
+
 @query("colocated_join", oracle=manifest_sink.COLOCATED_JOIN_SQL)
 def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage-partitioned join: two manifest tables on the same key +

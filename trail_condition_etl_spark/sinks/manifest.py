@@ -2575,6 +2575,7 @@ def read_manifest_cojoin(
     right_table: str,
     version_left: int | None = None,
     version_right: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """SHUFFLE-FREE keyed inner join of two manifest tables that share
     a bucket layout (same merge keys, same n_buckets) — the format's
@@ -2592,10 +2593,25 @@ def read_manifest_cojoin(
     * pending MoR delete files apply per side inside the task, so both
       inputs read exactly their committed snapshots.
 
+    `how` is one of:
+
+    * ``"inner"`` — both sides' columns (non-key names must not
+      collide);
+    * ``"left_semi"`` / ``"left_anti"`` — left columns only; the right
+      side reads ONLY its key columns (the blocklist-filter /
+      decontamination shape: keep or drop left rows by membership in a
+      co-located key set, zero bytes shuffled). Anti keeps null-keyed
+      left rows and passes whole buckets through when the right side is
+      empty — SQL semantics: null matches nothing.
+
     Raises when the layouts are not join-compatible (align first with
-    `optimize_table(n_buckets=...)`) or when non-key column names
-    collide. Inner join only — the outer variants belong to the
-    shuffle path where Spark's planner owns null-extension."""
+    `optimize_table(n_buckets=...)`) or, for inner, when non-key column
+    names collide. The OUTER variants belong to the shuffle path where
+    Spark's planner owns null-extension."""
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how={how!r}: supported modes are inner, left_semi, left_anti"
+        )
     ml = read_manifest(left_table, version_left)
     mr = read_manifest(right_table, version_right)
     if ml is None or mr is None:
@@ -2626,24 +2642,31 @@ def read_manifest_cojoin(
                 "is width-sensitive, so the layouts are not co-located — "
                 "cast one side and rewrite before joining"
             )
-    overlap = (set(ls.names) & set(rs.names)) - set(keys)
-    if overlap:
-        raise ValueError(
-            f"non-key columns collide: {sorted(overlap)} — rename before "
-            "joining"
-        )
+    if how == "inner":
+        overlap = (set(ls.names) & set(rs.names)) - set(keys)
+        if overlap:
+            raise ValueError(
+                f"non-key columns collide: {sorted(overlap)} — rename "
+                "before joining"
+            )
     from pyspark.sql.types import StructField
 
-    out_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in ls.fields]
-        + [
-            StructField(f.name, f.dataType, True)
-            for f in rs.fields
-            if f.name not in keys
-        ]
-    )
+    if how == "inner":
+        out_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in ls.fields]
+            + [
+                StructField(f.name, f.dataType, True)
+                for f in rs.fields
+                if f.name not in keys
+            ]
+        )
+    else:  # semi/anti emit the LEFT relation filtered by membership
+        out_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in ls.fields]
+        )
     l_names = [f.name for f in ls.fields]
-    r_names = [f.name for f in rs.fields]
+    # semi/anti only test key membership: read nothing else off disk
+    r_names = [f.name for f in rs.fields] if how == "inner" else list(keys)
     out_names = [f.name for f in out_schema.fields]
 
     def files_and_deletes(mf_, table_path, b):
@@ -2670,8 +2693,11 @@ def read_manifest_cojoin(
         bs = str(b)
         lf, ld = files_and_deletes(ml, left_table, bs)
         rf, rd = files_and_deletes(mr, right_table, bs)
-        if not lf or not rf:
-            continue  # inner join: an empty side contributes nothing
+        if not lf:
+            continue  # no left rows: nothing to emit in any mode
+        if not rf and how != "left_anti":
+            continue  # inner/semi: an empty right side matches nothing
+        # left_anti with an empty right bucket passes the left through
         plan_rows.append(
             (
                 b,
@@ -2729,23 +2755,110 @@ def read_manifest_cojoin(
             for row in pdf.itertuples(index=False):
                 lfs = json.loads(row.lf)
                 rfs = json.loads(row.rf)
-                if not lfs or not rfs:
+                if not lfs or (not rfs and how != "left_anti"):
                     continue
                 left = load(lfs, json.loads(row.ld), l_names)
                 right = load(rfs, json.loads(row.rd), r_names)
-                # SQL inner-join semantics: null never equals null.
-                # pandas merge would match NaN keys (and a null in an
-                # int key column float-coerces it), so drop null-keyed
-                # rows before merging.
-                left = left.dropna(subset=keys_local)
+                # SQL join semantics: null never equals null. pandas
+                # merge would match NaN keys (and a null in an int key
+                # column float-coerces it), so null-keyed rows leave the
+                # match set — kept on the left for anti (null matches
+                # nothing), dropped everywhere else.
                 right = right.dropna(subset=keys_local)
-                if not len(left) or not len(right):
-                    continue
-                joined = left.merge(right, on=keys_local, how="inner")
+                if how == "inner":
+                    left = left.dropna(subset=keys_local)
+                    if not len(left) or not len(right):
+                        continue
+                    joined = left.merge(right, on=keys_local, how="inner")
+                elif how == "left_semi":
+                    left = left.dropna(subset=keys_local)
+                    if not len(left) or not len(right):
+                        continue
+                    rset = set(
+                        right[keys_local].itertuples(index=False, name=None)
+                    )
+                    mask = [
+                        t in rset
+                        for t in left[keys_local].itertuples(
+                            index=False, name=None
+                        )
+                    ]
+                    joined = left[pd.Series(mask, index=left.index)]
+                else:  # left_anti
+                    if not len(left):
+                        continue
+                    rset = set(
+                        right[keys_local].itertuples(index=False, name=None)
+                    )
+                    mask = [
+                        t not in rset
+                        for t in left[keys_local].itertuples(
+                            index=False, name=None
+                        )
+                    ]
+                    joined = left[pd.Series(mask, index=left.index)]
                 if len(joined):
                     yield joined[out_names]
 
     return plan.mapInPandas(join_buckets, schema=out_schema)
+
+
+COLOCATED_ANTI_JOIN_SQL = """
+WITH l AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT doc_id FROM documents WHERE doc_id % 7 = 0 AND doc_id % 35 <> 0
+)
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM l
+WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.doc_id = l.doc_id)
+GROUP BY source
+"""
+
+
+def colocated_anti_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The co-located ANTI join as an oracle-checked query — the
+    blocklist-decontamination shape at table scale: a corpus table
+    (%2==0) filtered by a blocklist table (%7==0, with a %35 MoR delete
+    narrowing it) sharing the same key + bucket layout. One task per
+    bucket, the right side reads ONLY its key columns, buckets with no
+    blocklist rows pass through untouched, zero table bytes shuffle."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        os.makedirs(table, exist_ok=True)  # lease dirs are siblings
+        left, block = os.path.join(table, "l"), os.path.join(table, "b")
+        manifest_upsert(
+            spark,
+            left,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            ["doc_id"],
+            n_buckets=8,
+        )
+        manifest_upsert(
+            spark,
+            block,
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                "doc_id", F.lit("blocked").alias("reason")
+            ),
+            ["doc_id"],
+            n_buckets=8,
+        )
+        delete_where(spark, block, F.col("doc_id") % 35 == 0)
+
+    root = _fixture_table(docs, "colocated_anti_join", build)
+    kept = read_manifest_cojoin(
+        spark,
+        os.path.join(root, "l"),
+        os.path.join(root, "b"),
+        how="left_anti",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
 
 
 COLOCATED_JOIN_SQL = """
