@@ -665,3 +665,46 @@ def test_maintain_rescale_counts_are_aligned(spark, tmp_path):
     )
     assert mf.maintain_table(spark, table, max_bucket_bytes=worst // 2) is not None
     assert mf.read_manifest(table)["n_buckets"] % 3 == 0
+
+
+def test_timestamp_as_of_reads_that_commits_snapshot_and_schema(
+    spark, tmp_path
+):
+    """option('timestampAsOf') resolves to the newest commit at or
+    before the given ISO timestamp — snapshot AND schema (a
+    pre-evolution timestamp surfaces the narrower schema). Passing both
+    version and timestampAsOf is ambiguous and raises."""
+    ms.register_manifest_sources(spark)
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table,
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        ["k"], n_buckets=2,
+    )
+    t1 = mf.read_manifest(table, 1)["committed_at"]
+    mf.manifest_upsert(
+        spark, table,
+        spark.createDataFrame([(2, "b", 1.5)], "k int, v string, s double"),
+        ["k"],
+    )
+    pinned = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("timestampAsOf", t1)
+        .load()
+    )
+    assert pinned.columns == ["k", "v"]
+    assert [(r.k, r.v) for r in pinned.collect()] == [(1, "a")]
+    latest = spark.read.format("manifest").option("path", table).load()
+    assert latest.count() == 2 and "s" in latest.columns
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="not both"):
+        (
+            spark.read.format("manifest")
+            .option("path", table)
+            .option("version", 1)
+            .option("timestampAsOf", t1)
+            .load()
+            .collect()
+        )

@@ -245,13 +245,35 @@ def _arrow_batches(
     yield from out.to_batches()
 
 
+def _resolve_version(options: dict) -> int | None:
+    """The manifest version a read plans from: `version` (explicit),
+    `timestampAsOf` (ISO-8601, resolved to the newest commit at or
+    before it — Delta's TIMESTAMP AS OF), or None (latest). Both at
+    once is ambiguous and raises, matching Delta."""
+    v = options.get("version")
+    ts = options.get("timestampAsOf") or options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "pass either option('version') or option('timestampAsOf'), "
+            "not both"
+        )
+    if v is not None:
+        return int(v)
+    if ts is not None:
+        import datetime as _dt
+
+        from ..sinks.manifest import version_as_of
+
+        return version_as_of(
+            options["path"], _dt.datetime.fromisoformat(str(ts))
+        )
+    return None
+
+
 class ManifestBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._table_path = options["path"]
-        version = options.get("version")
-        self._mf = read_manifest(
-            self._table_path, int(version) if version is not None else None
-        )
+        self._mf = read_manifest(self._table_path, _resolve_version(options))
         if self._mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {self._table_path}"
@@ -513,11 +535,13 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
 
 
 class ManifestDataSource(DataSource):
-    """``spark.read.format("manifest")``: options `path` (required) and
-    `version` (optional time travel). ``df.write.format("manifest")``:
-    append = keyed MERGE upsert, overwrite = atomic replace (see
-    `ManifestBatchWriter`). ``df.writeStream.format("manifest")``:
-    exactly-once epoch commits (see `ManifestStreamWriter`)."""
+    """``spark.read.format("manifest")``: options `path` (required),
+    `version` (time travel by version), and `timestampAsOf` (time
+    travel by commit timestamp, ISO-8601 — Delta's TIMESTAMP AS OF).
+    ``df.write.format("manifest")``: append = keyed MERGE upsert,
+    overwrite = atomic replace (see `ManifestBatchWriter`).
+    ``df.writeStream.format("manifest")``: exactly-once epoch commits
+    (see `ManifestStreamWriter`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -528,9 +552,8 @@ class ManifestDataSource(DataSource):
         # a time-travel read must surface that version's own schema, not
         # the latest (later-added columns would otherwise appear — as
         # nulls at best, as a projection crash at worst)
-        v = self.options.get("version")
         mf = read_manifest(
-            self.options["path"], int(v) if v is not None else None
+            self.options["path"], _resolve_version(self.options)
         )
         if mf is None:
             raise FileNotFoundError(
