@@ -708,3 +708,41 @@ def test_timestamp_as_of_reads_that_commits_snapshot_and_schema(
             .load()
             .collect()
         )
+
+
+def test_cdc_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the newest commit at or before the
+    timestamp: that snapshot is the baseline and only LATER changes
+    stream (Delta's startingTimestamp contract). Passing it together
+    with startingVersion raises."""
+    import pytest as _pt
+
+    table = _table(spark, tmp_path, n=40, n_buckets=2)
+    t1 = mf.read_manifest(table, 1)["committed_at"]
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(0, 1.5, "vNEW")], "k int, price double, v string"
+        ),
+        ["k"],
+    )
+    schema = ms.cdc_schema(mf._data_schema(mf.read_manifest(table)))
+    r = ms.ManifestCDCStreamReader(
+        schema, {"path": table, "startingTimestamp": t1}
+    )
+    assert r.initialOffset() == {"version": 1}
+    import pyarrow as pa
+
+    rows = [
+        (row["k"], row["change_type"])
+        for p in r.partitions(r.initialOffset(), r.latestOffset())
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    ]
+    assert rows == [(0, "update")]  # only the post-t1 change
+    with _pt.raises(ValueError, match="not both"):
+        ms.ManifestCDCStreamReader(
+            schema,
+            {"path": table, "startingTimestamp": t1, "startingVersion": 1},
+        )

@@ -647,7 +647,26 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self._table_path = options["path"]
-        self._starting = int(options.get("startingVersion", 0))
+        ts = options.get("startingTimestamp") or options.get(
+            "startingtimestamp"
+        )
+        if ts is not None and options.get("startingVersion") is not None:
+            raise ValueError(
+                "pass either startingVersion or startingTimestamp, not both"
+            )
+        if ts is not None:
+            # Delta's startingTimestamp: begin after the newest commit
+            # at or before the timestamp (that snapshot is the baseline;
+            # only LATER changes stream)
+            import datetime as _dt
+
+            from ..sinks.manifest import version_as_of
+
+            self._starting = version_as_of(
+                self._table_path, _dt.datetime.fromisoformat(str(ts))
+            )
+        else:
+            self._starting = int(options.get("startingVersion", 0))
         self._schema = schema
 
     def initialOffset(self) -> dict:
@@ -917,9 +936,11 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
 
 class ManifestCDCDataSource(DataSource):
     """``spark.readStream.format("manifest_cdc")``: options `path`
-    (required) and `startingVersion` (default 0: the first batch
+    (required), `startingVersion` (default 0: the first batch
     bootstraps the current snapshot as inserts, like any new CDC
-    consumer)."""
+    consumer), or `startingTimestamp` (ISO-8601 — begin after the
+    newest commit at or before it; mutually exclusive with
+    startingVersion)."""
 
     @classmethod
     def name(cls) -> str:
