@@ -72,6 +72,18 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   a full-outer-join diff — VERDICT r6 directive 6, giving the query a
   DuckDB-checkable oracle), so its steady cost roughly tripled
   (~0.07 s -> ~0.2 s) by DESIGN; its pre-r7 series is not comparable.
+* SERIES BREAK at r9 (VERDICT r8 directive 1): `incremental_near_dup`
+  now amortizes its two-batch index build through the corpus-snapshot
+  artifact cache like every other index query — cold = build+probe
+  ({build, probe} split in `phases`), steady = the frozen pair-set
+  read. Its r8 number (steady ~= cold ~= 8 s, self-flagged contended)
+  measured a per-run rebuild and is not comparable.
+* SCALE_QUERIES GROWTH at r9 (VERDICT r8 directive 8): the heavy
+  iterative/streaming/composite families (stateful_sessions,
+  ann_recall_report, decontaminate, semantic_dedup,
+  incremental_near_dup) joined the sf1.0 ratio pass; `detail.scale`
+  also records `ratio_skipped` — queries whose sf0.1 divisor was
+  unusable (never silently dropped from the gate, ADVICE r8).
 
 Each query is forced with a noop-format write (computes the full plan,
 collects nothing to the driver), timed after a warm-up pass of the
@@ -184,6 +196,14 @@ SCALE_QUERIES = [
     "manifest_lookup",
     "cms_estimate",
     "conversion_funnel",
+    # round-9 additions (VERDICT r8 directive 8): the heavy
+    # iterative/streaming/composite families headlined at r8 — exactly
+    # where super-linear risk lives — get measured ratios too
+    "stateful_sessions",
+    "ann_recall_report",
+    "decontaminate",
+    "semantic_dedup",
+    "incremental_near_dup",
 ]
 
 
@@ -253,6 +273,7 @@ def main() -> None:
     from trail_condition_etl_spark import plans
 
     timings: dict[str, float] = {}
+    steady_raw: dict[str, float] = {}
     cold: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
     plan_audit: dict[str, dict] = {}
@@ -265,6 +286,7 @@ def main() -> None:
         steady = median(dt for dt, _ in steady_runs)
         cold[name] = round(first, 3)
         timings[name] = round(steady, 3)
+        steady_raw[name] = steady  # unrounded: the scale-ratio divisor
         total += steady
         if artifacts.build_count() > builds_before and first > steady:
             phases[name] = {
@@ -304,6 +326,7 @@ def main() -> None:
     # with SPARK_GRAFT_BENCH_SCALE=0 for quick local loops.
     scale_ratios: dict[str, float] = {}
     scale_steady: dict[str, float] = {}
+    scale_skipped: list[str] = []
     scale_status = "skipped"
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0" and sf == 0.1:
         try:
@@ -317,8 +340,15 @@ def main() -> None:
                 runs = [one_run(sfn)[0] for _ in range(2)]
                 s1 = min(runs)
                 scale_steady[name] = round(s1, 3)
-                if timings.get(name):
-                    scale_ratios[name] = round(s1 / timings[name], 2)
+                # divide by the UNROUNDED sf0.1 median; a truthy check
+                # on the rounded value silently dropped sub-millisecond
+                # queries from the ratio gate (ADVICE r8) — record a
+                # named skip instead so the gate never loses one quietly
+                base = steady_raw.get(name)
+                if base is not None and base > 0:
+                    scale_ratios[name] = round(s1 / base, 2)
+                else:
+                    scale_skipped.append(name)
                 artifacts.clear_caches(spark)
             scale_status = "done"
         except Exception as ex:  # never let the scale pass kill the
@@ -365,6 +395,7 @@ def main() -> None:
                     "status": scale_status,
                     "sf1_steady": scale_steady,
                     "ratio_vs_sf0.1": scale_ratios,
+                    "ratio_skipped": scale_skipped,
                 },
             }
         }

@@ -711,14 +711,20 @@ def test_timestamp_as_of_reads_that_commits_snapshot_and_schema(
 
 
 def test_cdc_stream_starting_timestamp(spark, tmp_path):
-    """startingTimestamp resolves to the newest commit at or before the
-    timestamp: that snapshot is the baseline and only LATER changes
-    stream (Delta's startingTimestamp contract). Passing it together
-    with startingVersion raises."""
+    """startingTimestamp matches Delta: every change committed AT OR
+    AFTER the timestamp (inclusive) streams — a commit stamped exactly
+    at the timestamp is NOT skipped; a timestamp predating the first
+    commit streams the whole history; a timestamp after the last commit
+    streams nothing historical. Passing it together with
+    startingVersion raises."""
+    import datetime as _dt
+    import time
+
     import pytest as _pt
 
     table = _table(spark, tmp_path, n=40, n_buckets=2)
     t1 = mf.read_manifest(table, 1)["committed_at"]
+    time.sleep(0.01)  # guarantee stamp2 > stamp1 at microsecond res
     mf.manifest_upsert(
         spark,
         table,
@@ -727,20 +733,48 @@ def test_cdc_stream_starting_timestamp(spark, tmp_path):
         ),
         ["k"],
     )
+    t2 = mf.read_manifest(table, 2)["committed_at"]
     schema = ms.cdc_schema(mf._data_schema(mf.read_manifest(table)))
-    r = ms.ManifestCDCStreamReader(
+
+    def change_rows(r):
+        import pyarrow as pa
+
+        return [
+            (row["k"], row["change_type"])
+            for p in r.partitions(r.initialOffset(), r.latestOffset())
+            for b in r.read(p)
+            for row in pa.Table.from_batches([b]).to_pylist()
+        ]
+
+    # ts == commit 2's stamp: inclusive, so exactly that commit streams
+    at_t2 = ms.ManifestCDCStreamReader(
+        schema, {"path": table, "startingTimestamp": t2}
+    )
+    assert at_t2.initialOffset() == {"version": 1}
+    assert change_rows(at_t2) == [(0, "update")]
+    # ts == commit 1's stamp: the WHOLE history streams (Delta would
+    # include commit 1; the old at-or-before reading skipped it)
+    at_t1 = ms.ManifestCDCStreamReader(
         schema, {"path": table, "startingTimestamp": t1}
     )
-    assert r.initialOffset() == {"version": 1}
-    import pyarrow as pa
-
-    rows = [
-        (row["k"], row["change_type"])
-        for p in r.partitions(r.initialOffset(), r.latestOffset())
-        for b in r.read(p)
-        for row in pa.Table.from_batches([b]).to_pylist()
-    ]
-    assert rows == [(0, "update")]  # only the post-t1 change
+    assert at_t1.initialOffset() == {"version": 0}
+    # ts before every commit: stream-from-start fallback, not an error
+    early = ms.ManifestCDCStreamReader(
+        schema, {"path": table, "startingTimestamp": "2000-01-01T00:00:00"}
+    )
+    assert early.initialOffset() == {"version": 0}
+    # one 0->latest span nets the update into its final insert
+    got = change_rows(early)
+    assert len(got) == 40 and (0, "insert") in got
+    # ts after every commit: only FUTURE commits would stream
+    late_ts = (
+        _dt.datetime.fromisoformat(t2) + _dt.timedelta(days=1)
+    ).isoformat()
+    late = ms.ManifestCDCStreamReader(
+        schema, {"path": table, "startingTimestamp": late_ts}
+    )
+    assert late.initialOffset() == {"version": 2}
+    assert change_rows(late) == []
     with _pt.raises(ValueError, match="not both"):
         ms.ManifestCDCStreamReader(
             schema,

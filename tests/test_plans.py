@@ -349,15 +349,15 @@ def test_driver_sample_prefix_spans_families():
     assert len(names) == len(registry._QUERIES)
     head = names[:50]
     for want in (
-        # r8 pins: flagship + the surfaces changed this round (evolved
-        # DataSource reads, parallel rescale CDC, lookup validation,
-        # vacuum retention guard)
+        # r9 pins: flagship + the surfaces changed this round
+        # (timestamp time travel, the cojoin key-column projection,
+        # the fixed-K lookup draw, the amortized incremental index)
         "trail_classifier",
-        "pyds_evolved_scan",
-        "pyds_cdc_stream",
-        "cdc_incremental",
+        "pyds_time_travel",
+        "colocated_join",
+        "colocated_anti_join",
         "manifest_lookup",
-        "manifest_vacuum",
+        "incremental_near_dup",
     ):
         assert want in head, want
     # Staleness-first rotation (r7 directive 1) decides the prefix's
@@ -371,6 +371,58 @@ def test_driver_sample_prefix_spans_families():
         "relational", "ann", "dedup", "text", "streaming", "curation",
         "ingest",
     }
+
+
+def test_cojoin_exchange_moves_only_plan_rows(spark, tmp_path):
+    """The storage-partitioned join's whole value claim (VERDICT r8
+    directive 3): in `read_manifest_cojoin`'s physical plan the ONLY
+    Exchange sits directly above the LocalTableScan of the n_buckets
+    PLAN rows — table data never enters Spark's scan or shuffle
+    machinery at all (it is read inside the per-bucket Arrow task), so
+    at 100 TB the join ships zero table bytes. A future edit that
+    reintroduces a data shuffle or a Spark-side table scan under the
+    cojoin breaks this loudly."""
+    from pyspark.sql import functions as F
+
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], "k int, v string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 300, 3)], "k int, w long"
+    )
+    mf.manifest_upsert(spark, left, ldf, ["k"], n_buckets=4)
+    mf.manifest_upsert(spark, right, rdf, ["k"], n_buckets=4)
+    mf.delete_where(spark, right, F.col("k") % 30 == 0)
+    for how in ("inner", "left_semi", "left_anti"):
+        out = mf.read_manifest_cojoin(spark, left, right, how=how)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = [ln for ln in plan.splitlines() if ln.strip()]
+        ex_idx = [
+            i for i, ln in enumerate(lines) if "Exchange" in ln
+        ]
+        assert len(ex_idx) == 1, (how, plan)
+        ex_line, below = lines[ex_idx[0]], lines[ex_idx[0] + 1]
+        # the one Exchange range-partitions the plan relation by bucket
+        assert "rangepartitioning(bucket" in ex_line, (how, plan)
+        # ...and its input is the in-memory plan-rows frame: bucket id
+        # + the four file-list columns, nothing else (createDataFrame
+        # plans as LocalTableScan or Scan ExistingRDD depending on size)
+        assert "LocalTableScan" in below or "Scan ExistingRDD" in below, (
+            how,
+            plan,
+        )
+        for col in ("bucket", "lf", "ld", "rf", "rd"):
+            assert col in below, (how, col, plan)
+        # no Spark-side scan of table data anywhere in the plan: every
+        # Scan node is the LocalTableScan of plan rows
+        assert "FileScan" not in plan and "BatchScan" not in plan, (
+            how,
+            plan,
+        )
+        assert "Join" not in plan, (how, plan)
 
 
 def test_paragraph_dedup_two_exchanges_only(spark):

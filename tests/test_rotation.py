@@ -93,3 +93,29 @@ def test_shipping_coverage_file_is_complete_and_fresh():
     )
     for n, ent in cov.items():
         assert set(ent) == {"first", "last"} and ent["first"] <= ent["last"], n
+
+
+def test_coverage_file_matches_correctness_records_exactly():
+    """The ingest gate (VERDICT r8 directive 2): driver_coverage.json
+    must equal a fresh recomputation from the CORRECTNESS_r*.json
+    records on disk — if a new round's record landed without
+    tools/update_driver_coverage.py running, this fails, so the
+    coverage lag can never silently exceed the current session."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from update_driver_coverage import green_rounds
+    finally:
+        sys.path.pop(0)
+    recomputed = green_rounds()
+    shipped = registry._driver_coverage()
+    assert shipped == recomputed, (
+        "driver_coverage.json is stale vs CORRECTNESS_r*.json — run "
+        "tools/update_driver_coverage.py (differing keys: "
+        f"{sorted(set(shipped) ^ set(recomputed))[:10]}; first value "
+        f"drift: "
+        f"{[(k, shipped[k], recomputed[k]) for k in sorted(set(shipped) & set(recomputed)) if shipped[k] != recomputed[k]][:5]})"
+    )

