@@ -78,6 +78,8 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   ({build, probe} split in `phases`), steady = the frozen pair-set
   read. Its r8 number (steady ~= cold ~= 8 s, self-flagged contended)
   measured a per-run rebuild and is not comparable.
+* HEADLINE GROWTH at r9: `manifest_clone` (the shallow-clone read
+  pair) joined the list — its series starts at r9.
 * SCALE_QUERIES GROWTH at r9 (VERDICT r8 directive 8): the heavy
   iterative/streaming/composite families (stateful_sessions,
   ann_recall_report, decontaminate, semantic_dedup,
@@ -178,6 +180,9 @@ HEADLINE = [
     # the storage-partitioned join (r8): one task per bucket, zero
     # table bytes shuffled — benched so the claim has a number
     "colocated_join",
+    # round-9 addition: SHALLOW CLONE — the steady read proves the
+    # zero-copy fork and its CoW write read like any other table
+    "manifest_clone",
 ]
 
 #: one representative per family for the sf0.1 -> sf1.0 scaling ratio

@@ -1425,3 +1425,195 @@ def test_cojoin_semi_and_anti_match_spark_semantics(spark, tmp_path):
         mf.read_manifest_cojoin(spark, left, clash, how="left_semi").count()
         == 1
     )
+
+
+def test_clone_reads_like_source_and_isolates_writes(spark, tmp_path):
+    """Shallow clone: a metadata-only fork — the clone's v1 manifest
+    references the SOURCE's segment dirs (no data bytes under the
+    clone until it writes), reads exactly like the cloned snapshot
+    (pending MoR deletes included), and copy-on-write isolates both
+    directions."""
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "cl")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "k int, v string"
+    )
+    mf.manifest_upsert(spark, src, rows, ["k"], n_buckets=4)
+    mf.delete_where(spark, src, F.col("k") % 10 == 0)
+    assert mf.clone_table(spark, src, cl) == 1
+    # zero-copy: every bucket ref is absolute into the source, and the
+    # clone has no data dir of its own yet
+    cmf = mf.read_manifest(cl)
+    assert cmf["operation"] == "clone"
+    assert all(
+        os.path.isabs(d) and d.startswith(os.path.abspath(src))
+        for d in cmf["buckets"].values()
+    )
+    assert not os.path.isdir(os.path.join(cl, "data"))
+    expect = {(r.k, r.v) for r in mf.read_manifest_table(spark, src).collect()}
+    assert {
+        (r.k, r.v) for r in mf.read_manifest_table(spark, cl).collect()
+    } == expect
+    # CoW: a clone write rewrites only its touched buckets locally...
+    mf.manifest_upsert(
+        spark, cl,
+        spark.createDataFrame([(1, "CLONE"), (999, "NEW")], "k int, v string"),
+        ["k"],
+    )
+    got_cl = {
+        r.k: r.v for r in mf.read_manifest_table(spark, cl).collect()
+    }
+    assert got_cl[1] == "CLONE" and got_cl[999] == "NEW"
+    # ...and the source never sees it
+    got_src = {
+        r.k: r.v for r in mf.read_manifest_table(spark, src).collect()
+    }
+    assert got_src[1] == "v1" and 999 not in got_src
+    # nor does the clone see later source writes
+    mf.manifest_upsert(
+        spark, src,
+        spark.createDataFrame([(2, "SRC")], "k int, v string"), ["k"],
+    )
+    assert {
+        r.v for r in mf.read_manifest_table(spark, cl).filter(F.col("k") == 2).collect()
+    } == {"v2"}
+    # untouched clone buckets still reference source segments
+    cmf2 = mf.read_manifest(cl)
+    assert any(os.path.isabs(d) for d in cmf2["buckets"].values())
+    assert any(not os.path.isabs(d) for d in cmf2["buckets"].values())
+
+
+def test_clone_version_pin_and_fresh_path_guard(spark, tmp_path):
+    """clone_table(version=...) forks the PINNED snapshot (and its
+    narrower schema); cloning onto an existing table raises."""
+    src = str(tmp_path / "src")
+    mf.manifest_upsert(
+        spark, src,
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        ["k"], n_buckets=2,
+    )
+    mf.manifest_upsert(
+        spark, src,
+        spark.createDataFrame([(2, "b", 5.0)], "k int, v string, s double"),
+        ["k"],
+    )
+    cl = str(tmp_path / "cl")
+    mf.clone_table(spark, src, cl, version=1)
+    got = mf.read_manifest_table(spark, cl)
+    assert got.columns == ["k", "v"]  # pre-evolution schema
+    assert [(r.k, r.v) for r in got.collect()] == [(1, "a")]
+    with pytest.raises(ValueError, match="fresh path"):
+        mf.clone_table(spark, src, cl)
+
+
+def test_source_vacuum_guards_clone_pinned_segments(spark, tmp_path):
+    """The source's vacuum must not sweep segment dirs a shallow clone
+    still references: carried-forward segments never block, a rewrite
+    that orphans them raises VacuumRetentionError until the clone is
+    materialized + released (or force=True breaks it loudly)."""
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "cl")
+    rows = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "k int, w long"
+    )
+    mf.manifest_upsert(spark, src, rows, ["k"], n_buckets=4)
+    mf.clone_table(spark, src, cl)
+    # append-only second commit: v1's segments carry into v2, so the
+    # precise guard lets the sweep through even though v1 ages out
+    mf.manifest_upsert(
+        spark, src,
+        spark.createDataFrame([(1000, 1)], "k int, w long"), ["k"],
+    )
+    assert mf.vacuum(src, keep_last=1) >= 0
+    assert {
+        r.k for r in mf.read_manifest_table(spark, cl).collect()
+    } == set(range(40))
+    # full rewrite: v2's kept manifest no longer references the dirs
+    # the clone pins -> the sweep must refuse
+    mf.optimize_table(spark, src)
+    with pytest.raises(mf.VacuumRetentionError, match="_clones"):
+        mf.vacuum(src, keep_last=1)
+    # materialize the clone, release the pin, sweep goes through
+    mf.optimize_table(spark, cl)
+    assert mf.vacuum(cl, keep_last=1) >= 0  # clone self-contained now
+    assert mf.release_clone(src, cl) is True
+    assert mf.release_clone(src, cl) is False  # idempotent
+    assert mf.vacuum(src, keep_last=1) >= 0
+    # both tables still read exactly
+    assert {
+        r.k for r in mf.read_manifest_table(spark, cl).collect()
+    } == set(range(40))
+    assert mf.read_manifest_table(spark, src).count() == 41
+
+
+def test_clone_vacuum_never_touches_source_data(spark, tmp_path):
+    """vacuum on the CLONE sweeps only clone-local dirs: absolute refs
+    into the source are outside its data dir by construction."""
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "cl")
+    rows = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(30)], "k int, v string"
+    )
+    mf.manifest_upsert(spark, src, rows, ["k"], n_buckets=2)
+    mf.clone_table(spark, src, cl)
+    mf.manifest_upsert(
+        spark, cl,
+        spark.createDataFrame([(5, "y")], "k int, v string"), ["k"],
+    )
+    mf.vacuum(cl, keep_last=1)
+    # source untouched and fully readable
+    assert mf.read_manifest_table(spark, src).count() == 30
+    # clone still correct (its kept manifest references live dirs)
+    got = {r.k: r.v for r in mf.read_manifest_table(spark, cl).collect()}
+    assert got[5] == "y" and len(got) == 30
+
+
+def test_merge_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE: delete wins over update, the update
+    applies only where its condition holds, untouched unmatched rows
+    survive by reference, and the whole merge is ONE commit."""
+    table = str(tmp_path / "t")
+    tgt = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k int, v long"
+    )
+    mf.manifest_upsert(spark, table, tgt, ["k"], n_buckets=4)
+    v0 = mf.read_manifest(table)["version"]
+    src = spark.createDataFrame(
+        [(k, 7777) for k in range(0, 20, 4)] + [(100, 1)], "k int, v long"
+    )
+    mf.merge_into(
+        spark,
+        table,
+        src,
+        when_matched_update={"v": F.col("src.v")},
+        when_not_matched_by_source_delete=F.col("tgt.v") % 30 == 0,
+        when_not_matched_by_source_update={"v": F.col("tgt.v") + 1},
+        not_matched_by_source_condition=F.col("tgt.v") % 20 == 0,
+    )
+    assert mf.read_manifest(table)["version"] == v0 + 1  # one commit
+    got = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
+    want: dict[int, int] = {}
+    matched = set(range(0, 20, 4))
+    for k in range(20):
+        v = k * 10
+        if k in matched:
+            want[k] = 7777
+        elif v % 30 == 0:
+            continue  # by-source delete
+        elif v % 20 == 0:
+            want[k] = v + 1  # by-source conditional update
+        else:
+            want[k] = v  # untouched, carried
+    want[100] = 1  # insert
+    assert got == want
+    # without by-source clauses behavior is unchanged: pure-matched
+    # merge still touches only source buckets (regression guard)
+    mf.merge_into(
+        spark,
+        table,
+        spark.createDataFrame([(1, 5)], "k int, v long"),
+        when_matched_update={"v": F.col("src.v")},
+        insert_not_matched=False,
+    )
+    got2 = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
+    assert got2[1] == 5 and len(got2) == len(want)

@@ -780,3 +780,110 @@ def test_cdc_stream_starting_timestamp(spark, tmp_path):
             schema,
             {"path": table, "startingTimestamp": t1, "startingVersion": 1},
         )
+
+
+def test_cdc_max_versions_per_trigger_chunks_catchup(spark, tmp_path):
+    """Admission control at the protocol level: once the reader knows
+    the stream's position (initialOffset, or any planned batch), a
+    5-commit backlog drains in 2-version chunks (0->2->4->5), every
+    chunk's diff reads cleanly, and applying the chunked diffs in
+    order reproduces the final snapshot exactly — bounded catch-up
+    loses nothing. (Against the real engine the FIRST trigger is
+    unbounded — it calls latestOffset before initialOffset — see the
+    reader docstring; this test pins the mid-stream chunking that
+    option exists for.)"""
+    import pyarrow as pa
+
+    table = _table(spark, tmp_path, n=40, n_buckets=2)
+    for i in range(4):  # versions 2..5
+        mf.manifest_upsert(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(i, float(1000 + i), f"u{i}"), (100 + i, 0.5, f"n{i}")],
+                "k int, price double, v string",
+            ),
+            ["k"],
+        )
+    schema = ms.cdc_schema(mf._data_schema(mf.read_manifest(table)))
+    r = ms.ManifestCDCStreamReader(
+        schema,
+        {"path": table, "startingVersion": 0, "maxVersionsPerTrigger": 2},
+    )
+    start = r.initialOffset()
+    assert start == {"version": 0}
+    state: dict[int, str] = {}
+    ends = []
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        ends.append(end["version"])
+        for p in r.partitions(start, end):
+            for b in r.read(p):
+                for row in pa.Table.from_batches([b]).to_pylist():
+                    if row["change_type"] == "delete":
+                        state.pop(row["k"], None)
+                    else:
+                        state[row["k"]] = row["v"]
+        start = end
+    assert ends == [2, 4, 5]  # bounded spans, then the remainder
+    want = {
+        r_.k: r_.v for r_ in mf.read_manifest_table(spark, table).collect()
+    }
+    assert state == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        ms.ManifestCDCStreamReader(
+            schema, {"path": table, "maxVersionsPerTrigger": 0}
+        )
+
+
+def test_cdc_max_versions_restart_is_unbounded_then_bounded(spark, tmp_path):
+    """The engine's first call after any start/restart is latestOffset
+    — before the reader can see the committed offset — so that one
+    trigger is unbounded (guessing low would plan a backwards batch
+    that re-emits delivered changes); once the engine shows it a range
+    via partitions(), the cap applies, and latestOffset is IDEMPOTENT
+    between planned batches so repeated polls never creep the
+    window."""
+    table = _table(spark, tmp_path, n=20, n_buckets=2)
+    for i in range(5):  # versions 2..6
+        mf.manifest_upsert(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(i, 9.9, f"w{i}")], "k int, price double, v string"
+            ),
+            ["k"],
+        )
+    schema = ms.cdc_schema(mf._data_schema(mf.read_manifest(table)))
+    # simulated restart: NO initialOffset call on the fresh reader
+    r = ms.ManifestCDCStreamReader(
+        schema, {"path": table, "maxVersionsPerTrigger": 1}
+    )
+    assert r.latestOffset() == {"version": 6}  # first: unbounded sync
+    # engine replays/plans a batch; the reader observes the range
+    list(r.partitions({"version": 3}, {"version": 6}))
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(7, 1.0, "z7"), (8, 2.0, "z8")],
+            "k int, price double, v string",
+        ),
+        ["k"],
+    )
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(9, 3.0, "z9")], "k int, price double, v string"),
+        ["k"],
+    )
+    assert r.latestOffset() == {"version": 7}  # bounded again
+    # IDEMPOTENT within a trigger: the engine may poll several times
+    # before planning (AvailableNow does) — the window must not creep
+    assert r.latestOffset() == {"version": 7}
+    list(r.partitions({"version": 6}, {"version": 7}))
+    assert r.latestOffset() == {"version": 8}

@@ -354,6 +354,7 @@ def test_driver_sample_prefix_spans_families():
         # the fixed-K lookup draw, the amortized incremental index)
         "trail_classifier",
         "pyds_time_travel",
+        "manifest_clone",
         "colocated_join",
         "colocated_anti_join",
         "manifest_lookup",

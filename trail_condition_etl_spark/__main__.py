@@ -15,6 +15,8 @@ manifest-table operator console.
     python -m trail_condition_etl_spark table restore PATH --version N
     python -m trail_condition_etl_spark table maintain PATH \\
         [--max-files-per-bucket N] [--max-delete-files N]
+    python -m trail_condition_etl_spark table clone SRC DST [--version N]
+    python -m trail_condition_etl_spark table release-clone SRC DST
 
 `run` prints the result (truncated to -n rows); `explain` prints the
 formatted physical plan — the same artifact tests/test_plans.py asserts
@@ -46,10 +48,15 @@ def main(argv: list[str] | None = None) -> int:
     tsub = pt.add_subparsers(dest="tcmd", required=True)
     for tcmd in (
         "history", "count", "optimize", "vacuum", "delete", "update",
-        "restore", "maintain",
+        "restore", "maintain", "clone", "release-clone",
     ):
         tp = tsub.add_parser(tcmd)
         tp.add_argument("path")
+        if tcmd in ("clone", "release-clone"):
+            tp.add_argument("dst", help="clone table path")
+        if tcmd == "clone":
+            tp.add_argument("--version", type=int, default=None,
+                            help="source version to clone (default latest)")
         if tcmd == "optimize":
             tp.add_argument("--cluster-by", default=None,
                             help="comma-separated ZORDER columns")
@@ -170,6 +177,19 @@ def _table_cmd(args) -> int:
     elif args.tcmd == "restore":
         v = mf.restore_table(spark, args.path, version=args.version)
         print(f"restored to version {args.version} -> version {v}")
+    elif args.tcmd == "clone":
+        mf.clone_table(spark, args.path, args.dst, version=args.version)
+        src_v = args.version or (mf.read_manifest(args.path) or {}).get(
+            "version"
+        )
+        print(
+            f"shallow-cloned {args.path}@v{src_v} -> {args.dst} "
+            "(metadata only; source vacuum now retention-guards the "
+            "referenced segments)"
+        )
+    elif args.tcmd == "release-clone":
+        had = mf.release_clone(args.path, args.dst)
+        print("pin released" if had else "no pin registered for that clone")
     elif args.tcmd == "maintain":
         v = mf.maintain_table(
             spark, args.path,

@@ -904,6 +904,16 @@ def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.merge_into_query(spark, sf_dir)
 
 
+@query("merge_by_source", oracle=manifest_sink.MERGE_BY_SOURCE_SQL)
+def q_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WHEN NOT MATCHED BY SOURCE clauses (Delta's sync-deletion): one
+    # atomic merge retires target rows that left the feed — delete or
+    # conditional update — alongside the matched/insert clauses; rows
+    # neither clause selects never enter the write batch
+    ensure_engine_conf(spark)
+    return manifest_sink.merge_by_source_query(spark, sf_dir)
+
+
 @query(
     "colocated_anti_join", oracle=manifest_sink.COLOCATED_ANTI_JOIN_SQL
 )
@@ -923,6 +933,15 @@ def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero table bytes shuffle
     ensure_engine_conf(spark)
     return manifest_sink.colocated_join_query(spark, sf_dir)
+
+
+@query("manifest_clone", oracle=manifest_sink.MANIFEST_CLONE_SQL)
+def q_manifest_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SHALLOW CLONE: a metadata-only table fork at a pinned version
+    # (zero data copied), copy-on-write isolated in both directions;
+    # the source's vacuum retention-guards clone-referenced segments
+    ensure_engine_conf(spark)
+    return manifest_sink.manifest_clone_query(spark, sf_dir)
 
 
 @query("manifest_vacuum", oracle=manifest_sink.MANIFEST_VACUUM_SQL)
@@ -1661,8 +1680,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # fixed-K lookup fixture draw + synced oracle; the incremental-dedup
 # index moved into the corpus-snapshot artifact cache)
 _PINNED_HEAD = [
-    "trail_classifier", "pyds_time_travel", "colocated_join",
-    "colocated_anti_join", "manifest_lookup", "incremental_near_dup",
+    "trail_classifier", "pyds_time_travel", "manifest_clone",
+    "colocated_join", "colocated_anti_join", "manifest_lookup",
+    "incremental_near_dup",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

@@ -1086,11 +1086,15 @@ def merge_into(
     matched_condition: F.Column | None = None,
     when_matched_delete: F.Column | None = None,
     insert_not_matched: bool = True,
+    when_not_matched_by_source_update: dict[str, F.Column] | None = None,
+    not_matched_by_source_condition: F.Column | None = None,
+    when_not_matched_by_source_delete: F.Column | None = None,
 ) -> int:
     """Full MERGE INTO semantics (Delta's WHEN MATCHED [AND cond] THEN
-    UPDATE SET ... / DELETE, WHEN NOT MATCHED THEN INSERT), composed
-    onto the same atomic commit as `manifest_upsert` — the whole merge
-    is ONE commit (one version, crash-total, fenced).
+    UPDATE SET ... / DELETE, WHEN NOT MATCHED THEN INSERT, WHEN NOT
+    MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE), composed onto
+    the same atomic commit as `manifest_upsert` — the whole merge is
+    ONE commit (one version, crash-total, fenced).
 
     `source` joins the table on its recorded merge keys. Conditions and
     update expressions are Column exprs over the aliases `src.<col>` /
@@ -1104,15 +1108,26 @@ def merge_into(
     missing ones land NULL). Duplicate source keys collapse to one
     arbitrary winner, same as `manifest_upsert`.
 
+    The BY SOURCE clauses act on target rows whose key appears in NO
+    source row (Delta's sync-deletion shape: retire rows that left the
+    feed). Their conditions/updates may reference only `tgt.<col>` —
+    there is no source row to name. Delete wins over update; an update
+    applies only where `not_matched_by_source_condition` holds, and
+    rows matching neither clause are untouched AND excluded from the
+    write (no write amplification from the clause existing).
+
     IO stays proportional to the touched buckets: the target side reads
     ONLY the bucket dirs the source keys hash into, and the commit
     rewrites only those buckets (everything else carries by reference).
-    The reference claim is the server-side MERGE (DESIGN.md:41), here
-    with the full conditional-clause surface. Concurrency is the same
-    optimistic protocol as `update_where`: the target side is pinned to
-    a snapshot version, the commit is preconditioned on it, and a
-    conflicting writer triggers recompute-and-retry instead of a lost
-    update."""
+    A BY SOURCE clause inherently widens the READ to every bucket —
+    any bucket may hold unmatched target rows, the same full-scan
+    Delta pays — but the commit still rewrites only buckets whose rows
+    actually changed. The reference claim is the server-side MERGE
+    (DESIGN.md:41), here with the full conditional-clause surface.
+    Concurrency is the same optimistic protocol as `update_where`: the
+    target side is pinned to a snapshot version, the commit is
+    preconditioned on it, and a conflicting writer triggers
+    recompute-and-retry instead of a lost update."""
     for _ in range(_OCC_MAX_ATTEMPTS):
         try:
             return _merge_into_once(
@@ -1123,6 +1138,9 @@ def merge_into(
                 matched_condition,
                 when_matched_delete,
                 insert_not_matched,
+                when_not_matched_by_source_update,
+                not_matched_by_source_condition,
+                when_not_matched_by_source_delete,
             )
         except ConcurrentWriteError:
             continue
@@ -1140,21 +1158,34 @@ def _merge_into_once(
     matched_condition,
     when_matched_delete,
     insert_not_matched,
+    when_not_matched_by_source_update=None,
+    not_matched_by_source_condition=None,
+    when_not_matched_by_source_delete=None,
 ) -> int:
     mf = read_manifest(table_path)
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     keys = mf["keys"]
     schema = _data_schema(mf)
-    touched = [
-        r.pk_bucket
-        for r in _with_bucket(
-            source.select(*keys).distinct(), keys, mf["n_buckets"]
-        )
-        .select("pk_bucket")
-        .distinct()
-        .collect()
-    ]
+    by_source = (
+        when_not_matched_by_source_update is not None
+        or when_not_matched_by_source_delete is not None
+    )
+    if by_source:
+        # unmatched target rows can live in ANY bucket: the read is
+        # the whole table (Delta pays the same); the commit still
+        # rewrites only buckets whose rows changed
+        touched = [int(b) for b in mf["buckets"]]
+    else:
+        touched = [
+            r.pk_bucket
+            for r in _with_bucket(
+                source.select(*keys).distinct(), keys, mf["n_buckets"]
+            )
+            .select("pk_bucket")
+            .distinct()
+            .collect()
+        ]
     dirs = [
         os.path.join(table_path, mf["buckets"][str(b)])
         for b in touched
@@ -1208,6 +1239,45 @@ def _merge_into_once(
                 tomb, F.lit(False)
             )
         )
+    if by_source:
+        # target rows with NO source row for their key; conditions and
+        # updates reference tgt.<col> only (there is no src row). The
+        # re-alias matters: the anti-join output keeps the tgt lineage.
+        nms = t.join(
+            s.select(*keys).distinct(), on=keys, how="left_anti"
+        ).alias("tgt")
+        nms_del = (
+            when_not_matched_by_source_delete
+            if when_not_matched_by_source_delete is not None
+            else F.lit(False)
+        )
+        nms_upd_cond = (
+            not_matched_by_source_condition
+            if not_matched_by_source_condition is not None
+            else F.lit(True)
+        )
+        if when_not_matched_by_source_delete is not None:
+            parts.append(
+                nms.filter(nms_del)
+                .select(*keys)
+                .withColumn(tomb, F.lit(True))
+            )
+        if when_not_matched_by_source_update:
+            # only rows the condition selects enter the batch: rows it
+            # leaves alone carry by reference instead of rewriting
+            sel = [F.col(k) for k in keys]
+            for c in data_cols:
+                expr = (
+                    when_not_matched_by_source_update[c]
+                    if c in when_not_matched_by_source_update
+                    else F.col(f"tgt.{c}")
+                )
+                sel.append(expr.alias(c))
+            parts.append(
+                nms.filter(~nms_del & nms_upd_cond)
+                .select(*sel)
+                .withColumn(tomb, F.lit(False))
+            )
     if not parts:
         return mf["version"]  # no clause touches anything: true no-op
     batch = parts[0]
@@ -2013,6 +2083,150 @@ class VacuumRetentionError(RuntimeError):
     still pins (streaming/cdc.py retention contract)."""
 
 
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    as_of=None,
+) -> int:
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new
+    table whose version-1 manifest references the source snapshot's
+    segment dirs by ABSOLUTE path — a metadata-only commit, zero data
+    bytes copied, any retained source version clonable (`version` /
+    `as_of` resolve like time travel). Keys, layout, schema, stats,
+    pending MoR deletes, and constraints all carry, so the clone reads
+    (and prunes) exactly like the source snapshot.
+
+    Writes to the clone are copy-on-write per bucket: an upsert
+    rewrites only the buckets it touches into the CLONE's own data
+    dir; untouched buckets keep referencing source segments. The
+    source never sees clone writes and vice versa — the isolation a
+    dev/test fork of a 100 TB production table needs at zero cost.
+
+    Unlike Delta's shallow clone (which silently breaks when the
+    source VACUUMs), the clone REGISTERS its pinned version under
+    `<src>/_clones/`, and the source's `vacuum` refuses to unlink a
+    clone-pinned version unless `force=True` — the same loud-or-safe
+    contract as CDC cursor retention. To sever the dependency:
+    `optimize_table(clone)` (full rewrite into clone-local segments),
+    then `vacuum(clone)` past the clone's v1, then
+    `release_clone(src, dst)`."""
+    target = version
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        target = version_as_of(src_path, as_of)
+    mf = read_manifest(src_path, target)
+    if mf is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {src_path}"
+            + (f" at version {target}" if target is not None else "")
+        )
+    if read_manifest(dst_path) is not None:
+        raise ValueError(
+            f"{dst_path} already has a committed manifest: clone into a "
+            "fresh path (an existing table's history must not be "
+            "silently replaced)"
+        )
+    src_abs = os.path.abspath(src_path)
+
+    def absolutize(d: str) -> str:
+        return d if os.path.isabs(d) else os.path.join(src_abs, d)
+
+    os.makedirs(dst_path, exist_ok=True)  # lease dirs are siblings
+    token = acquire_table_lease(dst_path)
+    try:
+        manifest = {
+            "version": 1,
+            "token": token,
+            "n_buckets": mf["n_buckets"],
+            "keys": mf["keys"],
+            "schema": mf["schema"],
+            "buckets": {
+                b: absolutize(d) for b, d in mf["buckets"].items()
+            },
+            "stats": mf.get("stats", {}),
+            "file_stats": mf.get("file_stats", {}),
+            "row_counts": mf.get("row_counts", {}),
+            "deletes": {
+                b: [absolutize(d) for d in lst]
+                for b, lst in mf.get("deletes", {}).items()
+            },
+            "delete_counts": mf.get("delete_counts", {}),
+            "constraints": mf.get("constraints", {}),
+            # a fresh writer lineage: the source's idempotent-writer
+            # ledger must not make the clone reject first epochs
+            "txns": {},
+            "committed_at": _dt.datetime.now(
+                _dt.timezone.utc
+            ).isoformat(),
+            "operation": "clone",
+            "clone_of": {"path": src_abs, "version": mf["version"]},
+            "op_metrics": {
+                "buckets_written": 0,
+                "buckets_carried": len(mf["buckets"]),
+                "rows_written": 0,
+            },
+        }
+        _publish_manifest(dst_path, manifest, token)
+        record_commit(dst_path, token)
+    finally:
+        release_table_lease(dst_path, token)
+    # pin AFTER the clone committed: a crash in between leaves an
+    # unpinned-but-real clone for one vacuum window, never a phantom
+    # pin blocking the source forever
+    d = os.path.join(src_path, "_clones")
+    os.makedirs(d, exist_ok=True)
+    pin = os.path.join(d, _clone_pin_name(dst_path))
+    tmp = f"{pin}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(f"{mf['version']}\n{os.path.abspath(dst_path)}\n")
+    os.replace(tmp, pin)
+    return 1
+
+
+def _clone_pin_name(dst_path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(dst_path).encode()).hexdigest()
+    return f"c-{h[:16]}"
+
+
+def pinned_clone_versions(table_path: str) -> dict[str, tuple[int, str]]:
+    """Clones registered under `<table>/_clones/` — pin name ->
+    (pinned source version, clone path). Unreadable entries are
+    skipped, same contract as `pinned_cursor_versions`."""
+    d = os.path.join(table_path, "_clones")
+    out: dict[str, tuple[int, str]] = {}
+    try:
+        entries = os.listdir(d)
+    except OSError:
+        return out
+    for e in entries:
+        if ".tmp." in e:
+            continue  # crash-left atomic-replace staging
+        try:
+            with open(os.path.join(d, e)) as f:
+                lines = f.read().splitlines()
+            out[e] = (int(lines[0].strip()), lines[1].strip() if len(lines) > 1 else "?")
+        except (OSError, ValueError, IndexError):
+            continue
+    return out
+
+
+def release_clone(src_path: str, dst_path: str) -> bool:
+    """Drop the retention pin a clone registered on its source —
+    after the clone was materialized (optimize + vacuum past v1) or
+    deleted. Returns whether a pin existed."""
+    pin = os.path.join(src_path, "_clones", _clone_pin_name(dst_path))
+    try:
+        os.unlink(pin)
+        return True
+    except OSError:
+        return False
+
+
 def pinned_cursor_versions(table_path: str) -> dict[str, int]:
     """Registered change-feed cursors under `<table>/_cursors/` —
     consumer name -> last fully-applied version (the `from_version` of
@@ -2070,6 +2284,16 @@ def vacuum(table_path: str, keep_last: int = 1, force: bool = False) -> int:
         release_table_lease(table_path, token)
 
 
+def _segment_root(d: str) -> str:
+    """The `data/<seg-root>` component of a bucket/delete dir ref —
+    the unit `vacuum` sweeps. Absolute refs (a shallow clone pointing
+    into its source) have no root in THIS table's data dir; returning
+    the full path keeps them from ever aliasing a local entry name."""
+    if os.path.isabs(d):
+        return d
+    return d.split(os.sep)[1]
+
+
 def _vacuum_locked(table_path: str, keep_last: int, force: bool = False) -> int:
     versions = list_versions(table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
@@ -2088,15 +2312,58 @@ def _vacuum_locked(table_path: str, keep_last: int, force: bool = False) -> int:
                 "slowest consumer's lag, or pass force=True to break "
                 "those streams loudly"
             )
+        # clone pins guard SEGMENT DIRS, not manifest files or
+        # versions: the CLONE's own retained manifests record exactly
+        # which of this table's dirs it still references (absolute
+        # refs under our data dir), so the guard asks the clone — a
+        # cloned version whose segments all carried into a kept
+        # manifest never blocks, and a clone that materialized itself
+        # (optimize + own vacuum) stops pinning automatically even if
+        # its release_clone was forgotten
+        kept_roots: set[str] = set()
+        for kv in keep:
+            kmf = read_manifest(table_path, kv)
+            for d in kmf["buckets"].values():
+                kept_roots.add(_segment_root(d))
+            for lst in kmf.get("deletes", {}).values():
+                kept_roots.update(_segment_root(d) for d in lst)
+        table_abs = os.path.abspath(table_path)
+        broken = {}
+        for name, (v, dst) in pinned_clone_versions(table_path).items():
+            needed: set[str] = set()
+            for cv in list_versions(dst):
+                cmf = read_manifest(dst, cv) or {}
+                refs = list(cmf.get("buckets", {}).values()) + [
+                    d
+                    for lst in cmf.get("deletes", {}).values()
+                    for d in lst
+                ]
+                for d in refs:
+                    if not os.path.isabs(d):
+                        continue  # clone-local dir, not ours
+                    rel = os.path.relpath(d, table_abs)
+                    if rel.startswith(".."):
+                        continue  # absolute ref into some OTHER table
+                    needed.add(_segment_root(rel))
+            if needed - kept_roots:
+                broken[name] = (v, dst)
+        if broken:
+            raise VacuumRetentionError(
+                f"vacuum(keep_last={keep_last}) would remove segment "
+                f"dirs shallow clones still reference {broken} under "
+                f"{table_path}/_clones; materialize the clone "
+                "(optimize_table + vacuum + release_clone), or pass "
+                "force=True to break it loudly"
+            )
     referenced: set[str] = set()
     for v in keep:
         mf = read_manifest(table_path, v)
         for d in mf["buckets"].values():
             # reference the SEGMENT root (data/seg-x), not the bucket leaf
-            referenced.add(d.split(os.sep)[1])
+            referenced.add(_segment_root(d))
         for lst in mf.get("deletes", {}).values():
             for d in lst:  # pending MoR delete roots (data/del-x)
-                referenced.add(d.split(os.sep)[1])
+                referenced.add(_segment_root(d))
     data_dir = os.path.join(table_path, "data")
     removed = 0
     try:
@@ -2757,18 +3024,26 @@ def read_manifest_cojoin(
             _delete_key_set,
         )
 
-        def load(files, dels, names):
+        def load(files, dels, names, project=False):
             if not files:
                 return pd.DataFrame(columns=names)
-            # project per FILE, not post-decode: semi/anti right sides
-            # must read only their key columns off disk (the documented
-            # IO property the modes exist for). Evolved files may lack
-            # some of `names` — intersect per file, null-fill below.
-            parts = []
-            for f in files:
-                pf = pq.ParquetFile(f)
-                have = [c for c in names if c in pf.schema_arrow.names]
-                parts.append(pf.read(columns=have))
+            if project:
+                # project per FILE, not post-decode: semi/anti right
+                # sides must read only their key columns off disk (the
+                # documented IO property the modes exist for). Evolved
+                # files may lack some of `names` — intersect per file,
+                # null-fill below. Costs one footer inspection per
+                # file, so the full-width sides skip it (their `names`
+                # IS the file column set; nothing to prune).
+                parts = []
+                for f in files:
+                    pf = pq.ParquetFile(f)
+                    have = [
+                        c for c in names if c in pf.schema_arrow.names
+                    ]
+                    parts.append(pf.read(columns=have))
+            else:
+                parts = [pq.read_table(f) for f in files]
             tbl = pa.concat_tables(parts, promote_options="default")
             df = tbl.to_pandas()
             for c in names:  # additive evolution: missing -> null
@@ -2793,7 +3068,9 @@ def read_manifest_cojoin(
                 if not lfs or (not rfs and how != "left_anti"):
                     continue
                 left = load(lfs, json.loads(row.ld), l_names)
-                right = load(rfs, json.loads(row.rd), r_names)
+                right = load(
+                    rfs, json.loads(row.rd), r_names, project=how != "inner"
+                )
                 # SQL join semantics: null never equals null. pandas
                 # merge would match NaN keys (and a null in an int key
                 # column float-coerces it), so null-keyed rows leave the
@@ -2955,6 +3232,69 @@ def colocated_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MANIFEST_CLONE_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(n_chars AS BIGINT) * 2
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+), cl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars AS BIGINT) * 3
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT 'source' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v2
+UNION ALL
+SELECT 'clone' AS part, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM cl
+"""
+
+
+def manifest_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SHALLOW CLONE as an oracle-checked query: the two-commit
+    source is cloned AT VERSION 1 (a metadata-only commit referencing
+    the source's segments — zero data copied), then the clone takes
+    its own copy-on-write upsert (%3==1 inserts, n_chars tripled).
+    The per-table aggregates pin everything the feature claims at
+    once: the clone's base rows are the PRE-UPDATE v1 values (time
+    travel pin — a clone of v2 would leak the %6 doubling), the
+    clone's write never reaches the source, and the source's merged
+    v2 state never reaches the clone."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        os.makedirs(table, exist_ok=True)  # lease dirs are siblings
+        src = os.path.join(table, "src")
+        cl = os.path.join(table, "clone")
+        _build_two_commits(spark, docs, src)
+        clone_table(spark, src, cl, version=1)
+        manifest_upsert(
+            spark,
+            cl,
+            docs.filter(F.col("doc_id") % 3 == 1).withColumn(
+                "n_chars", F.col("n_chars") * 3
+            ),
+            ["doc_id"],
+        )
+
+    root = _fixture_table(docs, "manifest_clone", build)
+
+    def agg(table: str, label: str) -> DataFrame:
+        return read_manifest_table(spark, table).agg(
+            F.lit(label).alias("part"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    return agg(os.path.join(root, "src"), "source").unionByName(
+        agg(os.path.join(root, "clone"), "clone")
+    )
+
+
 def manifest_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] DESCRIBE HISTORY + the metadata-only COUNT(*) as an
     oracle-checked query: the two-commit merge table's commit log, with
@@ -3036,6 +3376,68 @@ final AS (
   UNION ALL
   SELECT s.doc_id, s.source, s.n FROM s
   WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.doc_id = s.doc_id)
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS sum_chars
+FROM final GROUP BY source
+"""
+
+
+def merge_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MERGE with WHEN NOT MATCHED BY SOURCE clauses as an
+    oracle-checked query — the sync-deletion shape: target docs %3==0,
+    source the CURRENT feed (%2==0, n_chars doubled). Matched rows take
+    the feed value; unmatched feed rows INSERT; target rows that LEFT
+    the feed (odd multiples of 3) retire conditionally — DELETE where
+    tgt.n_chars ≡ 0 (mod 7), else flag via n_chars+1000 where ≡ 0
+    (mod 5), else untouched (and untouched rows never enter the write
+    batch, so their buckets carry by reference). One atomic commit;
+    the oracle re-derives the final table from `documents`."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 0), ["doc_id"],
+            n_buckets=8,
+        )
+        src = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "n_chars", F.col("n_chars") * 2
+        )
+        merge_into(
+            spark,
+            table,
+            src,
+            when_matched_update={"n_chars": F.col("src.n_chars")},
+            when_not_matched_by_source_delete=F.col("tgt.n_chars") % 7
+            == 0,
+            when_not_matched_by_source_update={
+                "n_chars": F.col("tgt.n_chars") + 1000
+            },
+            not_matched_by_source_condition=F.col("tgt.n_chars") % 5 == 0,
+        )
+
+    table = _fixture_table(docs, "manifest_merge_by_source", build)
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+MERGE_BY_SOURCE_SQL = """
+WITH final AS (
+  SELECT source, CAST(n_chars AS BIGINT) * 2 AS n
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT source,
+         CASE WHEN CAST(n_chars AS BIGINT) % 5 = 0
+              THEN CAST(n_chars AS BIGINT) + 1000
+              ELSE CAST(n_chars AS BIGINT) END AS n
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+    AND CAST(n_chars AS BIGINT) % 7 <> 0
 )
 SELECT source, COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS sum_chars
 FROM final GROUP BY source

@@ -670,7 +670,26 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
     gcd-residue class for exotic key types — bulk catch-up across a
     coprime rescale of an exotic-keyed table belongs to the library
     path (`table_changes`, a JVM keyed join with no per-task
-    ceiling)."""
+    ceiling).
+
+    `maxVersionsPerTrigger` (admission control — Delta's
+    maxFilesPerTrigger, in this source's offset unit) caps how many
+    table versions one micro-batch spans: a mid-stream commit burst
+    drains in bounded batches instead of one giant diff. The window
+    advances only when the engine PLANS a batch (partitions()), never
+    inside latestOffset — the engine polls latestOffset repeatedly and
+    a self-advancing watermark would creep past the cap (measured:
+    Trigger.AvailableNow polls it while fixing its run target).
+    Honest scope, measured against the real engine: the FIRST trigger
+    after any start or restart is unbounded, because the engine's
+    first call is always latestOffset — before initialOffset, before
+    any partitions() — so the reader cannot yet know the stream's
+    committed position, and answering below it would plan a backwards
+    batch that re-emits already-delivered changes. (Scala sources fix
+    this via SupportsAdmissionControl.latestOffset(start, limit); the
+    Python DataSource API exposes no such hook yet.) Even that
+    unbounded catch-up batch stays per-task bounded: its per-bucket
+    diff partitions each hold one bucket pair."""
 
     def __init__(self, schema: StructType, options: dict):
         self._table_path = options["path"]
@@ -690,8 +709,47 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         else:
             self._starting = int(options.get("startingVersion", 0))
         self._schema = schema
+        # admission control (Delta's maxFilesPerTrigger analog, in the
+        # unit this source's offsets move in): cap how many table
+        # VERSIONS one micro-batch may span, so a consumer resuming
+        # after long downtime catches up in bounded batches instead of
+        # one giant diff. 0 / unset = unbounded.
+        mv = options.get("maxVersionsPerTrigger")
+        if mv is None:
+            mv = options.get("maxversionspertrigger")
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions <= 0:
+            raise ValueError(
+                f"maxVersionsPerTrigger={self._max_versions}: must be a "
+                "positive version count (omit the option for unbounded)"
+            )
+        # highest batch-end version the engine has actually PLANNED
+        # (observed in partitions()); None = restarted mid-stream with
+        # the committed offset not yet observed. The admission window
+        # advances ONLY here — latestOffset must be idempotent within
+        # a trigger, because the engine may poll it several times
+        # before constructing the batch (Trigger.AvailableNow does),
+        # and a self-advancing watermark would creep past the cap.
+        self._hwm: int | None = None
+
+    def _trace(self, msg: str) -> None:
+        """Append the offset-protocol call to $SPARK_GRAFT_CDC_TRACE
+        when set — how the engine's real call order (latestOffset
+        BEFORE initialOffset, repeated polls per trigger) was measured
+        for the admission-control design above; kept so the claim
+        stays reproducible against future Spark versions."""
+        import os as _os
+
+        tp = _os.environ.get("SPARK_GRAFT_CDC_TRACE")
+        if tp:
+            with open(tp, "a") as fh:
+                fh.write(f"{id(self)} {msg}\n")
 
     def initialOffset(self) -> dict:
+        # called only when no checkpoint exists — a fresh query, so the
+        # engine's committed offset IS the starting version
+        self._trace("initialOffset")
+        self._hwm = self._starting
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
@@ -700,10 +758,28 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             raise FileNotFoundError(
                 f"no committed manifest under {self._table_path}"
             )
-        return {"version": mf["version"]}
+        newest = mf["version"]
+        self._trace(f"latestOffset newest={newest} hwm={self._hwm}")
+        if self._max_versions is None:
+            return {"version": newest}
+        if self._hwm is None:
+            # the engine's FIRST call after any start/restart (it asks
+            # for the latest before initialOffset and before planning):
+            # the committed offset is unknowable here, and answering
+            # LESS than committed would plan a backwards batch whose
+            # commit re-emits already-delivered changes on the next
+            # trigger. One unbounded first trigger is the correct
+            # price; initialOffset/partitions() sync the watermark.
+            return {"version": newest}
+        return {"version": min(newest, self._hwm + self._max_versions)}
 
     def partitions(self, start: dict, end: dict):
         frm, to = int(start["version"]), int(end["version"])
+        self._trace(f"partitions {frm}->{to}")
+        # observe the engine-chosen range (including checkpoint replay
+        # after a restart): never rate-limit below what is committed
+        if self._hwm is None or max(frm, to) > self._hwm:
+            self._hwm = max(frm, to)
         if to <= frm:
             return []
         new_mf = read_manifest(self._table_path, to)
