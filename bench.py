@@ -80,6 +80,9 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   measured a per-run rebuild and is not comparable.
 * HEADLINE GROWTH at r9: `manifest_clone` (the shallow-clone read
   pair) joined the list — its series starts at r9.
+* HEADLINE GROWTH at r10 (VERDICT r9 directive 7): `merge_by_source`
+  (MERGE ... WHEN NOT MATCHED BY SOURCE) joined — series starts at
+  r10; expect ~manifest_merge cost (same one-clustering merge shape).
 * SCALE_QUERIES GROWTH at r9 (VERDICT r8 directive 8): the heavy
   iterative/streaming/composite families (stateful_sessions,
   ann_recall_report, decontaminate, semantic_dedup,
@@ -183,6 +186,10 @@ HEADLINE = [
     # round-9 addition: SHALLOW CLONE — the steady read proves the
     # zero-copy fork and its CoW write read like any other table
     "manifest_clone",
+    # round-10 addition (VERDICT r9 directive 7): WHEN NOT MATCHED BY
+    # SOURCE — the sync-deletion merge shape shares merge_into's
+    # one-clustering plan, so its series should track manifest_merge
+    "merge_by_source",
 ]
 
 #: one representative per family for the sf0.1 -> sf1.0 scaling ratio

@@ -1568,6 +1568,78 @@ def test_clone_vacuum_never_touches_source_data(spark, tmp_path):
     assert got[5] == "y" and len(got) == 30
 
 
+def test_chained_clone_pins_every_referenced_table(spark, tmp_path):
+    """Regression (VERDICT r9 #2 / ADVICE r9): clone C of clone B of A
+    carries ABSOLUTE refs into A's data dir, so its pin must register
+    under A (every table its manifest references), not just under its
+    immediate source B. Otherwise, once B materializes itself and
+    releases, A's vacuum silently sweeps segments C still reads."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    rows = spark.createDataFrame(
+        [(i, i * 3) for i in range(40)], "k int, w long"
+    )
+    mf.manifest_upsert(spark, a, rows, ["k"], n_buckets=4)
+    mf.clone_table(spark, a, b)
+    mf.clone_table(spark, b, c)
+    # C's only refs point into A (B holds no data of its own), so the
+    # pin lands under A — B's _clones need not know about C at all
+    pins_a = {p for _, (_, p) in mf.pinned_clone_versions(a).items()}
+    assert os.path.abspath(b) in pins_a and os.path.abspath(c) in pins_a
+    # B materializes and severs its own dependency on A
+    mf.optimize_table(spark, b)
+    assert mf.vacuum(b, keep_last=1) >= 0
+    assert mf.release_clone(a, b) is True
+    # A rewrites; its vacuum must STILL refuse while C reads A segments
+    mf.optimize_table(spark, a)
+    with pytest.raises(mf.VacuumRetentionError, match="_clones"):
+        mf.vacuum(a, keep_last=1)
+    # materialize C, release its pin on A, and the sweep goes through
+    mf.optimize_table(spark, c)
+    assert mf.vacuum(c, keep_last=1) >= 0
+    assert mf.release_clone(a, c) is True
+    assert mf.vacuum(a, keep_last=1) >= 0
+    for t in (a, b, c):
+        assert {
+            r.k for r in mf.read_manifest_table(spark, t).collect()
+        } == set(range(40))
+
+
+def test_clone_of_partially_materialized_clone_pins_both(spark, tmp_path):
+    """A CoW-upserted clone B holds a MIX of refs (clone-local + into
+    A); cloning B then pins under BOTH A and B, and each owner's vacuum
+    refuses while the grandchild still reads its segments."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    rows = spark.createDataFrame(
+        [(i, i) for i in range(40)], "k int, w long"
+    )
+    mf.manifest_upsert(spark, a, rows, ["k"], n_buckets=4)
+    mf.clone_table(spark, a, b)
+    mf.manifest_upsert(  # CoW: rewrites only touched buckets into b
+        spark, b, spark.createDataFrame([(0, 999)], "k int, w long"),
+        ["k"],
+    )
+    mf.clone_table(spark, b, c)
+    assert os.path.abspath(c) in {
+        p for _, (_, p) in mf.pinned_clone_versions(a).items()
+    }
+    assert os.path.abspath(c) in {
+        p for _, (_, p) in mf.pinned_clone_versions(b).items()
+    }
+    mf.optimize_table(spark, b)
+    mf.release_clone(a, b)
+    with pytest.raises(mf.VacuumRetentionError, match="_clones"):
+        mf.vacuum(b, keep_last=1)  # C still reads B's CoW bucket
+    mf.optimize_table(spark, a)
+    with pytest.raises(mf.VacuumRetentionError, match="_clones"):
+        mf.vacuum(a, keep_last=1)  # and A's carried buckets
+    got = {r.k: r.w for r in mf.read_manifest_table(spark, c).collect()}
+    assert got[0] == 999 and len(got) == 40
+
+
 def test_merge_not_matched_by_source_clauses(spark, tmp_path):
     """WHEN NOT MATCHED BY SOURCE: delete wins over update, the update
     applies only where its condition holds, untouched unmatched rows

@@ -93,6 +93,42 @@ def test_pushed_filters_prune_planned_partitions(spark, tmp_path):
     }
 
 
+def test_batch_source_empty_table_after_full_tombstone(spark, tmp_path):
+    """Regression (VERDICT r9 #1a): a fully-tombstoned table plans ZERO
+    files; PySpark turns an empty partition list into read(None), which
+    crashed in the worker on `partition.path`. An empty DataFrame with
+    the table schema must come back instead."""
+    table = _table(spark, tmp_path, n=20)
+    mf.delete_where(spark, table, F.lit(True))
+    ms.register_manifest_sources(spark)
+    got = spark.read.format("manifest").option("path", table).load()
+    assert got.count() == 0
+    assert sorted(got.columns) == ["k", "price", "v"]
+
+
+def test_batch_source_filter_pruning_every_file(spark, tmp_path):
+    """Regression (VERDICT r9 #1b): a pushed filter whose stats prune
+    EVERY planned file — an everyday selective predicate on a populated
+    table — must return an empty result, not crash read(None)."""
+    table = _table(spark, tmp_path, n=20)
+    ms.register_manifest_sources(spark)
+    got = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .load()
+        .filter(F.col("k") > 1_000_000_000)
+    )
+    assert got.count() == 0
+    # and the reader itself plans the sentinel empty partition
+    schema = mf._data_schema(mf.read_manifest(table))
+    r = ms.ManifestBatchReader(schema, {"path": table})
+    r.pushFilters([GreaterThan(("k",), 1_000_000_000)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path is None
+    assert list(r.read(parts[0])) == []
+    assert list(r.read(None)) == []
+
+
 def test_cdc_stream_matches_table_changes(spark, tmp_path):
     """One AvailableNow pass from startingVersion=1 lands exactly the
     rows `table_changes(1, latest)` computes (collapsed span, new-side
@@ -782,6 +818,41 @@ def test_cdc_stream_starting_timestamp(spark, tmp_path):
         )
 
 
+def test_cdc_starting_timestamp_clamps_to_vacuumed_history(spark, tmp_path):
+    """Regression (ADVICE r9): when `startingTimestamp` predates the
+    RETAINED history of a vacuumed table, the naive baseline (first
+    retained version minus one) names a manifest that no longer exists
+    and the stream crashed opening it. The baseline must clamp to 0 —
+    the documented whole-history full-snapshot bootstrap."""
+    table = _table(spark, tmp_path, n=20, n_buckets=2)
+    t1 = mf.read_manifest(table, 1)["committed_at"]
+    for i in range(3):  # versions 2..4
+        mf.manifest_upsert(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(i, 0.5, f"u{i}")], "k int, price double, v string"
+            ),
+            ["k"],
+        )
+    mf.vacuum(table, keep_last=2)  # retained: {3, 4}
+    assert mf.list_versions(table) == [3, 4]
+    schema = ms.cdc_schema(mf._data_schema(mf.read_manifest(table)))
+    r = ms.ManifestCDCStreamReader(
+        schema, {"path": table, "startingTimestamp": t1}
+    )
+    assert r.initialOffset() == {"version": 0}
+    import pyarrow as pa
+
+    got = {
+        row["k"]
+        for p in r.partitions(r.initialOffset(), r.latestOffset())
+        for b in r.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    }
+    assert got == set(range(20))  # full snapshot bootstrap, no crash
+
+
 def test_cdc_max_versions_per_trigger_chunks_catchup(spark, tmp_path):
     """Admission control at the protocol level: once the reader knows
     the stream's position (initialOffset, or any planned batch), a
@@ -887,3 +958,170 @@ def test_cdc_max_versions_restart_is_unbounded_then_bounded(spark, tmp_path):
     assert r.latestOffset() == {"version": 7}
     list(r.partitions({"version": 6}, {"version": 7}))
     assert r.latestOffset() == {"version": 8}
+
+
+def test_batch_cdf_read_matches_table_changes(spark, tmp_path):
+    """spark.read.format("manifest").option("readChangeFeed", "true"):
+    the batch change-feed read plans the SAME per-bucket diff
+    partitions as the streaming source and must emit exactly what the
+    library `table_changes` computes over the span — including delete
+    rows (null values) and an endingVersion pin."""
+    table = _table(spark, tmp_path, n=40, n_buckets=2)
+    mf.manifest_upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(0, 9.0, "u0"), (100, 1.0, "new")],
+            "k int, price double, v string",
+        ),
+        ["k"],
+    )
+    mf.delete_where(spark, table, F.col("k") == 7)  # version 3
+    ms.register_manifest_sources(spark)
+
+    def rows(df):
+        return sorted(
+            (r.k, r.change_type, r.v) for r in df.collect()
+        )
+
+    got = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load()
+    )
+    want = mf.table_changes(spark, table, 1)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert rows(got) == rows(want)
+    assert (0, "update", "u0") in rows(got)
+    assert (7, "delete", None) in rows(got)
+    # endingVersion pins a sub-span: the delete commit is excluded
+    sub = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 2)
+        .load()
+    )
+    assert rows(sub) == rows(mf.table_changes(spark, table, 1, 2))
+    assert (7, "delete", None) not in rows(sub)
+
+
+def test_batch_cdf_empty_span_and_option_validation(spark, tmp_path):
+    """An empty change span (start == end) returns an empty DataFrame
+    with the CDC schema — not a read(None) worker crash; snapshot
+    time-travel options combined with readChangeFeed raise."""
+    import pytest as _pt
+
+    table = _table(spark, tmp_path, n=20, n_buckets=2)
+    ms.register_manifest_sources(spark)
+    latest = mf.read_manifest(table)["version"]
+    empty = (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", latest)
+        .load()
+    )
+    assert empty.count() == 0
+    assert "change_type" in empty.columns
+    with _pt.raises(Exception, match="readChangeFeed"):
+        (
+            spark.read.format("manifest")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .option("version", 1)
+            .load()
+            .collect()
+        )
+    with _pt.raises(Exception, match="ending"):
+        (
+            spark.read.format("manifest")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1)
+            .option("endingVersion", 2)
+            .option("endingTimestamp", "2030-01-01T00:00:00")
+            .load()
+            .collect()
+        )
+
+
+def test_writer_replace_where_atomic_region_replace(spark, tmp_path):
+    """mode("overwrite").option("replaceWhere", pred): ONE commit that
+    replaces exactly the predicate region with the staged rows — keys
+    in the region but absent from the staged data are deleted, staged
+    keys upsert, rows outside the region are untouched; staged rows
+    violating the predicate abort the job before any commit."""
+    import pytest as _pt
+
+    table = _table(spark, tmp_path, n=40, n_buckets=4)
+    ms.register_manifest_sources(spark)
+    v0 = mf.read_manifest(table)["version"]
+    new = spark.createDataFrame(
+        [(k, 777.0, f"rw{k}") for k in range(0, 40, 10)],
+        "k int, price double, v string",
+    )
+    (
+        new.write.format("manifest")
+        .option("path", table)
+        .option("replaceWhere", "k % 5 = 0")
+        .mode("overwrite")
+        .save()
+    )
+    assert mf.read_manifest(table)["version"] == v0 + 1  # one commit
+    got = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
+    for k in range(40):
+        if k % 10 == 0:
+            assert got[k] == f"rw{k}"  # staged rows won the region
+        elif k % 5 == 0:
+            assert k not in got  # in-region keys not re-staged: deleted
+        else:
+            assert got[k] == f"v{k}"  # outside the region: untouched
+    # staged rows that violate the predicate abort pre-commit
+    bad = spark.createDataFrame(
+        [(1, 0.0, "nope")], "k int, price double, v string"
+    )
+    with _pt.raises(Exception, match="replaceWhere"):
+        (
+            bad.write.format("manifest")
+            .option("path", table)
+            .option("replaceWhere", "k % 5 = 0")
+            .mode("overwrite")
+            .save()
+        )
+    assert mf.read_manifest(table)["version"] == v0 + 1  # nothing landed
+    assert got == {
+        r.k: r.v for r in mf.read_manifest_table(spark, table).collect()
+    }
+
+
+def test_writer_replace_where_empty_frame_deletes_region(spark, tmp_path):
+    """Overwriting with an EMPTY frame + replaceWhere deletes exactly
+    the region (Delta's semantics) in one commit; replaceWhere on
+    append mode raises."""
+    import pytest as _pt
+
+    table = _table(spark, tmp_path, n=20, n_buckets=2)
+    ms.register_manifest_sources(spark)
+    empty = spark.createDataFrame([], "k int, price double, v string")
+    (
+        empty.write.format("manifest")
+        .option("path", table)
+        .option("replaceWhere", "k >= 10")
+        .mode("overwrite")
+        .save()
+    )
+    assert {
+        r.k for r in mf.read_manifest_table(spark, table).collect()
+    } == set(range(10))
+    with _pt.raises(Exception, match="replaceWhere"):
+        (
+            empty.write.format("manifest")
+            .option("path", table)
+            .option("replaceWhere", "k >= 10")
+            .mode("append")
+            .save()
+        )

@@ -349,16 +349,18 @@ def test_driver_sample_prefix_spans_families():
     assert len(names) == len(registry._QUERIES)
     head = names[:50]
     for want in (
-        # r9 pins: flagship + the surfaces changed this round
-        # (timestamp time travel, the cojoin key-column projection,
-        # the fixed-K lookup draw, the amortized incremental index)
+        # r10 pins: flagship + the surfaces changed this round (the
+        # new clone_guard over transitive pins, the batch DataSource
+        # empty-plan sentinel, the CDC startingTimestamp clamp, and
+        # merge_by_source newly headlined in bench)
         "trail_classifier",
+        "clone_guard",
+        "pyds_cdf_batch",
+        "pyds_replace_where",
+        "pyds_manifest_scan",
         "pyds_time_travel",
         "manifest_clone",
-        "colocated_join",
-        "colocated_anti_join",
-        "manifest_lookup",
-        "incremental_near_dup",
+        "merge_by_source",
     ):
         assert want in head, want
     # Staleness-first rotation (r7 directive 1) decides the prefix's

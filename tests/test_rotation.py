@@ -119,3 +119,36 @@ def test_coverage_file_matches_correctness_records_exactly():
         f"drift: "
         f"{[(k, shipped[k], recomputed[k]) for k in sorted(set(shipped) & set(recomputed)) if shipped[k] != recomputed[k]][:5]})"
     )
+
+
+def test_doc_query_counts_match_registry():
+    """The registered-query count stated in README.md and the verify
+    skill must equal len(registry) — the count drifted by one in three
+    consecutive rounds (r7-r9) because docs were hand-updated before
+    the round's last registration landed (VERDICT r9 directive 6)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = len(registry._QUERIES)
+    for rel, pattern in [
+        ("README.md", r"across all (\d+) registered queries"),
+        ("README.md", r"`queries\(\)` — (\d+) named queries"),
+        (
+            os.path.join(".claude", "skills", "verify", "SKILL.md"),
+            r"With (\d+) registered queries",
+        ),
+        (
+            os.path.join(".claude", "skills", "verify", "SKILL.md"),
+            r"at (\d+) queries",
+        ),
+    ]:
+        path = os.path.join(repo, rel)
+        with open(path) as f:
+            text = f.read()
+        stated = [int(m) for m in re.findall(pattern, text)]
+        assert stated, f"{rel}: pattern {pattern!r} not found"
+        assert all(s == n for s in stated), (
+            f"{rel} states query count {stated} but the registry has "
+            f"{n} — update the doc alongside the registration"
+        )

@@ -637,21 +637,52 @@ def test_stale_writer_cannot_release_thiefs_lock(tmp_path):
 def test_expired_lease_steal_has_single_winner(tmp_path):
     """N contenders racing one expired lease: the atomic rename-aside
     steal lets exactly ONE win; the rest observe a live fresh lock and
-    time out rather than double-holding."""
+    time out rather than double-holding. Runs entirely on a FAKE clock
+    (VERDICT r9 directive 5): the crashed holder is forged with no
+    heartbeat, `now` is frozen so only the backdated lock ever looks
+    expired, and the contenders' deadline ticks on a shared fake
+    monotonic — deterministic under any box load, zero sleeps."""
     import os
     import threading
-    import time
 
     table = str(tmp_path / "t")
-    upsert.acquire_table_lease(table)  # crashed holder
     lock = upsert._lock_dir(table)
-    old = time.time() - 2 * upsert.LOCK_LEASE_TTL_S
+    # forge what a crashed writer leaves: lock dir + owner stamp, NO
+    # heartbeat thread (a live acquire_table_lease would keep
+    # refreshing the mtime we are about to backdate)
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    os.mkdir(lock)
+    with open(os.path.join(lock, "owner"), "w") as f:
+        f.write("0")
+    NOW0 = 1_000_000.0  # frozen "wall clock" the contenders see
+    old = NOW0 - 2 * upsert.LOCK_LEASE_TTL_S
     os.utime(lock, (old, old))
+
+    tick_lock = threading.Lock()
+    ticks = [0.0]
+
+    def fake_monotonic() -> float:
+        with tick_lock:
+            ticks[0] += 0.001
+            return ticks[0]
+
     wins, losses = [], []
 
     def contend():
         try:
-            wins.append(upsert.acquire_table_lease(table, wait_s=0.3))
+            wins.append(
+                upsert.acquire_table_lease(
+                    table,
+                    wait_s=1.0,
+                    sleep=lambda s: None,
+                    # frozen: the winner's FRESH lock has a real (much
+                    # later) mtime, so its age is negative and the
+                    # losers can never steal it — they exhaust the
+                    # fake-monotonic deadline instead
+                    now=lambda: NOW0,
+                    monotonic=fake_monotonic,
+                )
+            )
         except TimeoutError:
             losses.append(1)
 
@@ -662,6 +693,8 @@ def test_expired_lease_steal_has_single_winner(tmp_path):
         t.join()
     assert len(wins) == 1 and len(losses) == 3
     assert upsert._lease_owner(table) == str(wins[0])
+    # the winner's heartbeat is live; release to stop it
+    upsert.release_table_lease(table, wins[0])
 
 
 def test_fenced_writer_aborts_before_destructive_write(spark, tmp_path, monkeypatch):

@@ -944,6 +944,16 @@ def q_manifest_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.manifest_clone_query(spark, sf_dir)
 
 
+@query("clone_guard", oracle=manifest_sink.CLONE_GUARD_SQL)
+def q_clone_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the clone retention guard across a CLONE CHAIN (r10): grandchild
+    # C pins grandparent A directly (pin derived from C's absolute
+    # refs), so A's vacuum refuses even after intermediate B
+    # materializes and releases — then succeeds once C does too
+    ensure_engine_conf(spark)
+    return manifest_sink.clone_guard_query(spark, sf_dir)
+
+
 @query("manifest_vacuum", oracle=manifest_sink.MANIFEST_VACUUM_SQL)
 def q_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VACUUM under the change-feed retention guard: the sweep refuses
@@ -981,6 +991,27 @@ def q_pyds_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGE (staged Arrow parts -> manifest_upsert in commit())
     ensure_engine_conf(spark)
     return manifest_source.pyds_manifest_write_query(spark, sf_dir)
+
+
+@query("pyds_cdf_batch", oracle=manifest_sink.MANIFEST_CHANGES_SQL)
+def q_pyds_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the BATCH change-data-feed read (r10): readChangeFeed=true over
+    # a closed version span plans the stream source's per-bucket diff
+    # partitions; must agree with the library table_changes oracle
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_cdf_batch_query(spark, sf_dir)
+
+
+@query(
+    "pyds_replace_where", oracle=manifest_source.PYDS_REPLACE_WHERE_SQL
+)
+def q_pyds_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # atomic predicate-region replace through the DataFrameWriter
+    # (r10): mode("overwrite").option("replaceWhere", pred) — one
+    # MERGE-composed commit deletes the region's unmatched keys,
+    # upserts staged rows, carries everything else by reference
+    ensure_engine_conf(spark)
+    return manifest_source.pyds_replace_where_query(spark, sf_dir)
 
 
 @query("pyds_stream_sink", oracle=manifest_source.PYDS_STREAM_SINK_SQL)
@@ -1675,22 +1706,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness group so any prefix still spans families).
 
 # hand-pinned per round: flagship smoke + the surfaces whose CODE
-# changed this round (r9: timestamp time travel registered as
-# pyds_time_travel; the cojoin per-file key-column projection; the
-# fixed-K lookup fixture draw + synced oracle; the incremental-dedup
-# index moved into the corpus-snapshot artifact cache)
+# changed this round (r10: clone_guard registered over the new
+# transitive clone pins; the batch DataSource empty-plan sentinel
+# touches every pyds_* read, pyds_manifest_scan is its flagship; the
+# CDC startingTimestamp vacuumed-history clamp sits in the reader
+# __init__ pyds_time_travel streams through)
 _PINNED_HEAD = [
-    "trail_classifier", "pyds_time_travel", "manifest_clone",
-    "colocated_join", "colocated_anti_join", "manifest_lookup",
-    "incremental_near_dup",
+    "trail_classifier", "clone_guard", "pyds_cdf_batch",
+    "pyds_replace_where", "pyds_manifest_scan", "pyds_time_travel",
+    "manifest_clone", "merge_by_source",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green
 # block (they have prior green rows; a re-check is cheap insurance —
-# r9: the CDC reader __init__ gained the Delta startingTimestamp
-# baseline resolution both stream queries construct through)
+# r10: both CDC stream queries construct through the clamped
+# startingTimestamp baseline resolution; pyds_evolved_scan exercises
+# the batch reader's pushFilters -> partitions path the sentinel edit
+# sits in)
 _CHANGED_TAIL = [
-    "pyds_cdc_stream", "pyds_cdc_rescale_stream", "manifest_merge",
+    "pyds_cdc_stream", "pyds_cdc_rescale_stream", "pyds_evolved_scan",
 ]
 
 

@@ -2175,15 +2175,50 @@ def clone_table(
         release_table_lease(dst_path, token)
     # pin AFTER the clone committed: a crash in between leaves an
     # unpinned-but-real clone for one vacuum window, never a phantom
-    # pin blocking the source forever
-    d = os.path.join(src_path, "_clones")
-    os.makedirs(d, exist_ok=True)
-    pin = os.path.join(d, _clone_pin_name(dst_path))
-    tmp = f"{pin}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(f"{mf['version']}\n{os.path.abspath(dst_path)}\n")
-    os.replace(tmp, pin)
+    # pin blocking the source forever. Pins go on EVERY table whose
+    # data dirs the new manifest references absolutely — not just
+    # src_path: cloning a clone carries the grandparent's absolute
+    # refs through (absolutize passes them verbatim), and a pin only
+    # under the intermediate source would let the grandparent's vacuum
+    # sweep segments this clone still reads once the intermediate
+    # materializes itself (VERDICT r9 #2 / ADVICE r9).
+    refs = list(manifest["buckets"].values()) + [
+        d for lst in manifest["deletes"].values() for d in lst
+    ]
+    owners: set[str] = set()
+    for ref in refs:
+        root = _owning_table_root(ref)
+        if root is not None and root != os.path.abspath(dst_path):
+            owners.add(root)
+    for owner in owners or {src_abs}:
+        d = os.path.join(owner, "_clones")
+        os.makedirs(d, exist_ok=True)
+        pin = os.path.join(d, _clone_pin_name(dst_path))
+        tmp = f"{pin}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            # the version is meaningful only for the immediate source;
+            # transitive owners get 0 ("segment pin, version unknown")
+            # — the vacuum guard derives needs from the CLONE's own
+            # manifests, never from this number
+            v = mf["version"] if owner == src_abs else 0
+            f.write(f"{v}\n{os.path.abspath(dst_path)}\n")
+        os.replace(tmp, pin)
     return 1
+
+
+def _owning_table_root(seg_dir: str) -> str | None:
+    """The table root an absolute segment-dir ref points into: the
+    prefix before the LAST `data` path component (segment dirs always
+    live at `<table>/data/<seg-root>/...`, and no segment component is
+    a bare `data`). Relative refs belong to the enclosing table and
+    return None."""
+    if not os.path.isabs(seg_dir):
+        return None
+    parts = seg_dir.split(os.sep)
+    if "data" not in parts:
+        return None
+    i = len(parts) - 1 - parts[::-1].index("data")
+    return os.sep.join(parts[:i]) or os.sep
 
 
 def _clone_pin_name(dst_path: str) -> str:
@@ -3293,6 +3328,80 @@ def manifest_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(os.path.join(root, "src"), "source").unionByName(
         agg(os.path.join(root, "clone"), "clone")
     )
+
+
+def clone_guard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The clone retention GUARD as an oracle-checked query
+    (VERDICT r9 directive 8, plus the r10 transitive-pin fix): chain
+    shallow clones C <- B <- A, materialize + release B, then rewrite
+    A. A's vacuum must REFUSE while grandchild C still references A's
+    v1 segments — C's pin registered under A directly, because its
+    manifest's absolute refs point into A's data dir, not B's. After C
+    materializes and releases, the same sweep succeeds. The result row
+    carries the guard verdicts AND proves C still reads the exact v1
+    snapshot through the whole lifecycle."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(root: str) -> None:
+        os.makedirs(root, exist_ok=True)
+        a = os.path.join(root, "a")
+        b = os.path.join(root, "b")
+        c = os.path.join(root, "c")
+        base = docs.filter(F.col("doc_id") % 4 == 0)
+        manifest_upsert(spark, a, base, ["doc_id"], n_buckets=8)
+        clone_table(spark, a, b)
+        clone_table(spark, b, c)  # refs still point into A's data dir
+        # B materializes itself and severs its own dependency on A —
+        # the historical silent-breakage window: only C reads A now
+        optimize_table(spark, b)
+        vacuum(b, keep_last=1)
+        release_clone(a, b)
+        # A rewrites; its kept manifest no longer covers C's segments
+        optimize_table(spark, a)
+        guard_fired = 0
+        try:
+            vacuum(a, keep_last=1)
+        except VacuumRetentionError:
+            guard_fired = 1
+        # C materializes + releases; the same sweep must now succeed
+        optimize_table(spark, c)
+        vacuum(c, keep_last=1)
+        released = int(release_clone(a, c))
+        swept_ok = 1
+        try:
+            vacuum(a, keep_last=1)
+        except VacuumRetentionError:
+            swept_ok = 0
+        with open(os.path.join(root, "_guard_note.json"), "w") as fh:
+            json.dump(
+                {
+                    "guard_fired": guard_fired,
+                    "released": released,
+                    "swept_ok": swept_ok,
+                    "src_versions_after": len(list_versions(a)),
+                },
+                fh,
+            )
+
+    root = _fixture_table(docs, "clone_guard", build)
+    with open(os.path.join(root, "_guard_note.json")) as fh:
+        note = json.load(fh)
+    return read_manifest_table(spark, os.path.join(root, "c")).agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("n_chars").alias("clone_chars"),
+        F.lit(int(note["guard_fired"])).alias("guard_fired"),
+        F.lit(int(note["released"])).alias("released"),
+        F.lit(int(note["swept_ok"])).alias("swept_ok"),
+        F.lit(int(note["src_versions_after"])).alias("src_versions_after"),
+    )
+
+
+CLONE_GUARD_SQL = """
+SELECT COUNT(*) AS clone_rows, CAST(SUM(n_chars) AS BIGINT) AS clone_chars,
+       1 AS guard_fired, 1 AS released, 1 AS swept_ok,
+       1 AS src_versions_after
+FROM documents WHERE doc_id % 4 = 0
+"""
 
 
 def manifest_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -293,7 +293,7 @@ class ManifestBatchReader(DataSourceReader):
         cols = self._schema.fieldNames()
         dmap = self._mf.get("deletes", {})
         keys = self._mf["keys"]
-        return [
+        parts = [
             _FilePartition(
                 p,
                 cols,
@@ -305,8 +305,17 @@ class ManifestBatchReader(DataSourceReader):
             )
             for b, p in _plan_files(self._table_path, self._mf, self._skip)
         ]
+        if not parts:
+            # An empty file plan (fully-tombstoned table, or a pushed
+            # filter whose stats prune every file) must still yield ONE
+            # partition: PySpark invokes read(None) on an empty list,
+            # which crashes in the worker on `partition.path`.
+            parts = [_FilePartition(None, cols, [], keys)]
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None or partition.path is None:
+            return
         yield from _arrow_batches(
             partition.path,
             partition.columns,
@@ -374,7 +383,13 @@ class ManifestBatchWriter(DataSourceArrowWriter):
 
     Options: `path` (required); `keys` (comma-separated merge keys —
     required to CREATE a table, validated against the manifest
-    otherwise); `n_buckets` (creation only)."""
+    otherwise); `n_buckets` (creation only); `replaceWhere` (overwrite
+    mode only — Delta's atomic predicate-region replace: ONE commit
+    deletes target rows matching the predicate whose key is absent
+    from the staged data, upserts the staged rows, and leaves rows
+    outside the region untouched; staged rows violating the predicate
+    abort the job pre-commit, and an EMPTY overwrite deletes exactly
+    the region)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self._schema = schema
@@ -388,6 +403,15 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         nb = options.get("n_buckets")
         self._n_buckets = int(nb) if nb is not None else None
         self._overwrite = overwrite
+        self._replace_where = options.get("replaceWhere") or options.get(
+            "replacewhere"
+        )
+        if self._replace_where and not overwrite:
+            raise ValueError(
+                'option("replaceWhere", ...) requires mode("overwrite") '
+                "— an append never removes rows, so a replace predicate "
+                "on it is a contradiction (Delta raises too)"
+            )
         self._stage = os.path.join(
             self._table_path, "_staging", uuid.uuid4().hex[:12]
         )
@@ -427,12 +451,16 @@ class ManifestBatchWriter(DataSourceArrowWriter):
                 and read_manifest(self._table_path) is not None
             ):
                 return  # empty append to an existing table: no churn
+            staged = _staged_df(spark, self._schema, files)
+            if self._replace_where:
+                self._commit_replace_where(spark, staged, keys)
+                return
             # empty overwrite truncates (INSERT OVERWRITE); an empty
             # CREATE-intent append commits version 1 with the schema
             manifest_upsert(
                 spark,
                 self._table_path,
-                _staged_df(spark, self._schema, files),
+                staged,
                 keys,
                 n_buckets=self._n_buckets,
                 operation="replace" if self._overwrite else "append",
@@ -440,6 +468,52 @@ class ManifestBatchWriter(DataSourceArrowWriter):
             )
         finally:
             shutil.rmtree(self._stage, ignore_errors=True)
+
+    def _commit_replace_where(self, spark, staged, keys) -> None:
+        """Atomic predicate-region replace, composed onto MERGE: staged
+        rows upsert (matched keys update, new keys insert) and target
+        rows IN the region whose key is absent from the staged data are
+        deleted via WHEN NOT MATCHED BY SOURCE DELETE — one commit, one
+        version, same fencing/constraints as every other write. The
+        predicate evaluates on a target-only frame inside the merge, so
+        bare column names resolve unambiguously. Keyed-table semantics
+        where Delta's file-level replace has none: a staged key that
+        also exists OUTSIDE the region updates that row (key uniqueness
+        wins) rather than duplicating it."""
+        from pyspark.sql import functions as F
+
+        from ..sinks.manifest import merge_into, read_manifest as _rm
+
+        if _rm(self._table_path) is None:
+            raise ValueError(
+                "replaceWhere requires an existing manifest table "
+                f"({self._table_path}): there is no region to replace "
+                "on CREATE — write the table first"
+            )
+        cond = F.expr(self._replace_where)
+        # Delta's constraint: every staged row must satisfy the
+        # predicate (NULL counts as violating), else the job aborts
+        # before any commit
+        bad = staged.filter(~F.coalesce(cond, F.lit(False))).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"replaceWhere({self._replace_where!r}): staged rows "
+                "violate the predicate; overwrite data must fall "
+                "entirely inside the region it replaces"
+            )
+        data_cols = [
+            f.name for f in self._schema.fields if f.name not in keys
+        ]
+        merge_into(
+            spark,
+            self._table_path,
+            staged,
+            when_matched_update={
+                c: F.col(f"src.{c}") for c in data_cols
+            },
+            insert_not_matched=True,
+            when_not_matched_by_source_delete=cond,
+        )
 
     def abort(self, messages) -> None:
         shutil.rmtree(self._stage, ignore_errors=True)
@@ -534,12 +608,91 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         _drop_staged(messages)
 
 
+def _cdf_requested(options: dict) -> bool:
+    v = options.get("readChangeFeed") or options.get("readchangefeed")
+    return str(v).lower() in ("true", "1") if v is not None else False
+
+
+def _cdf_end_version(options: dict) -> int:
+    """The batch change feed's closing snapshot: `endingVersion`,
+    `endingTimestamp` (newest commit at or before it, the same
+    at-or-before contract as batch `timestampAsOf`), or latest."""
+    ev = options.get("endingVersion") or options.get("endingversion")
+    ets = options.get("endingTimestamp") or options.get("endingtimestamp")
+    if ev is not None and ets is not None:
+        raise ValueError(
+            "pass either option('endingVersion') or "
+            "option('endingTimestamp'), not both"
+        )
+    if ev is not None:
+        return int(ev)
+    if ets is not None:
+        import datetime as _dt
+
+        from ..sinks.manifest import version_as_of
+
+        return version_as_of(
+            options["path"], _dt.datetime.fromisoformat(str(ets))
+        )
+    mf = read_manifest(options["path"])
+    if mf is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {options['path']}"
+        )
+    return mf["version"]
+
+
+class ManifestCDFBatchReader(DataSourceReader):
+    """Batch change-data-feed read (Delta's
+    ``spark.read.option("readChangeFeed", "true")``): plans the SAME
+    per-bucket diff partitions as the streaming CDC source — one task
+    per changed bucket, rescale-aware — over a CLOSED version span.
+    `startingVersion` is the BASELINE snapshot to diff from (0 = full
+    snapshot as inserts), consistent with this engine's stream source
+    and `table_changes`, NOT Delta's inclusive commit numbering;
+    `startingTimestamp` uses the stream's at-or-after contract.
+    `endingVersion`/`endingTimestamp` close the span (default latest)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        if (
+            options.get("version") is not None
+            or options.get("timestampAsOf") is not None
+            or options.get("timestampasof") is not None
+        ):
+            raise ValueError(
+                "readChangeFeed reads a version SPAN: use "
+                "startingVersion/startingTimestamp + endingVersion/"
+                "endingTimestamp, not the snapshot time-travel options"
+            )
+        self._inner = ManifestCDCStreamReader(schema, options)
+        self._end = _cdf_end_version(options)
+        start = self._inner.initialOffset()["version"]
+        if start > self._end:
+            raise ValueError(
+                f"readChangeFeed span is backwards: startingVersion "
+                f"{start} > ending version {self._end}"
+            )
+
+    def partitions(self):
+        return self._inner.partitions(
+            {"version": self._inner._starting}, {"version": self._end}
+        )  # [] on an empty span: PySpark plans [None], read() guards
+
+    def read(self, partition) -> Iterator:
+        if partition is None:
+            return
+        yield from self._inner.read(partition)
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("manifest")``: options `path` (required),
-    `version` (time travel by version), and `timestampAsOf` (time
-    travel by commit timestamp, ISO-8601 — Delta's TIMESTAMP AS OF).
+    `version` (time travel by version), `timestampAsOf` (time travel
+    by commit timestamp, ISO-8601 — Delta's TIMESTAMP AS OF), or
+    `readChangeFeed=true` + starting/ending version or timestamp (the
+    batch change feed — see `ManifestCDFBatchReader`).
     ``df.write.format("manifest")``: append = keyed MERGE upsert,
-    overwrite = atomic replace (see `ManifestBatchWriter`).
+    overwrite = atomic replace, overwrite + `replaceWhere` = atomic
+    predicate-region replace (see `ManifestBatchWriter`).
     ``df.writeStream.format("manifest")``: exactly-once epoch commits
     (see `ManifestStreamWriter`)."""
 
@@ -548,6 +701,15 @@ class ManifestDataSource(DataSource):
         return "manifest"
 
     def schema(self):
+        if _cdf_requested(self.options):
+            mf = read_manifest(
+                self.options["path"], _cdf_end_version(self.options)
+            )
+            if mf is None:
+                raise FileNotFoundError(
+                    f"no committed manifest under {self.options['path']}"
+                )
+            return cdc_schema(_data_schema(mf))
         # resolve the SAME manifest version the reader will plan from:
         # a time-travel read must surface that version's own schema, not
         # the latest (later-added columns would otherwise appear — as
@@ -561,7 +723,9 @@ class ManifestDataSource(DataSource):
             )
         return _data_schema(mf)
 
-    def reader(self, schema: StructType) -> ManifestBatchReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if _cdf_requested(self.options):
+            return ManifestCDFBatchReader(schema, self.options)
         return ManifestBatchReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestBatchWriter:
@@ -634,13 +798,23 @@ def _cdc_baseline_for_timestamp(table_path: str, ts) -> int:
     if isinstance(ts, _dt.datetime) and ts.tzinfo is None:
         ts = ts.replace(tzinfo=_dt.timezone.utc)
     latest = 0
-    for v in list_versions(table_path):
+    retained = list_versions(table_path)
+    for v in retained:
         latest = max(latest, v)
         stamp = (read_manifest(table_path, v) or {}).get("committed_at")
         if stamp is None:
             continue
         if _dt.datetime.fromisoformat(stamp) >= ts:
-            return max(0, v - 1)
+            base = v - 1
+            if base > 0 and base not in retained:
+                # `ts` predates the retained history (early versions
+                # vacuumed): v-1's manifest no longer exists, and
+                # partitions(v-1, ...) would crash opening it. Clamp to
+                # the full-snapshot bootstrap (baseline 0 -> old_mf is
+                # None), the documented whole-history fallback
+                # (ADVICE r9).
+                return 0
+            return max(0, base)
     return latest
 
 
@@ -1036,9 +1210,11 @@ class ManifestCDCDataSource(DataSource):
     """``spark.readStream.format("manifest_cdc")``: options `path`
     (required), `startingVersion` (default 0: the first batch
     bootstraps the current snapshot as inserts, like any new CDC
-    consumer), or `startingTimestamp` (ISO-8601 — begin after the
-    newest commit at or before it; mutually exclusive with
-    startingVersion)."""
+    consumer), or `startingTimestamp` (ISO-8601 — every change
+    committed at or AFTER the timestamp (inclusive) streams, Delta's
+    contract: the baseline is the first such commit minus one, clamped
+    to a full-snapshot bootstrap when that version was vacuumed;
+    mutually exclusive with startingVersion)."""
 
     @classmethod
     def name(cls) -> str:
@@ -1164,6 +1340,91 @@ WITH v2 AS (
 )
 SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM v2 GROUP BY source
+"""
+
+
+def pyds_cdf_batch_query(spark, sf_dir: str):
+    """[EXT] The BATCH change-data-feed read as an oracle-checked
+    query (Delta's ``spark.read.option("readChangeFeed", "true")``):
+    the shared two-commit table read over the closed span
+    startingVersion=1 -> endingVersion=2 must emit exactly the
+    content-based diff `manifest_changes` pins for the library
+    `table_changes` — through the DataSource's per-bucket change
+    partitions instead of the keyed full-outer join."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.manifest import _two_commit_table
+
+    register_manifest_sources(spark)
+    table = _two_commit_table(spark, sf_dir)
+    return (
+        spark.read.format("manifest")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 2)
+        .load()
+        .select(
+            "doc_id",
+            "change_type",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def pyds_replace_where_query(spark, sf_dir: str):
+    """[EXT] Atomic predicate-region replace through the
+    DataFrameWriter (Delta's ``mode("overwrite").option(
+    "replaceWhere", pred)``): a full documents snapshot, then ONE
+    commit replaces the `doc_id % 5 = 0` region with the %10==0 rows
+    (n_chars x7) — in-region keys absent from the staged data (%10==5)
+    are deleted, staged keys update, everything outside the region
+    carries by reference. Composed onto MERGE's WHEN NOT MATCHED BY
+    SOURCE DELETE, so it inherits fencing, constraints, and
+    one-version atomicity."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.manifest import _docs_frame, _fixture_table, read_manifest_table
+
+    register_manifest_sources(spark)
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        docs.write.format("manifest").option("path", table).option(
+            "keys", "doc_id"
+        ).option("n_buckets", 8).mode("append").save()
+        (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("n_chars", F.col("n_chars") * 7)
+            .write.format("manifest")
+            .option("path", table)
+            .option("replaceWhere", "doc_id % 5 = 0")
+            .mode("overwrite")
+            .save()
+        )
+
+    table = _fixture_table(docs, "pyds_replace_where", build)
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+PYDS_REPLACE_WHERE_SQL = """
+WITH final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN CAST(n_chars AS BIGINT) * 7
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents
+  WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0
+)
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM final GROUP BY source
 """
 
 
