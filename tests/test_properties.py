@@ -872,3 +872,109 @@ def test_two_writers_with_lease_steals_converge(
 
         with _pt.raises(upsert.WriterFencedError):
             upsert.check_fence(table, tok)
+
+
+# --- clone/vacuum lifecycle model ------------------------------------------
+# The r10 transitive-pin fix's adversarial form: ANY interleaving of
+# commits, chained clones, optimizes, releases, and vacuums must leave
+# every live table reading exactly its model dict. Vacuum may REFUSE
+# (VacuumRetentionError — the guard working), but a vacuum that
+# SUCCEEDS must never break any table, no matter how deep the clone
+# chain or which intermediate released first.
+
+_clone_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("commit"),
+            st.tuples(
+                st.integers(0, 5),  # table index (mod live count)
+                st.dictionaries(
+                    st.integers(0, 15), st.integers(-9, 9),
+                    min_size=1, max_size=4,
+                ),
+            ),
+        ),
+        st.tuples(st.just("clone"), st.integers(0, 5)),
+        st.tuples(st.just("optimize"), st.integers(0, 5)),
+        st.tuples(st.just("vacuum"), st.integers(0, 5)),
+        st.tuples(st.just("release"), st.integers(0, 5)),
+    ),
+    min_size=2,
+    max_size=_MODEL_MAX_OPS,
+)
+
+
+@given(ops=_clone_ops)
+@settings(
+    max_examples=_MODEL_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_clone_chains_survive_any_vacuum_interleaving(
+    spark, tmp_path_factory, ops
+):
+    from trail_condition_etl_spark.sinks import manifest as mfm
+
+    root = tmp_path_factory.mktemp("clone_model")
+    tables: list[str] = [str(root / "t0")]
+    models: list[dict[int, int]] = [{0: 0}]
+    mfm.manifest_upsert(
+        spark, tables[0],
+        spark.createDataFrame([(0, 0)], "k int, v long"),
+        ["k"], n_buckets=2,
+    )
+    for kind, arg in ops:
+        if kind == "commit":
+            idx, batch = arg
+            i = idx % len(tables)
+            mfm.manifest_upsert(
+                spark, tables[i],
+                spark.createDataFrame(list(batch.items()), "k int, v long"),
+                ["k"],
+            )
+            models[i].update(batch)
+        elif kind == "clone":
+            i = arg % len(tables)
+            dst = str(root / f"t{len(tables)}")
+            mfm.clone_table(spark, tables[i], dst)
+            tables.append(dst)
+            models.append(dict(models[i]))
+        elif kind == "optimize":
+            i = arg % len(tables)
+            mfm.optimize_table(spark, tables[i])
+        elif kind == "vacuum":
+            i = arg % len(tables)
+            try:
+                mfm.vacuum(tables[i], keep_last=1)
+            except mfm.VacuumRetentionError:
+                pass  # the guard refusing IS the contract
+        elif kind == "release":
+            # a release is only legitimate once the clone is SEVERED
+            # (its newest manifest holds no absolute refs into others);
+            # the model never breaks its own contract
+            i = arg % len(tables)
+            cmf = mfm.read_manifest(tables[i])
+            refs = list(cmf["buckets"].values()) + [
+                d for lst in cmf.get("deletes", {}).values() for d in lst
+            ]
+            if any(_os.path.isabs(d) for d in refs):
+                continue
+            for other in tables:
+                if other != tables[i]:
+                    mfm.release_clone(other, tables[i])
+        # the lifecycle invariant: EVERY live table still reads exactly
+        # its model — a succeeded vacuum never swept a dir anyone
+        # reads. Checked after every sweep (the only op that removes
+        # bytes) and once at the end for the DML/clone ops.
+        if kind == "vacuum":
+            for t, m in zip(tables, models):
+                got = {
+                    r.k: r.v
+                    for r in mfm.read_manifest_table(spark, t).collect()
+                }
+                assert got == m, f"{t} diverged after {kind}"
+    for t, m in zip(tables, models):
+        got = {
+            r.k: r.v for r in mfm.read_manifest_table(spark, t).collect()
+        }
+        assert got == m, f"{t} diverged at end"
