@@ -190,6 +190,10 @@ HEADLINE = [
     # SOURCE — the sync-deletion merge shape shares merge_into's
     # one-clustering plan, so its series should track manifest_merge
     "merge_by_source",
+    # round-10 addition: per-bucket bloom-filter pruning — the
+    # equality-probe shape min/max stats can never prune; steady =
+    # the bitmap-pruned IN probe against the cached fixture
+    "bloom_skip_scan",
 ]
 
 #: one representative per family for the sf0.1 -> sf1.0 scaling ratio

@@ -895,6 +895,16 @@ def q_zorder_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.zorder_skip_scan_query(spark, sf_dir)
 
 
+@query("bloom_skip_scan", oracle=manifest_sink.BLOOM_SKIP_SCAN_SQL)
+def q_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-bucket bloom filters (sinks/bloom.py): an equality/IN probe
+    # on a high-cardinality non-key column — which min/max stats can
+    # never prune — opens only bucket dirs whose bitmaps admit a
+    # probed value; absent values are proven absent from metadata
+    ensure_engine_conf(spark)
+    return manifest_sink.bloom_skip_scan_query(spark, sf_dir)
+
+
 @query("manifest_merge_into", oracle=manifest_sink.MERGE_INTO_SQL)
 def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full MERGE INTO clause surface (conditional UPDATE SET, DELETE,

@@ -69,6 +69,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import bloom as _bloom
 from .upsert import (
     DEFAULT_BUCKETS,
     WriterFencedError,
@@ -303,6 +304,23 @@ def _collect_file_stats(
         bucket = part.split("=", 1)[1]
         out.setdefault(bucket, {})[fname] = _row_col_stats(d, cols)
     return out
+
+
+def _collect_blooms(
+    spark: SparkSession, seg_abs: str, cfg: dict[str, list[int]]
+) -> dict[str, dict[str, str]]:
+    """Per-bucket bloom bitmaps for a freshly written segment (one job,
+    sinks/bloom.py). Empty when the table has no bloom config or the
+    commit wrote no data buckets."""
+    if not cfg:
+        return {}
+    if not any(e.startswith("pk_bucket=") for e in os.listdir(seg_abs)):
+        return {}
+    return _bloom.collect_bloom_stats(spark.read.parquet(seg_abs), cfg)
+
+
+def _type_names(schema: StructType) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
 
 
 # ---------------------------------------------------------------------------
@@ -565,6 +583,11 @@ def delete_where(
             "row_counts": mf.get("row_counts", {}),
             "deletes": deletes,
             "delete_counts": delete_counts,
+            # blooms carry untouched: MoR rows only DISAPPEAR, so a
+            # stale bit is a false positive (wasted read), never a
+            # false negative (wrong prune)
+            "bloom": mf.get("bloom", {}),
+            "blooms": mf.get("blooms", {}),
             "constraints": mf.get("constraints", {}),
             "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(
@@ -756,6 +779,10 @@ def restore_table(
             "row_counts": old.get("row_counts", {}),
             "deletes": old.get("deletes", {}),
             "delete_counts": old.get("delete_counts", {}),
+            # bitmaps describe the restored DATA; the index CONFIG is
+            # table metadata and carries from current like constraints
+            "bloom": cur.get("bloom", {}),
+            "blooms": old.get("blooms", {}),
             "constraints": cur.get("constraints", {}),
             # writer-progress state carries from CURRENT, not the
             # restored snapshot: a restore must not trick a streaming
@@ -1025,6 +1052,14 @@ def manifest_upsert(
         delete_counts = {
             b: prev_dcnt[b] for b in carried if b in prev_dcnt
         }
+        # bloom bitmaps: carried buckets keep theirs by reference;
+        # rewritten buckets get fresh bitmaps (or none, when
+        # collect_stats=False — absent = unprunable, sound)
+        bloom_cfg = mf.get("bloom", {}) if mf is not None else {}
+        prev_blooms = mf.get("blooms", {}) if mf is not None else {}
+        blooms = {b: prev_blooms[b] for b in carried if b in prev_blooms}
+        if collect_stats and bloom_cfg:
+            blooms.update(_collect_blooms(spark, seg_abs, bloom_cfg))
         manifest = {
             "version": (mf["version"] if mf else 0) + 1,
             "token": token,
@@ -1037,6 +1072,8 @@ def manifest_upsert(
             "row_counts": row_counts,
             "deletes": deletes,
             "delete_counts": delete_counts,
+            "bloom": bloom_cfg,
+            "blooms": blooms,
             "constraints": mf.get("constraints", {}) if mf else {},
             "txns": {
                 **(mf.get("txns", {}) if mf else {}),
@@ -1394,6 +1431,156 @@ def drop_table_constraint(
         release_table_lease(table_path, token)
 
 
+def add_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    m: int = _bloom.DEFAULT_M,
+    k: int = _bloom.DEFAULT_K,
+) -> int:
+    """Record a bloom index on `column` and BACKFILL bitmaps for every
+    current bucket (Delta's `CREATE BLOOMFILTER INDEX`, which only
+    covers future files — the manifest's per-bucket dirs make the
+    backfill one bounded job: group the current bucket dirs by segment
+    root, read each root once, one position-agg over the union). Later
+    commits maintain the bitmaps bucket-wise exactly like stats: fresh
+    for rewritten buckets, carried by reference for untouched ones.
+
+    `m`: bitmap size in bits (multiple of 8) — size for the expected
+    DISTINCT values per bucket (~m/10 at 1% fpr with k=3). `k`: seeded
+    hash count. Raises on non-bloomable column types (the driver-side
+    probe replays keyhash.py's xxhash64, which covers ints/longs/
+    strings)."""
+    if m <= 0 or m % 8:
+        raise ValueError(f"bloom m must be a positive multiple of 8: {m}")
+    if k <= 0:
+        raise ValueError(f"bloom k must be positive: {k}")
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        cfg = dict(mf.get("bloom", {}))
+        if column in cfg:
+            raise ValueError(
+                f"bloom index on {column!r} already exists on "
+                f"{table_path} (m={cfg[column][0]}, k={cfg[column][1]}); "
+                "drop it first"
+            )
+        schema = _data_schema(mf)
+        tmap = _type_names(schema)
+        if column not in tmap:
+            raise ValueError(
+                f"no column {column!r} on {table_path} "
+                f"(have: {sorted(tmap)})"
+            )
+        if not _bloom.bloom_supported(tmap[column]):
+            raise ValueError(
+                f"bloom index needs an int/bigint/string column; "
+                f"{column!r} is {tmap[column]}"
+            )
+        cfg[column] = [m, k]
+        # backfill: one read per distinct segment root (basePath keeps
+        # the pk_bucket partition column), one position-agg over the
+        # union — IO bounded by the single column's bytes
+        by_root: dict[str, list[str]] = {}
+        for d in mf["buckets"].values():
+            dir_abs = os.path.join(table_path, d)
+            by_root.setdefault(os.path.dirname(dir_abs), []).append(
+                dir_abs
+            )
+        blooms = dict(mf.get("blooms", {}))
+        frames = [
+            spark.read.option("basePath", root)
+            .parquet(*dirs)
+            .select(column, "pk_bucket")
+            for root, dirs in sorted(by_root.items())
+        ]
+        if frames:
+            seg = frames[0]
+            for f in frames[1:]:
+                seg = seg.unionByName(f)
+            for b, cols in _bloom.collect_bloom_stats(
+                seg, {column: [m, k]}
+            ).items():
+                blooms.setdefault(b, {}).update(cols)
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "bloom": cfg,
+            "blooms": blooms,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "add-bloom-index",
+            "op_metrics": {"column": column, "m": m, "k": k},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
+def drop_bloom_index(
+    spark: SparkSession, table_path: str, column: str
+) -> int:
+    """Metadata-only commit removing a bloom index and its bitmaps."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        cfg = dict(mf.get("bloom", {}))
+        if column not in cfg:
+            raise ValueError(
+                f"no bloom index on {column!r} on {table_path} "
+                f"(have: {sorted(cfg)})"
+            )
+        dropped = cfg.pop(column)
+        blooms = {
+            b: {c: h for c, h in cols.items() if c != column}
+            for b, cols in mf.get("blooms", {}).items()
+        }
+        blooms = {b: cols for b, cols in blooms.items() if cols}
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "bloom": cfg,
+            "blooms": blooms,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "drop-bloom-index",
+            "op_metrics": {"column": column, "m": dropped[0], "k": dropped[1]},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
 def _data_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
@@ -1450,10 +1637,12 @@ def read_manifest_table(
     items = mf["buckets"].items()
     if skip:
         stats = mf.get("stats", {})
+        tmap = _type_names(schema)
         items = [
             (b, d)
             for b, d in items
             if _bucket_may_match(stats.get(b, {}), skip)
+            and _bloom.bloom_may_match(mf, b, skip, tmap)
         ]
     # two pruning granularities: whole bucket dirs via per-bucket stats
     # (above), then individual FILES inside clustered dirs via per-file
@@ -1546,11 +1735,14 @@ def read_manifest_lookup(
         for k in keys
     ]
     paths = []
+    tmap = _type_names(schema)
     for b in bucket_ids:
         bs = str(b)
         if bs not in mf["buckets"]:
             continue
         if not _bucket_may_match(stats.get(bs, {}), skip):
+            continue
+        if not _bloom.bloom_may_match(mf, bs, skip, tmap):
             continue
         d = mf["buckets"][bs]
         per_file = fstats.get(bs)
@@ -1784,6 +1976,12 @@ def optimize_table(
             "stats": stats,
             "file_stats": file_stats,
             "row_counts": row_counts,
+            "bloom": mf.get("bloom", {}),
+            "blooms": (
+                _collect_blooms(spark, seg_abs, mf.get("bloom", {}))
+                if collect_stats
+                else {}
+            ),
             "constraints": mf.get("constraints", {}),
             "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
@@ -2154,6 +2352,8 @@ def clone_table(
                 for b, lst in mf.get("deletes", {}).items()
             },
             "delete_counts": mf.get("delete_counts", {}),
+            "bloom": mf.get("bloom", {}),
+            "blooms": mf.get("blooms", {}),
             "constraints": mf.get("constraints", {}),
             # a fresh writer lineage: the source's idempotent-writer
             # ledger must not make the clone reject first epochs
@@ -2852,6 +3052,53 @@ WITH v2 AS (
 )
 SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM v2 WHERE n_chars BETWEEN 300 AND 900
+GROUP BY source
+"""
+
+
+#: the bloom_skip_scan probe list — FIXED literals (no driver collect):
+#: tags of doc_ids on the 97-grid (present wherever the corpus reaches
+#: that id) plus tags no document ever writes (pruned to zero IO by the
+#: bitmaps — pinned by test_manifest_bloom.py)
+BLOOM_PROBE_TAGS = [f"t{i * 97}" for i in range(32)] + [
+    f"absent{i}" for i in range(8)
+]
+
+
+def bloom_skip_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Bloom-pruned equality probe as an oracle-checked query
+    (sinks/bloom.py): documents land keyed by doc_id with a
+    high-cardinality `tag` column (`'t' || doc_id` — min/max stats
+    cannot prune an equality probe on it: every bucket's [min, max]
+    spans the whole tag space), `add_bloom_index('tag')` backfills
+    per-bucket bitmaps, and an IN probe of 40 fixed tags opens only the
+    bucket dirs whose bitmaps admit at least one probed value. The
+    residual filter keeps the result exact at any false-positive rate;
+    absent tags are provably-absent and contribute zero IO."""
+    docs = _docs_frame(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("t"), F.col("doc_id").cast("string"))
+    )
+
+    def build(table: str) -> None:
+        manifest_upsert(spark, table, docs, ["doc_id"], n_buckets=8)
+        add_bloom_index(spark, table, "tag")
+
+    table = _fixture_table(docs, "manifest_bloom", build)
+    df = read_manifest_table(
+        spark, table, skip=[("tag", "in", list(BLOOM_PROBE_TAGS))]
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+BLOOM_SKIP_SCAN_SQL = f"""
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE 't' || CAST(doc_id AS VARCHAR) IN (
+  {", ".join(f"'{t}'" for t in BLOOM_PROBE_TAGS)}
+)
 GROUP BY source
 """
 

@@ -75,10 +75,12 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..sinks.bloom import bloom_may_match
 from ..sinks.manifest import (
     _bucket_may_match,
     _data_schema,
     _stat_columns,
+    _type_names,
     manifest_upsert,
     read_manifest,
 )
@@ -129,9 +131,12 @@ def _plan_files(
     rides along to locate that file's pending MoR delete keys)."""
     stats = mf.get("stats", {})
     fstats = mf.get("file_stats", {})
+    tmap = _type_names(_data_schema(mf)) if skip else {}
     paths: list[tuple[str, str]] = []
     for b, d in mf["buckets"].items():
         if skip and not _bucket_may_match(stats.get(b, {}), skip):
+            continue
+        if skip and not bloom_may_match(mf, b, skip, tmap):
             continue
         dir_abs = os.path.join(table_path, d)
         per_file = fstats.get(b)
