@@ -509,6 +509,10 @@ _mops = st.lists(
         # byte-policy maintenance: may or may not trigger a rescale at
         # this tiny ceiling; either way the state must be untouched
         st.tuples(st.just("maintain"), st.just(None)),
+        # metadata-only RENAME COLUMN (column mapping): flips the value
+        # column's logical name mid-sequence — every later op, read
+        # path, optimize-normalize, and the CDC replay must follow it
+        st.tuples(st.just("rename"), st.just(None)),
     ),
     min_size=1,
     max_size=6,
@@ -536,10 +540,11 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     table = str(tmp_path_factory.mktemp("prop_manifest") / "t")
     model: dict[int, int] = {}
     committed = False
+    vc = "v"  # the value column's CURRENT logical name (rename flips it)
     for kind, arg in ops:
         if kind == "upsert":
             df = spark.createDataFrame(
-                list(arg.items()), "k int, v long"
+                list(arg.items()), f"k int, {vc} long"
             )
             # n_buckets only on the CREATING commit: after a rescale
             # the table's layout may differ, and pinning 4 on every
@@ -570,7 +575,7 @@ def test_manifest_table_matches_model_under_any_op_sequence(
                 spark,
                 table,
                 F.col("k").isin(sorted(arg)),
-                {"v": F.col("v") + F.lit(1000)},
+                {vc: F.col(vc) + F.lit(1000)},
             )
             for k in arg:
                 if k in model:
@@ -579,24 +584,29 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             mfm.optimize_table(
                 spark,
                 table,
-                cluster_by=["v"] if arg else None,
+                cluster_by=[vc] if arg else None,
                 files_per_bucket=2,
             )
         elif kind == "rescale" and committed:
             mfm.optimize_table(spark, table, n_buckets=arg)
         elif kind == "maintain" and committed:
             mfm.maintain_table(spark, table, max_bucket_bytes=4096)
+        elif kind == "rename" and committed:
+            new_vc = "v_r" if vc == "v" else "v"
+            mfm.rename_column(spark, table, vc, new_vc)
+            vc = new_vc
         elif kind == "vacuum" and committed:
             mfm.vacuum(table, keep_last=1)
     if not committed:
         return
     got = {
-        r.k: r.v for r in mfm.read_manifest_table(spark, table).collect()
+        r.k: getattr(r, vc)
+        for r in mfm.read_manifest_table(spark, table).collect()
     }
     assert got == model
     assert mfm.manifest_row_count(table) == len(model)
-    skipped = mfm.read_manifest_table(spark, table, skip=[("v", ">=", 0)])
-    assert {r.k: r.v for r in skipped.collect()} == {
+    skipped = mfm.read_manifest_table(spark, table, skip=[(vc, ">=", 0)])
+    assert {r.k: getattr(r, vc) for r in skipped.collect()} == {
         k: v for k, v in model.items() if v >= 0
     }
     # every read path agrees: the Python DataSource batch reader must
@@ -607,7 +617,7 @@ def test_manifest_table_matches_model_under_any_op_sequence(
 
     register_manifest_sources(spark)
     ds = {
-        r.k: r.v
+        r.k: getattr(r, vc)
         for r in spark.read.format("manifest")
         .option("path", table)
         .load()
@@ -618,7 +628,7 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     # mix of present and absent keys
     probe = sorted(set(list(model)[:3] + [97, 98]))
     looked = {
-        r.k: r.v
+        r.k: getattr(r, vc)
         for r in mfm.read_manifest_lookup(
             spark, table, [{"k": k} for k in probe]
         ).collect()
@@ -631,21 +641,25 @@ def test_manifest_table_matches_model_under_any_op_sequence(
         base_v = versions[0]
         feed = mfm.table_changes(spark, table, base_v).collect()
         replay = str(tmp_path_factory.mktemp("prop_replay") / "t")
-        mfm.manifest_upsert(
-            spark,
-            replay,
-            mfm.read_manifest_table(spark, table, version=base_v),
-            ["k"],
-            n_buckets=4,
-        )
+        base_df = mfm.read_manifest_table(spark, table, version=base_v)
+        # a rename after base_v leaves the old snapshot under the old
+        # logical name; a real CDC consumer applies the rename DDL to
+        # its replica before replaying the feed — do the same here
+        old_vc = [c for c in base_df.columns if c != "k"][0]
+        if old_vc != vc:
+            base_df = base_df.withColumnRenamed(old_vc, vc)
+        mfm.manifest_upsert(spark, replay, base_df, ["k"], n_buckets=4)
         if feed:
             df = spark.createDataFrame(
-                [(r.k, r.v, r.change_type == "delete") for r in feed],
-                "k int, v long, _gone boolean",
+                [
+                    (r.k, getattr(r, vc), r.change_type == "delete")
+                    for r in feed
+                ],
+                f"k int, {vc} long, _gone boolean",
             )
             mfm.manifest_upsert(spark, replay, df, ["k"], tombstone_col="_gone")
         got2 = {
-            r.k: r.v
+            r.k: getattr(r, vc)
             for r in mfm.read_manifest_table(spark, replay).collect()
         }
         assert got2 == model
@@ -664,12 +678,14 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             {"version": base_v}, {"version": versions[-1]}
         )
         streamed = {
-            (row["k"], row["v"], row["change_type"])
+            (row["k"], row[vc], row["change_type"])
             for p in parts
             for b in rdr.read(p)
             for row in pa.Table.from_batches([b]).to_pylist()
         }
-        assert streamed == {(r.k, r.v, r.change_type) for r in feed}
+        assert streamed == {
+            (r.k, getattr(r, vc), r.change_type) for r in feed
+        }
 
 
 # ---------------------------------------------------------------------------

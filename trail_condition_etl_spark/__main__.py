@@ -49,9 +49,20 @@ def main(argv: list[str] | None = None) -> int:
     for tcmd in (
         "history", "count", "optimize", "vacuum", "delete", "update",
         "restore", "maintain", "clone", "release-clone",
+        "rename-column", "drop-column", "add-bloom", "drop-bloom",
     ):
         tp = tsub.add_parser(tcmd)
         tp.add_argument("path")
+        if tcmd == "rename-column":
+            tp.add_argument("old")
+            tp.add_argument("new")
+        if tcmd in ("drop-column", "add-bloom", "drop-bloom"):
+            tp.add_argument("column")
+        if tcmd == "add-bloom":
+            tp.add_argument("--m", type=int, default=None,
+                            help="bitmap bits per bucket (multiple of 8)")
+            tp.add_argument("--k", type=int, default=None,
+                            help="seeded hash count")
         if tcmd in ("clone", "release-clone"):
             tp.add_argument("dst", help="clone table path")
         if tcmd == "clone":
@@ -190,6 +201,26 @@ def _table_cmd(args) -> int:
     elif args.tcmd == "release-clone":
         had = mf.release_clone(args.path, args.dst)
         print("pin released" if had else "no pin registered for that clone")
+    elif args.tcmd == "rename-column":
+        v = mf.rename_column(spark, args.path, args.old, args.new)
+        print(f"renamed {args.old} -> {args.new} (metadata only) "
+              f"-> version {v}")
+    elif args.tcmd == "drop-column":
+        v = mf.drop_column(spark, args.path, args.column)
+        print(f"dropped {args.column} (metadata only; bytes purge at the "
+              f"next optimize) -> version {v}")
+    elif args.tcmd == "add-bloom":
+        from .sinks import bloom as bl
+
+        v = mf.add_bloom_index(
+            spark, args.path, args.column,
+            m=args.m if args.m is not None else bl.DEFAULT_M,
+            k=args.k if args.k is not None else bl.DEFAULT_K,
+        )
+        print(f"bloom index on {args.column} backfilled -> version {v}")
+    elif args.tcmd == "drop-bloom":
+        v = mf.drop_bloom_index(spark, args.path, args.column)
+        print(f"bloom index on {args.column} dropped -> version {v}")
     elif args.tcmd == "maintain":
         v = mf.maintain_table(
             spark, args.path,

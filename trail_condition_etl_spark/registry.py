@@ -905,6 +905,16 @@ def q_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.bloom_skip_scan_query(spark, sf_dir)
 
 
+@query("column_mapping", oracle=manifest_sink.COLUMN_MAPPING_SQL)
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metadata-only RENAME/DROP COLUMN (Delta column mapping): rename
+    # moves zero bytes, drop tombstones the physical name, a re-added
+    # column gets a fresh physical so dropped bytes never resurrect;
+    # the post-rename upsert exercises the logical->physical write edge
+    ensure_engine_conf(spark)
+    return manifest_sink.column_mapping_query(spark, sf_dir)
+
+
 @query("manifest_merge_into", oracle=manifest_sink.MERGE_INTO_SQL)
 def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full MERGE INTO clause surface (conditional UPDATE SET, DELETE,
@@ -1725,6 +1735,10 @@ _PINNED_HEAD = [
     "trail_classifier", "clone_guard", "pyds_cdf_batch",
     "pyds_replace_where", "pyds_manifest_scan", "pyds_time_travel",
     "manifest_clone", "merge_by_source",
+    # r10 session 2: bloom-filter pruning and column mapping are new;
+    # column mapping also rewired every manifest read edge, so its
+    # flagship plus the batch-scan flagship above re-check first
+    "bloom_skip_scan", "column_mapping",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

@@ -101,16 +101,63 @@ def list_versions(table_path: str) -> list[int]:
     )
 
 
+#: reader feature gate (Delta's protocol readerFeatures): a manifest
+#: lists the features a correct read REQUIRES under
+#: `required_reader_features`; a reader that doesn't know one must
+#: refuse loudly instead of misreading (e.g. a pre-column-mapping
+#: reader would silently NULL-fill every renamed column). This set is
+#: what THIS build understands — writers stamp exactly the subset a
+#: manifest actually uses, so old tables never gain gates they don't
+#: need and new readers keep reading old tables.
+SUPPORTED_READER_FEATURES = frozenset(
+    {"column-mapping", "bloom-index", "merge-on-read-deletes"}
+)
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The manifest requires a reader feature this build doesn't know.
+    Reading anyway would return WRONG data (not an error), so every
+    read path refuses up front — Delta's protocol-version contract."""
+
+
+def required_reader_features(manifest: dict) -> list[str]:
+    """The reader features a correct read of `manifest` depends on —
+    recomputed from content at commit time, never carried blindly."""
+    feats = []
+    if manifest.get("column_mapping") or manifest.get("retired_physical"):
+        feats.append("column-mapping")
+    if manifest.get("deletes"):
+        feats.append("merge-on-read-deletes")
+    # bloom is advisory (ignoring bitmaps is slower, never wrong), so
+    # it is deliberately NOT a required reader feature
+    return feats
+
+
 def read_manifest(table_path: str, version: int | None = None) -> dict | None:
     """The manifest for `version` (default: latest). None when the table
-    has no commits yet."""
+    has no commits yet. Raises UnsupportedTableFeatureError when the
+    manifest names a required reader feature this build lacks — every
+    read and write path resolves manifests through here, so the gate
+    covers the whole surface."""
     if version is None:
         versions = list_versions(table_path)
         if not versions:
             return None
         version = versions[-1]
     with open(_manifest_path(table_path, version)) as f:
-        return json.load(f)
+        mf = json.load(f)
+    unknown = (
+        set(mf.get("required_reader_features", []))
+        - SUPPORTED_READER_FEATURES
+    )
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"{table_path} version {version} requires reader feature(s) "
+            f"{sorted(unknown)} this build does not support "
+            f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); reading "
+            "anyway would return wrong data — upgrade the reader"
+        )
+    return mf
 
 
 def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
@@ -121,6 +168,12 @@ def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
     gets a fenced abort, never a lost commit. On an object store this
     is the if-none-match conditional PUT."""
     check_fence(table_path, token)
+    # stamp the reader feature gate from CONTENT, at the one choke
+    # point every commit path funnels through — a manifest only ever
+    # requires features it actually uses
+    manifest["required_reader_features"] = required_reader_features(
+        manifest
+    )
     dest = _manifest_path(table_path, manifest["version"])
     os.makedirs(_manifest_dir(table_path), exist_ok=True)
     tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
@@ -588,6 +641,8 @@ def delete_where(
             # false negative (wrong prune)
             "bloom": mf.get("bloom", {}),
             "blooms": mf.get("blooms", {}),
+            "column_mapping": _mapping(mf),
+            "retired_physical": mf.get("retired_physical", []),
             "constraints": mf.get("constraints", {}),
             "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(
@@ -783,6 +838,16 @@ def restore_table(
             # table metadata and carries from current like constraints
             "bloom": cur.get("bloom", {}),
             "blooms": old.get("blooms", {}),
+            # mapping travels WITH the schema it names (both from the
+            # restored snapshot); retired tombstones only ever grow —
+            # union both sides so no physical name is ever reusable
+            "column_mapping": old.get("column_mapping", {}),
+            "retired_physical": sorted(
+                {
+                    *old.get("retired_physical", []),
+                    *cur.get("retired_physical", []),
+                }
+            ),
             "constraints": cur.get("constraints", {}),
             # writer-progress state carries from CURRENT, not the
             # restored snapshot: a restore must not trick a streaming
@@ -988,7 +1053,7 @@ def manifest_upsert(
             if old_dirs:
                 existing = _apply_deletes(
                     spark,
-                    spark.read.schema(_data_schema(mf)).parquet(*old_dirs),
+                    _read_segments(spark, mf, old_dirs),
                     table_path,
                     mf,
                     touched,
@@ -1003,11 +1068,31 @@ def manifest_upsert(
                 )
             else:
                 merged = new_b
+        # column mapping: everything above is LOGICAL; files hold
+        # PHYSICAL names. A NEW column whose name collides with a
+        # retired or in-use physical name gets a fresh physical name —
+        # re-add after drop must never resurrect the old bytes still
+        # sitting in carried segments.
+        mapping = dict(_mapping(mf))
+        retired = (
+            list(mf.get("retired_physical", [])) if mf is not None else []
+        )
+        if mf is not None and (retired or mapping):
+            prev_names = {f.name for f in _data_schema(mf).fields}
+            taken = set(retired) | set(mapping.values())
+            for c in merged.columns:
+                if c == "pk_bucket" or c in prev_names or c in mapping:
+                    continue
+                if c in taken:
+                    fresh = f"{c}__p{mf['version'] + 1}"
+                    while fresh in taken:
+                        fresh += "x"
+                    mapping[c] = fresh
         seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
         seg_abs = os.path.join(table_path, seg)
-        merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(
-            seg_abs
-        )
+        _to_physical_frame(merged, mapping).write.partitionBy(
+            "pk_bucket"
+        ).mode("overwrite").parquet(seg_abs)
         buckets = dict(carried)
         for e in os.listdir(seg_abs):
             if e.startswith("pk_bucket="):
@@ -1032,8 +1117,11 @@ def manifest_upsert(
         row_counts = {b: prev_counts[b] for b in carried if b in prev_counts}
         seg_counts: dict[str, int] = {}
         if collect_stats:
+            # stats key by PHYSICAL name (they describe file contents)
             seg_stats, seg_counts = _collect_segment_stats(
-                spark, seg_abs, _stat_columns(schema)
+                spark,
+                seg_abs,
+                [mapping.get(c, c) for c in _stat_columns(schema)],
             )
             stats.update(seg_stats)
             row_counts.update(seg_counts)
@@ -1074,6 +1162,8 @@ def manifest_upsert(
             "delete_counts": delete_counts,
             "bloom": bloom_cfg,
             "blooms": blooms,
+            "column_mapping": mapping,
+            "retired_physical": retired,
             "constraints": mf.get("constraints", {}) if mf else {},
             "txns": {
                 **(mf.get("txns", {}) if mf else {}),
@@ -1229,7 +1319,7 @@ def _merge_into_once(
         if str(b) in mf["buckets"]
     ]
     tgt = (
-        spark.read.schema(schema).parquet(*dirs)
+        _read_segments(spark, mf, dirs)
         if dirs
         else spark.createDataFrame([], schema)
     )
@@ -1483,7 +1573,15 @@ def add_bloom_index(
                 f"bloom index needs an int/bigint/string column; "
                 f"{column!r} is {tmap[column]}"
             )
-        cfg[column] = [m, k]
+        # config keys by PHYSICAL name, like stats: bitmaps describe
+        # file contents and must survive a later logical rename
+        pcol = _physical_name(mf, column)
+        if pcol in cfg:
+            raise ValueError(
+                f"bloom index on {column!r} already exists on "
+                f"{table_path}; drop it first"
+            )
+        cfg[pcol] = [m, k]
         # backfill: one read per distinct segment root (basePath keeps
         # the pk_bucket partition column), one position-agg over the
         # union — IO bounded by the single column's bytes
@@ -1497,7 +1595,7 @@ def add_bloom_index(
         frames = [
             spark.read.option("basePath", root)
             .parquet(*dirs)
-            .select(column, "pk_bucket")
+            .select(pcol, "pk_bucket")
             for root, dirs in sorted(by_root.items())
         ]
         if frames:
@@ -1505,7 +1603,7 @@ def add_bloom_index(
             for f in frames[1:]:
                 seg = seg.unionByName(f)
             for b, cols in _bloom.collect_bloom_stats(
-                seg, {column: [m, k]}
+                seg, {pcol: [m, k]}
             ).items():
                 blooms.setdefault(b, {}).update(cols)
         manifest = {
@@ -1546,14 +1644,15 @@ def drop_bloom_index(
                 f"no committed manifest under {table_path}"
             )
         cfg = dict(mf.get("bloom", {}))
-        if column not in cfg:
+        pcol = _physical_name(mf, column)
+        if pcol not in cfg:
             raise ValueError(
                 f"no bloom index on {column!r} on {table_path} "
                 f"(have: {sorted(cfg)})"
             )
-        dropped = cfg.pop(column)
+        dropped = cfg.pop(pcol)
         blooms = {
-            b: {c: h for c, h in cols.items() if c != column}
+            b: {c: h for c, h in cols.items() if c != pcol}
             for b, cols in mf.get("blooms", {}).items()
         }
         blooms = {b: cols for b, cols in blooms.items() if cols}
@@ -1583,6 +1682,239 @@ def drop_bloom_index(
 
 def _data_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
+
+
+# ---------------------------------------------------------------------------
+# column mapping (Delta's RENAME/DROP COLUMN without rewrite): data
+# files ALWAYS hold PHYSICAL column names; the manifest's `schema` holds
+# LOGICAL (user-facing) names plus `column_mapping` {logical: physical}
+# for the renamed ones (identity entries are omitted). Dropped columns
+# leave their bytes in place (`retired_physical` tombstones the name so
+# a re-added column gets a FRESH physical name and old bytes can never
+# resurrect); the next full rewrite (optimize) purges them and
+# re-normalizes physical == logical. Stats / file_stats / bloom config
+# are keyed by PHYSICAL name (they describe file contents); skip
+# conjuncts arrive logical and translate at the consult site.
+# ---------------------------------------------------------------------------
+
+
+def _mapping(mf: dict | None) -> dict[str, str]:
+    """logical -> physical for renamed columns ({} = fully identity)."""
+    return mf.get("column_mapping", {}) if mf else {}
+
+
+def _physical_name(mf: dict | None, col: str) -> str:
+    return _mapping(mf).get(col, col)
+
+
+def _physical_schema(mf: dict) -> StructType:
+    """The manifest's logical schema with physical field names, same
+    field order — what `spark.read.schema(...)` must use against the
+    table's data files."""
+    from pyspark.sql.types import StructField
+
+    m = _mapping(mf)
+    if not m:
+        return _data_schema(mf)
+    return StructType(
+        [
+            StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+            for f in _data_schema(mf).fields
+        ]
+    )
+
+
+def _skip_physical(mf: dict, skip: list[tuple]) -> list[tuple]:
+    """Skip conjuncts with column names translated logical -> physical
+    (stats and bloom config key by physical name)."""
+    m = _mapping(mf)
+    if not m:
+        return skip
+    return [(m.get(c, c), op, v) for c, op, v in skip]
+
+
+def _read_segments(spark: SparkSession, mf: dict, paths: list[str]) -> DataFrame:
+    """Segment data files -> a LOGICAL-named DataFrame: read with the
+    physical schema (files written before an additive evolution lack
+    later columns and read NULL; retired physical columns are simply
+    not selected), then rename positionally to logical."""
+    logical = _data_schema(mf)
+    if not _mapping(mf):
+        return spark.read.schema(logical).parquet(*paths)
+    phys = _physical_schema(mf)
+    return spark.read.schema(phys).parquet(*paths).toDF(
+        *[f.name for f in logical.fields]
+    )
+
+
+def _to_physical_frame(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a logical-named frame's mapped columns to physical before
+    a segment write (extra columns like pk_bucket pass through)."""
+    renames = {c: mapping[c] for c in df.columns if c in mapping}
+    if not renames:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames[c]) if c in renames else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only (Delta's column
+    mapping): zero data bytes move, the manifest records the new
+    logical name against the stable physical one. Restrictions (each
+    raises): merge keys (a rename would desynchronize delete-file and
+    lookup plumbing — Delta under 'name' mapping restricts partition
+    columns the same way), columns referenced by a CHECK constraint
+    (drop the constraint first; rewriting user SQL is guesswork), and
+    collisions with an existing logical name."""
+    import re as _re
+
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        schema = _data_schema(mf)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(
+                f"no column {old!r} on {table_path} (have: {sorted(names)})"
+            )
+        if new in names:
+            raise ValueError(
+                f"column {new!r} already exists on {table_path}"
+            )
+        if old in mf["keys"]:
+            raise ValueError(
+                f"cannot rename merge key column {old!r} ({table_path})"
+            )
+        for cname, cexpr in mf.get("constraints", {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+                raise ValueError(
+                    f"cannot rename {old!r}: constraint {cname!r} "
+                    f"({cexpr}) references it — drop the constraint "
+                    "first, re-add it against the new name"
+                )
+        mapping = dict(_mapping(mf))
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        new_schema = StructType(
+            [
+                f if f.name != old else type(f)(new, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "schema": new_schema.json(),
+            "column_mapping": mapping,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "rename-column",
+            "op_metrics": {"column": old, "to": new, "physical": phys},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
+def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only: the column vanishes
+    from every read surface immediately; its bytes stay in place until
+    the next `optimize_table` purges them (Delta's DROP COLUMN +
+    REORG ... APPLY (PURGE)). The physical name is tombstoned so a
+    later re-add gets a fresh physical name — old bytes can never
+    resurrect into the new column. Same restrictions as rename: merge
+    keys and constraint-referenced columns refuse."""
+    import re as _re
+
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        schema = _data_schema(mf)
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(
+                f"no column {col!r} on {table_path} (have: {sorted(names)})"
+            )
+        if col in mf["keys"]:
+            raise ValueError(
+                f"cannot drop merge key column {col!r} ({table_path})"
+            )
+        for cname, cexpr in mf.get("constraints", {}).items():
+            if _re.search(rf"\b{_re.escape(col)}\b", cexpr):
+                raise ValueError(
+                    f"cannot drop {col!r}: constraint {cname!r} "
+                    f"({cexpr}) references it — drop the constraint first"
+                )
+        mapping = dict(_mapping(mf))
+        phys = mapping.pop(col, col)
+        retired = list(mf.get("retired_physical", []))
+        if phys not in retired:
+            retired.append(phys)
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        # the dropped column's bloom index (keyed physical) goes with it
+        bloom_cfg = {
+            c: v for c, v in mf.get("bloom", {}).items() if c != phys
+        }
+        blooms = {
+            b: {c: h for c, h in cols.items() if c != phys}
+            for b, cols in mf.get("blooms", {}).items()
+        }
+        blooms = {b: cols for b, cols in blooms.items() if cols}
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "schema": new_schema.json(),
+            "column_mapping": mapping,
+            "retired_physical": retired,
+            "bloom": bloom_cfg,
+            "blooms": blooms,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "drop-column",
+            "op_metrics": {"column": col, "physical": phys},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
 
 
 def version_as_of(table_path: str, ts) -> int:
@@ -1635,14 +1967,15 @@ def read_manifest_table(
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     schema = _data_schema(mf)
     items = mf["buckets"].items()
+    skip_p = _skip_physical(mf, skip) if skip else skip
     if skip:
         stats = mf.get("stats", {})
-        tmap = _type_names(schema)
+        tmap = _type_names(_physical_schema(mf))
         items = [
             (b, d)
             for b, d in items
-            if _bucket_may_match(stats.get(b, {}), skip)
-            and _bloom.bloom_may_match(mf, b, skip, tmap)
+            if _bucket_may_match(stats.get(b, {}), skip_p)
+            and _bloom.bloom_may_match(mf, b, skip_p, tmap)
         ]
     # two pruning granularities: whole bucket dirs via per-bucket stats
     # (above), then individual FILES inside clustered dirs via per-file
@@ -1656,13 +1989,13 @@ def read_manifest_table(
             paths.extend(
                 os.path.join(table_path, d, fn)
                 for fn, cs in per_file.items()
-                if _bucket_may_match(cs, skip)
+                if _bucket_may_match(cs, skip_p)
             )  # empty => every file in the dir is provably non-matching
         else:
             paths.append(os.path.join(table_path, d))
     if not paths:  # every row deleted/pruned/never written: empty frame
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*paths)
+    df = _read_segments(spark, mf, paths)
     if skip:
         df = df.filter(skip_filter_expr(skip))
     # pending merge-on-read deletes of the SURVIVING buckets anti-join
@@ -1759,7 +2092,9 @@ def read_manifest_lookup(
             paths.append(os.path.join(table_path, d))
     if not paths:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*paths)
+    # key columns are never renamable, so the key-only `skip` above
+    # needs no logical->physical translation; the full-width read does
+    df = _read_segments(spark, mf, paths)
     df = df.join(F.broadcast(lookup), keys, "left_semi")
     # a key with a pending MoR delete must look up as absent
     return _apply_deletes(spark, df, table_path, mf, bucket_ids)
@@ -1966,6 +2301,12 @@ def optimize_table(
             if collect_stats and cluster_by
             else {}
         )
+        # bloom config keys follow the physical names, which this full
+        # rewrite just normalized back to logical
+        inv_map = {p: l for l, p in _mapping(mf).items()}
+        bloom_cfg = {
+            inv_map.get(c, c): v for c, v in mf.get("bloom", {}).items()
+        }
         manifest = {
             "version": mf["version"] + 1,
             "token": token,
@@ -1976,12 +2317,18 @@ def optimize_table(
             "stats": stats,
             "file_stats": file_stats,
             "row_counts": row_counts,
-            "bloom": mf.get("bloom", {}),
+            "bloom": bloom_cfg,
             "blooms": (
-                _collect_blooms(spark, seg_abs, mf.get("bloom", {}))
+                _collect_blooms(spark, seg_abs, bloom_cfg)
                 if collect_stats
                 else {}
             ),
+            # the full rewrite just landed LOGICAL column names on disk
+            # (`current` is a logical frame): physical == logical again,
+            # dropped columns physically purged — Delta's REORG ...
+            # APPLY (PURGE), folded into every optimize
+            "column_mapping": {},
+            "retired_physical": [],
             "constraints": mf.get("constraints", {}),
             "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
@@ -2246,8 +2593,25 @@ def table_changes(
     if mf_to is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     keys = mf_to["keys"]
+    mf_from = read_manifest(table_path, from_version)
     old = read_manifest_table(spark, table_path, from_version)
     new = read_manifest_table(spark, table_path, mf_to["version"])
+    # column identity is PHYSICAL (column mapping): a rename between
+    # the two versions is metadata-only and must not read as a change,
+    # and a dropped-then-re-added column (fresh physical) must read as
+    # new on every row — align the old side to the NEW logical names
+    # by physical identity, dropping old columns with no new identity
+    inv_to = {
+        _physical_name(mf_to, f.name): f.name
+        for f in _data_schema(mf_to).fields
+    }
+    old = old.select(
+        *[
+            F.col(f.name).alias(inv_to[_physical_name(mf_from, f.name)])
+            for f in _data_schema(mf_from).fields
+            if _physical_name(mf_from, f.name) in inv_to
+        ]
+    )
     compare = [c for c in new.columns if c not in keys]
     new_types = {f.name: f.dataType for f in new.schema.fields}
     old_side = [
@@ -2354,6 +2718,8 @@ def clone_table(
             "delete_counts": mf.get("delete_counts", {}),
             "bloom": mf.get("bloom", {}),
             "blooms": mf.get("blooms", {}),
+            "column_mapping": _mapping(mf),
+            "retired_physical": mf.get("retired_physical", []),
             "constraints": mf.get("constraints", {}),
             # a fresh writer lineage: the source's idempotent-writer
             # ledger must not make the clone reject first epochs
@@ -3103,6 +3469,55 @@ GROUP BY source
 """
 
 
+def column_mapping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Column mapping (metadata-only RENAME/DROP COLUMN) as an
+    oracle-checked query. Build: documents land with an extra
+    `tmp_flag` column; `n_chars` is RENAMED to `body_chars` (zero bytes
+    move); `tmp_flag` is DROPPED (bytes stay, tombstoned); a second
+    batch then upserts doc_id%3==1 under the NEW logical name with
+    tripled chars AND RE-ADDS `tmp_flag` — which gets a fresh physical
+    name, so the dropped bytes still sitting in untouched buckets must
+    read NULL, never the old values. The aggregate proves all of it
+    cross-engine: `sum_chars` exercises the rename through write and
+    read edges, `n_flagged` (non-null count) is exactly the second
+    batch — any resurrection of dropped bytes would inflate it."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        base = docs.withColumn(
+            "tmp_flag", (F.col("doc_id") % 2).cast("long")
+        )
+        manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
+        rename_column(spark, table, "n_chars", "body_chars")
+        drop_column(spark, table, "tmp_flag")
+        batch2 = (
+            docs.filter(F.col("doc_id") % 3 == 1)
+            .withColumn("body_chars", F.col("n_chars") * 3)
+            .drop("n_chars")
+            .withColumn("tmp_flag", F.lit(99).cast("long"))
+        )
+        manifest_upsert(spark, table, batch2, ["doc_id"])
+
+    table = _fixture_table(docs, "manifest_colmap", build)
+    df = read_manifest_table(spark, table)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("body_chars").alias("sum_chars"),
+        F.count("tmp_flag").alias("n_flagged"),
+    )
+
+
+COLUMN_MAPPING_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars AS BIGINT) * 3
+                ELSE CAST(n_chars AS BIGINT) END) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM documents
+GROUP BY source
+"""
+
+
 def zorder_skip_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Clustered-file skipping (OPTIMIZE ZORDER) as an
     oracle-checked query: orders land keyed by o_orderkey (a price
@@ -3296,6 +3711,12 @@ def read_manifest_cojoin(
     # tiny plan relation give (near-)one task per bucket
     plan = plan.repartitionByRange(n_parts, "bucket")
     keys_local = list(keys)
+    # column mapping per side: files hold physical names; the join and
+    # its output run on logical ones (keys are never renamable)
+    l_inv = {p: ln for ln, p in _mapping(ml).items()}
+    r_inv = {p: ln for ln, p in _mapping(mr).items()}
+    l_ret = list(ml.get("retired_physical", []))
+    r_ret = list(mr.get("retired_physical", []))
 
     def join_buckets(batches):
         import pandas as pd
@@ -3306,7 +3727,7 @@ def read_manifest_cojoin(
             _delete_key_set,
         )
 
-        def load(files, dels, names, project=False):
+        def load(files, dels, names, inv_map, retired, project=False):
             if not files:
                 return pd.DataFrame(columns=names)
             if project:
@@ -3328,6 +3749,14 @@ def read_manifest_cojoin(
                 parts = [pq.read_table(f) for f in files]
             tbl = pa.concat_tables(parts, promote_options="default")
             df = tbl.to_pandas()
+            # column mapping: retire tombstoned physical names, then
+            # rename surviving physical -> logical (order matters: a
+            # re-added column's fresh physical must win the name)
+            drop = [c for c in retired if c in df.columns]
+            if drop:
+                df = df.drop(columns=drop)
+            if inv_map:
+                df = df.rename(columns=inv_map)
             for c in names:  # additive evolution: missing -> null
                 if c not in df.columns:
                     df[c] = None
@@ -3349,9 +3778,14 @@ def read_manifest_cojoin(
                 rfs = json.loads(row.rf)
                 if not lfs or (not rfs and how != "left_anti"):
                     continue
-                left = load(lfs, json.loads(row.ld), l_names)
+                left = load(lfs, json.loads(row.ld), l_names, l_inv, l_ret)
                 right = load(
-                    rfs, json.loads(row.rd), r_names, project=how != "inner"
+                    rfs,
+                    json.loads(row.rd),
+                    r_names,
+                    r_inv,
+                    r_ret,
+                    project=how != "inner",
                 )
                 # SQL join semantics: null never equals null. pandas
                 # merge would match NaN keys (and a null in an int key

@@ -79,6 +79,9 @@ from ..sinks.bloom import bloom_may_match
 from ..sinks.manifest import (
     _bucket_may_match,
     _data_schema,
+    _mapping,
+    _physical_schema,
+    _skip_physical,
     _stat_columns,
     _type_names,
     manifest_upsert,
@@ -131,7 +134,10 @@ def _plan_files(
     rides along to locate that file's pending MoR delete keys)."""
     stats = mf.get("stats", {})
     fstats = mf.get("file_stats", {})
-    tmap = _type_names(_data_schema(mf)) if skip else {}
+    # stats / bloom config key by PHYSICAL column names (manifest.py
+    # column mapping); pushed filters arrive logical
+    skip = _skip_physical(mf, skip) if skip else skip
+    tmap = _type_names(_physical_schema(mf)) if skip else {}
     paths: list[tuple[str, str]] = []
     for b, d in mf["buckets"].items():
         if skip and not _bucket_may_match(stats.get(b, {}), skip):
@@ -162,11 +168,13 @@ class _FilePartition(InputPartition):
         columns: list[str],
         delete_files: list[str],
         keys: list[str],
+        colmap: dict[str, str] | None = None,
     ):
         self.path = path
         self.columns = columns
         self.delete_files = delete_files
         self.keys = keys
+        self.colmap = colmap or {}  # logical -> physical (renames only)
 
 
 def _nullable_arrow_schema(schema: StructType):
@@ -216,6 +224,7 @@ def _arrow_batches(
     schema: StructType,
     delete_files: list[str] = (),
     keys: list[str] = (),
+    colmap: dict[str, str] | None = None,
 ):
     """One parquet file -> Arrow record batches cast to the table
     schema (files written before an additive schema evolution lack the
@@ -233,13 +242,22 @@ def _arrow_batches(
     # one footer parse per file, not two.
     pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
+    # column mapping: files hold PHYSICAL names; project by the mapped
+    # name and match output fields through it. A retired same-named
+    # physical column is never touched — only mapped names are read.
+    cmap = colmap or {}
     table = pf.read(
-        columns=[c for c in columns if c is not None and c in present]
+        columns=[
+            cmap.get(c, c)
+            for c in columns
+            if c is not None and cmap.get(c, c) in present
+        ]
     )
     arrays = []
     for field in want:
-        if field.name in table.column_names:
-            arrays.append(table.column(field.name).cast(field.type))
+        pname = cmap.get(field.name, field.name)
+        if pname in table.column_names:
+            arrays.append(table.column(pname).cast(field.type))
         else:
             arrays.append(pa.nulls(table.num_rows, field.type))
     out = pa.table(arrays, schema=want)
@@ -298,6 +316,7 @@ class ManifestBatchReader(DataSourceReader):
         cols = self._schema.fieldNames()
         dmap = self._mf.get("deletes", {})
         keys = self._mf["keys"]
+        colmap = _mapping(self._mf)
         parts = [
             _FilePartition(
                 p,
@@ -307,6 +326,7 @@ class ManifestBatchReader(DataSourceReader):
                     for d in dmap.get(b, [])
                 ],
                 keys,
+                colmap,
             )
             for b, p in _plan_files(self._table_path, self._mf, self._skip)
         ]
@@ -327,6 +347,7 @@ class ManifestBatchReader(DataSourceReader):
             self._schema,
             delete_files=partition.delete_files,
             keys=partition.keys,
+            colmap=partition.colmap,
         )
 
 
@@ -888,6 +909,29 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         else:
             self._starting = int(options.get("startingVersion", 0))
         self._schema = schema
+        # column-mapping anchor: physical names are immutable once
+        # assigned, so ONE manifest's mapping translates every file in
+        # any version span this reader will ever read — but it must be
+        # the SAME manifest the reader's schema() came from: latest for
+        # the stream source, the span's END version for a batch CDF
+        # read (a rename after endingVersion would otherwise rename
+        # files to logical names the older schema doesn't carry)
+        mf0 = read_manifest(
+            self._table_path,
+            _cdf_end_version(options) if _cdf_requested(options) else None,
+        )
+        from ..sinks.manifest import _physical_name
+
+        self._inv_map = (
+            {
+                _physical_name(mf0, f.name): f.name
+                for f in _data_schema(mf0).fields
+                if _physical_name(mf0, f.name) != f.name
+            }
+            if mf0
+            else {}
+        )
+        self._retired = set(mf0.get("retired_physical", [])) if mf0 else set()
         # admission control (Delta's maxFilesPerTrigger analog, in the
         # unit this source's offsets move in): cap how many table
         # VERSIONS one micro-batch may span, so a consumer resuming
@@ -1151,6 +1195,17 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                 )
             tbl = pa.concat_tables(tables, promote_options="default")
             df = tbl.to_pandas()
+            # column mapping: files hold PHYSICAL names — retire the
+            # tombstoned ones first (a re-added column's fresh physical
+            # must win over same-named dropped bytes), then rename to
+            # the stream's logical names; physical names are stable, so
+            # one anchor mapping serves every version in the span
+            if self._retired:
+                df = df.drop(
+                    columns=[c for c in self._retired if c in df.columns]
+                )
+            if self._inv_map:
+                df = df.rename(columns=self._inv_map)
             for f in data_fields:  # additive evolution: missing -> null
                 if f.name not in df.columns:
                     df[f.name] = None
