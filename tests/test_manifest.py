@@ -1689,3 +1689,50 @@ def test_merge_not_matched_by_source_clauses(spark, tmp_path):
     )
     got2 = {r.k: r.v for r in mf.read_manifest_table(spark, table).collect()}
     assert got2[1] == 5 and len(got2) == len(want)
+
+
+def test_table_changes_preimages(spark, tmp_path):
+    """include_preimages=True (Delta CDF's image pair): each update
+    emits update_preimage (old values) + update_postimage (new values);
+    inserts/deletes are unchanged, and the streaming source's
+    includePreimages option emits the identical set."""
+    table = str(tmp_path / "t")
+    mf.manifest_upsert(
+        spark, table, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"],
+        n_buckets=4,
+    )
+    changes = spark.createDataFrame(
+        [(2, "B2", False), (3, None, True), (4, "d", False)],
+        "k int, v string, _deleted boolean",
+    )
+    mf.manifest_upsert(
+        spark, table, changes, ["k"], tombstone_col="_deleted"
+    )
+    got = {
+        (r.k, r.change_type, r.v)
+        for r in mf.table_changes(
+            spark, table, 1, include_preimages=True
+        ).collect()
+    }
+    assert got == {
+        (2, "update_preimage", "b"),
+        (2, "update_postimage", "B2"),
+        (3, "delete", None),
+        (4, "insert", "d"),
+    }
+    from trail_condition_etl_spark.sources.manifest_source import (
+        register_manifest_sources,
+    )
+
+    register_manifest_sources(spark)
+    streamed = {
+        (r.k, r.change_type, r.v)
+        for r in spark.read.format("manifest")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("includePreimages", "true")
+        .load()
+        .collect()
+    }
+    assert streamed == got

@@ -727,6 +727,10 @@ _w_ops = st.lists(
             ),
             st.tuples(st.just("optimize"), st.booleans()),
             st.tuples(st.just("maintain"), st.just(None)),
+            # metadata-only RENAME COLUMN: interleaves with restores
+            # (the mapping rolls back WITH the schema), optimizes (the
+            # mapping normalizes away), fenced steals, and epochs
+            st.tuples(st.just("rename"), st.just(None)),
             # RESTORE: the one manifest DML verb the model previously
             # never issued — a metadata-only rollback to a recorded
             # snapshot (the arg indexes into the snapshots taken so
@@ -807,14 +811,25 @@ def test_two_writers_with_lease_steals_converge(
     last_epoch: dict[str, int] = {}
     snapshots = [(mfm.read_manifest(table)["version"], dict(model))]
     stale_tokens = []
+
+    def vcol() -> str:
+        # the value column's CURRENT logical name: renames flip it and
+        # restores roll it back, so derive it from the live manifest
+        return next(
+            f.name
+            for f in mfm._data_schema(mfm.read_manifest(table)).fields
+            if f.name != "k"
+        )
+
     for writer, (kind, arg), forge in ops:
+        vc = vcol()
         if forge and _forge_crashed_lease(table):
             # the forged holder "crashed" holding a token no newer than
             # the current fence; its eventual publish must be fenced
             stale_tokens.append(_fence_token(table))
         if kind == "upsert":
             df = spark.createDataFrame(
-                list(arg.items()), "k int, v long"
+                list(arg.items()), f"k int, {vc} long"
             )
             mfm.manifest_upsert(spark, table, df, ["k"])
             model.update(arg)
@@ -830,17 +845,21 @@ def test_two_writers_with_lease_steals_converge(
         elif kind == "update":
             mfm.update_where(
                 spark, table, F.col("k").isin(sorted(arg)),
-                {"v": F.col("v") + F.lit(100)},
+                {vc: F.col(vc) + F.lit(100)},
             )
             for k in arg:
                 if k in model:
                     model[k] += 100
         elif kind == "optimize":
             mfm.optimize_table(
-                spark, table, cluster_by=["v"] if arg else None
+                spark, table, cluster_by=[vc] if arg else None
             )
         elif kind == "maintain":
             mfm.maintain_table(spark, table, max_bucket_bytes=4096)
+        elif kind == "rename":
+            mfm.rename_column(
+                spark, table, vc, "v_r" if vc == "v" else "v"
+            )
         elif kind == "restore":
             tgt_v, tgt_model = snapshots[arg % len(snapshots)]
             mfm.restore_table(spark, table, version=tgt_v)
@@ -849,7 +868,7 @@ def test_two_writers_with_lease_steals_converge(
             eid, batch = arg
             app = f"stream-{writer}"
             df = spark.createDataFrame(
-                list(batch.items()), "k int, v long"
+                list(batch.items()), f"k int, {vc} long"
             )
             if app in last_epoch and eid <= last_epoch[app]:
                 import pytest as _pt
@@ -868,19 +887,19 @@ def test_two_writers_with_lease_steals_converge(
         v = mfm.read_manifest(table)["version"]
         if v != snapshots[-1][0]:
             snapshots.append((v, dict(model)))
-    # convergence: final table state equals the model
-    got = {
-        r.k: r.v for r in mfm.read_manifest_table(spark, table).collect()
-    }
+    # convergence: final table state equals the model (the value
+    # column reads under whatever logical name the sequence left)
+    fin = mfm.read_manifest_table(spark, table)
+    fvc = next(c for c in fin.columns if c != "k")
+    got = {r.k: getattr(r, fvc) for r in fin.collect()}
     assert got == model
     # no committed version lost: contiguous 1..latest, all readable
     versions = mfm.list_versions(table)
     assert versions == list(range(1, versions[-1] + 1))
     for v, snap in snapshots:
-        tv = {
-            r.k: r.v
-            for r in mfm.read_manifest_table(spark, table, v).collect()
-        }
+        tdf = mfm.read_manifest_table(spark, table, v)
+        tvc = next(c for c in tdf.columns if c != "k")
+        tv = {r.k: getattr(r, tvc) for r in tdf.collect()}
         assert tv == snap, f"version {v} no longer matches its snapshot"
     # the crashed writers' late publishes are all fenced
     for tok in stale_tokens:

@@ -905,6 +905,14 @@ def q_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.bloom_skip_scan_query(spark, sf_dir)
 
 
+@query("cdf_preimages", oracle=manifest_sink.CDF_PREIMAGES_SQL)
+def q_cdf_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta CDF's update_preimage/update_postimage pair: one diff join,
+    # per-row explode into the image pair (never a second join)
+    ensure_engine_conf(spark)
+    return manifest_sink.cdf_preimages_query(spark, sf_dir)
+
+
 @query("column_mapping", oracle=manifest_sink.COLUMN_MAPPING_SQL)
 def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only RENAME/DROP COLUMN (Delta column mapping): rename

@@ -2573,6 +2573,7 @@ def table_changes(
     table_path: str,
     from_version: int,
     to_version: int | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """CDC change feed between two committed versions (Delta's
     `table_changes` reduced to its semantics): keys present only in the
@@ -2629,14 +2630,46 @@ def table_changes(
         .when(~F.col("_old").eqNullSafe(F.col("_new")), "update")
         .otherwise("none")
     )
-    return (
-        j.withColumn("change_type", change)
-        .filter(F.col("change_type") != "none")
-        .select(
+    marked = j.withColumn("change_type", change).filter(
+        F.col("change_type") != "none"
+    )
+    if not include_preimages:
+        return marked.select(
             *keys,
             "change_type",
             *[F.col(f"_new.{c}").alias(c) for c in compare],
         )
+    # Delta CDF form: an update emits TWO rows (update_preimage with
+    # the old values, update_postimage with the new) in ONE pass — the
+    # per-row explode keeps the join single-execution instead of three
+    # filtered re-projections of it
+    pair = F.when(
+        F.col("change_type") == "update",
+        F.array(
+            F.struct(
+                F.lit("update_preimage").alias("ct"),
+                F.col("_old").alias("v"),
+            ),
+            F.struct(
+                F.lit("update_postimage").alias("ct"),
+                F.col("_new").alias("v"),
+            ),
+        ),
+    ).otherwise(
+        # insert carries the new values; delete's _new side is the
+        # full-outer join's NULL struct, so its values land NULL —
+        # exactly the non-preimage contract
+        F.array(
+            F.struct(
+                F.col("change_type").alias("ct"), F.col("_new").alias("v")
+            )
+        )
+    )
+    e = marked.select(*keys, F.explode(pair).alias("_e"))
+    return e.select(
+        *keys,
+        F.col("_e.ct").alias("change_type"),
+        *[F.col(f"_e.v.{c}").alias(c) for c in compare],
     )
 
 
@@ -3256,6 +3289,32 @@ SELECT doc_id, 'update' AS change_type, source,
        CAST(n_chars AS BIGINT) * 2 AS n_chars
 FROM documents
 WHERE doc_id % 6 = 0 AND n_chars <> 0
+"""
+
+
+def cdf_preimages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Delta CDF's update pre/post-image pair as an oracle-checked
+    query: `table_changes(..., include_preimages=True)` over the shared
+    two-commit fixture emits each updated key TWICE — `update_preimage`
+    with the v1 values, `update_postimage` with the v2 values — plus
+    the plain inserts, all from the SAME single full-outer diff (the
+    image pair is a per-row explode, not a re-join)."""
+    table = _two_commit_table(spark, sf_dir)
+    return table_changes(spark, table, 1, include_preimages=True)
+
+
+CDF_PREIMAGES_SQL = """
+SELECT doc_id, 'insert' AS change_type, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'update_preimage' AS change_type, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 6 = 0 AND n_chars <> 0
+UNION ALL
+SELECT doc_id, 'update_postimage' AS change_type, source,
+       CAST(n_chars AS BIGINT) * 2 AS n_chars
+FROM documents WHERE doc_id % 6 = 0 AND n_chars <> 0
 """
 
 

@@ -937,6 +937,14 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         # VERSIONS one micro-batch may span, so a consumer resuming
         # after long downtime catches up in bounded batches instead of
         # one giant diff. 0 / unset = unbounded.
+        pi = options.get("includePreimages") or options.get(
+            "includepreimages"
+        )
+        # Delta CDF's update_preimage/update_postimage pair instead of
+        # the single full-row 'update' (the replay-oriented default)
+        self._preimages = (
+            str(pi).lower() in ("true", "1") if pi is not None else False
+        )
         mv = options.get("maxVersionsPerTrigger")
         if mv is None:
             mv = options.get("maxversionspertrigger")
@@ -1247,7 +1255,11 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             if k not in old_m:
                 rows.append(k + vals + ("insert",))
             elif old_m[k] != vals:
-                rows.append(k + vals + ("update",))
+                if self._preimages:
+                    rows.append(k + old_m[k] + ("update_preimage",))
+                    rows.append(k + vals + ("update_postimage",))
+                else:
+                    rows.append(k + vals + ("update",))
         none_vals = (None,) * len(compare)
         for k in old_m:
             if k not in new_m:
