@@ -50,14 +50,20 @@ def main(argv: list[str] | None = None) -> int:
         "history", "count", "optimize", "vacuum", "delete", "update",
         "restore", "maintain", "clone", "release-clone",
         "rename-column", "drop-column", "add-bloom", "drop-bloom",
+        "add-generated", "drop-generated",
     ):
         tp = tsub.add_parser(tcmd)
         tp.add_argument("path")
         if tcmd == "rename-column":
             tp.add_argument("old")
             tp.add_argument("new")
-        if tcmd in ("drop-column", "add-bloom", "drop-bloom"):
+        if tcmd in (
+            "drop-column", "add-bloom", "drop-bloom",
+            "add-generated", "drop-generated",
+        ):
             tp.add_argument("column")
+        if tcmd == "add-generated":
+            tp.add_argument("expr", help="SQL expression, e.g. 'a + 1'")
         if tcmd == "add-bloom":
             tp.add_argument("--m", type=int, default=None,
                             help="bitmap bits per bucket (multiple of 8)")
@@ -221,6 +227,12 @@ def _table_cmd(args) -> int:
     elif args.tcmd == "drop-bloom":
         v = mf.drop_bloom_index(spark, args.path, args.column)
         print(f"bloom index on {args.column} dropped -> version {v}")
+    elif args.tcmd == "add-generated":
+        v = mf.add_generated_column(spark, args.path, args.column, args.expr)
+        print(f"generated rule {args.column} = ({args.expr}) -> version {v}")
+    elif args.tcmd == "drop-generated":
+        v = mf.drop_generated_column(spark, args.path, args.column)
+        print(f"generated rule on {args.column} dropped -> version {v}")
     elif args.tcmd == "maintain":
         v = mf.maintain_table(
             spark, args.path,

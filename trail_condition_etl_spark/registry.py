@@ -905,6 +905,15 @@ def q_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.bloom_skip_scan_query(spark, sf_dir)
 
 
+@query("generated_columns", oracle=manifest_sink.GENERATED_COLUMNS_SQL)
+def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GENERATED ALWAYS AS: batches omitting the column get it computed
+    # at the write edge; batches supplying it are held to the
+    # expression row-for-row (adding the rule validates existing data)
+    ensure_engine_conf(spark)
+    return manifest_sink.generated_columns_query(spark, sf_dir)
+
+
 @query("cdf_preimages", oracle=manifest_sink.CDF_PREIMAGES_SQL)
 def q_cdf_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Delta CDF's update_preimage/update_postimage pair: one diff join,
@@ -1747,6 +1756,9 @@ _PINNED_HEAD = [
     # column mapping also rewired every manifest read edge, so its
     # flagship plus the batch-scan flagship above re-check first
     "bloom_skip_scan", "column_mapping",
+    # r10 session 2 (later): CDF image pairs and write-edge generated
+    # columns (the latter touches every upsert's pre-commit path)
+    "cdf_preimages", "generated_columns",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

@@ -643,6 +643,7 @@ def delete_where(
             "blooms": mf.get("blooms", {}),
             "column_mapping": _mapping(mf),
             "retired_physical": mf.get("retired_physical", []),
+            "generated": mf.get("generated", {}),
             "constraints": mf.get("constraints", {}),
             "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(
@@ -737,6 +738,12 @@ def update_where(
                 for c in matched.columns
             ]
         )
+        # generated columns recompute automatically on UPDATE (Delta's
+        # behavior) unless the caller SET them explicitly — in which
+        # case the upsert-side validation holds them to the expression
+        for gcol, gexpr in mf.get("generated", {}).items():
+            if gcol not in exprs and gcol in updated.columns:
+                updated = updated.withColumn(gcol, F.expr(gexpr))
         try:
             return manifest_upsert(
                 spark,
@@ -822,6 +829,17 @@ def restore_table(
                     f"carried constraint {cname!r} ({cexpr}) does not "
                     "resolve against the restored schema; drop it first"
                 ) from exc
+        # carried generated-column rules get the same resolution probe
+        for gcol, gexpr in cur.get("generated", {}).items():
+            try:
+                probe.select(F.expr(gexpr))
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot restore {table_path} to version {target}: "
+                    f"carried generated column {gcol!r} = ({gexpr}) does "
+                    "not resolve against the restored schema; drop the "
+                    "rule first"
+                ) from exc
         manifest = {
             "version": cur["version"] + 1,
             "token": token,
@@ -848,6 +866,7 @@ def restore_table(
                     *cur.get("retired_physical", []),
                 }
             ),
+            "generated": cur.get("generated", {}),
             "constraints": cur.get("constraints", {}),
             # writer-progress state carries from CURRENT, not the
             # restored snapshot: a restore must not trick a streaming
@@ -953,6 +972,7 @@ def manifest_upsert(
 
     def attempt() -> int:
         check_fence(table_path, token)
+        ups = upserts
         mf = read_manifest(table_path)
         if require_version is not None:
             found = mf["version"] if mf else 0
@@ -988,7 +1008,7 @@ def manifest_upsert(
             prev_types = {
                 f.name: f.dataType for f in _data_schema(mf).fields
             }
-            for f in upserts.schema.fields:
+            for f in ups.schema.fields:
                 if f.name in prev_types and f.dataType != prev_types[f.name]:
                     raise ValueError(
                         f"non-additive schema change for column "
@@ -998,6 +1018,27 @@ def manifest_upsert(
                         "the old physical type and would fail at scan "
                         "time under a changed schema"
                     )
+            # generated columns (Delta's GENERATED ALWAYS AS): a batch
+            # that omits the column gets it COMPUTED here (before
+            # constraints, which may reference it); a batch that
+            # supplies it must match the expression row-for-row
+            # (null-safe) or the commit rejects — a silently divergent
+            # "generated" value is wrong data
+            for gcol, gexpr in mf.get("generated", {}).items():
+                if gcol in ups.columns:
+                    bad = ups.filter(
+                        ~F.col(gcol).eqNullSafe(F.expr(gexpr))
+                    ).take(1)
+                    if bad:
+                        raise ValueError(
+                            f"generated column {gcol!r} = ({gexpr}) "
+                            f"violated by the incoming batch, e.g. "
+                            f"{bad[0].asDict()} ({table_path}); omit the "
+                            "column to have it computed, or supply "
+                            "matching values"
+                        )
+                else:
+                    ups = ups.withColumn(gcol, F.expr(gexpr))
             # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
             # the incoming LIVE rows must satisfy every recorded
             # predicate, SQL CHECK semantics (violated only when the
@@ -1006,8 +1047,8 @@ def manifest_upsert(
             # A narrow batch's missing columns land NULL, so they're
             # checked as NULL (not an analysis error).
             if mf.get("constraints"):
-                checked = upserts
-                have = set(upserts.columns)
+                checked = ups
+                have = set(ups.columns)
                 for tf in _data_schema(mf).fields:
                     if tf.name not in have:
                         checked = checked.withColumn(
@@ -1028,7 +1069,7 @@ def manifest_upsert(
             if mf
             else (n_buckets if n_buckets is not None else DEFAULT_BUCKETS)
         )
-        new_b = _with_bucket(upserts, keys, buckets_n)
+        new_b = _with_bucket(ups, keys, buckets_n)
         if mf is None or replace:
             merged = new_b
             carried: dict[str, str] = {}
@@ -1164,6 +1205,7 @@ def manifest_upsert(
             "blooms": blooms,
             "column_mapping": mapping,
             "retired_physical": retired,
+            "generated": mf.get("generated", {}) if mf else {},
             "constraints": mf.get("constraints", {}) if mf else {},
             "txns": {
                 **(mf.get("txns", {}) if mf else {}),
@@ -1680,6 +1722,124 @@ def drop_bloom_index(
         release_table_lease(table_path, token)
 
 
+def add_generated_column(
+    spark: SparkSession, table_path: str, column: str, expr: str
+) -> int:
+    """Record a GENERATED ALWAYS AS rule (Delta's generated columns):
+    every later batch that omits `column` gets it computed from `expr`
+    at the write edge; a batch that supplies it must match row-for-row
+    (null-safe) or the commit rejects. Unlike Delta (creation-time
+    only), the rule can be added to a live table — the column must
+    already exist and EVERY existing row must satisfy the expression
+    (same stance as add_table_constraint), so readers never see a
+    mixed generated/divergent history. Merge keys refuse (batches must
+    supply their keys — bucket planning runs before generation)."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        gen = dict(mf.get("generated", {}))
+        if column in gen:
+            raise ValueError(
+                f"generated rule for {column!r} already exists on "
+                f"{table_path} ({gen[column]}); drop it first"
+            )
+        names = [f.name for f in _data_schema(mf).fields]
+        if column not in names:
+            raise ValueError(
+                f"no column {column!r} on {table_path} (have: "
+                f"{sorted(names)}); upsert a batch carrying the "
+                "computed column first, then add the rule"
+            )
+        if column in mf["keys"]:
+            raise ValueError(
+                f"cannot generate merge key column {column!r} "
+                f"({table_path}): batches must supply their keys"
+            )
+        bad = (
+            read_manifest_table(spark, table_path)
+            .filter(~F.col(column).eqNullSafe(F.expr(expr)))
+            .take(1)
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add generated rule {column!r} = ({expr}): "
+                f"existing row violates it, e.g. {bad[0].asDict()} "
+                f"({table_path})"
+            )
+        gen[column] = expr
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "generated": gen,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "add-generated-column",
+            "op_metrics": {"column": column, "expr": expr},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
+def drop_generated_column(
+    spark: SparkSession, table_path: str, column: str
+) -> int:
+    """Metadata-only commit removing a generated-column rule (the
+    column itself stays, as plain data)."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        gen = dict(mf.get("generated", {}))
+        if column not in gen:
+            raise ValueError(
+                f"no generated rule for {column!r} on {table_path} "
+                f"(have: {sorted(gen)})"
+            )
+        dropped = gen.pop(column)
+        manifest = {
+            **mf,
+            "version": mf["version"] + 1,
+            "token": token,
+            "generated": gen,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "drop-generated-column",
+            "op_metrics": {"column": column, "expr": dropped},
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
 def _data_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
@@ -1804,6 +1964,15 @@ def rename_column(
                     f"({cexpr}) references it — drop the constraint "
                     "first, re-add it against the new name"
                 )
+        for gcol, gexpr in mf.get("generated", {}).items():
+            if gcol == old or _re.search(
+                rf"\b{_re.escape(old)}\b", gexpr
+            ):
+                raise ValueError(
+                    f"cannot rename {old!r}: generated column "
+                    f"{gcol!r} = ({gexpr}) depends on it — drop the "
+                    "rule first, re-add it against the new name"
+                )
         mapping = dict(_mapping(mf))
         phys = mapping.pop(old, old)
         if phys != new:
@@ -1872,6 +2041,14 @@ def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
                 raise ValueError(
                     f"cannot drop {col!r}: constraint {cname!r} "
                     f"({cexpr}) references it — drop the constraint first"
+                )
+        for gcol, gexpr in mf.get("generated", {}).items():
+            if gcol == col or _re.search(
+                rf"\b{_re.escape(col)}\b", gexpr
+            ):
+                raise ValueError(
+                    f"cannot drop {col!r}: generated column {gcol!r} = "
+                    f"({gexpr}) depends on it — drop the rule first"
                 )
         mapping = dict(_mapping(mf))
         phys = mapping.pop(col, col)
@@ -2329,6 +2506,7 @@ def optimize_table(
             # APPLY (PURGE), folded into every optimize
             "column_mapping": {},
             "retired_physical": [],
+            "generated": mf.get("generated", {}),
             "constraints": mf.get("constraints", {}),
             "txns": mf.get("txns", {}),
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
@@ -2753,6 +2931,7 @@ def clone_table(
             "blooms": mf.get("blooms", {}),
             "column_mapping": _mapping(mf),
             "retired_physical": mf.get("retired_physical", []),
+            "generated": mf.get("generated", {}),
             "constraints": mf.get("constraints", {}),
             # a fresh writer lineage: the source's idempotent-writer
             # ledger must not make the clone reject first epochs
@@ -3289,6 +3468,51 @@ SELECT doc_id, 'update' AS change_type, source,
        CAST(n_chars AS BIGINT) * 2 AS n_chars
 FROM documents
 WHERE doc_id % 6 = 0 AND n_chars <> 0
+"""
+
+
+#: the generated-column rule the registered query exercises (Spark's
+#: `DIV` and DuckDB's `//` are both integral division — exact
+#: cross-engine on the non-negative n_chars)
+GENERATED_EXPR = "n_chars DIV 100"
+
+
+def generated_columns_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GENERATED ALWAYS AS as an oracle-checked query. Build:
+    docs %3==0 land WITH `hecto_chars` precomputed;
+    `add_generated_column` validates every existing row and records the
+    rule; docs %3==1 then upsert WITHOUT the column — the write edge
+    computes it. The aggregate sums both the base and generated column
+    per source, so a wrong or missing computation on either batch
+    hash-mismatches the oracle."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        base = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "hecto_chars", F.expr(GENERATED_EXPR)
+        )
+        manifest_upsert(spark, table, base, ["doc_id"], n_buckets=8)
+        add_generated_column(spark, table, "hecto_chars", GENERATED_EXPR)
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 1), ["doc_id"]
+        )
+
+    table = _fixture_table(docs, "manifest_generated", build)
+    df = read_manifest_table(spark, table)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("hecto_chars").alias("sum_hecto"),
+    )
+
+
+GENERATED_COLUMNS_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT) // 100) AS BIGINT) AS sum_hecto
+FROM documents
+WHERE doc_id % 3 <> 2
+GROUP BY source
 """
 
 
