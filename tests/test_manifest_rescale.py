@@ -110,7 +110,9 @@ def test_maintain_table_compacts_only_past_thresholds(spark, tmp_path):
         mf.delete_where(spark, table, f"k = {i}")
     assert mf.maintain_table(spark, table, max_delete_files=4) is not None
     after = mf.read_manifest(table)
-    assert after["operation"] == "optimize"
+    # r10: with no rescale and no clustering intent, maintenance takes
+    # the INCREMENTAL path — only the delete-pending buckets rewrote
+    assert after["operation"] == "compact"
     assert not after.get("deletes")
     assert mf.manifest_row_count(table) == 95
     # and now it is healthy again

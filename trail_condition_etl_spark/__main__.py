@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         "history", "count", "optimize", "vacuum", "delete", "update",
         "restore", "maintain", "clone", "release-clone",
         "rename-column", "drop-column", "add-bloom", "drop-bloom",
-        "add-generated", "drop-generated",
+        "add-generated", "drop-generated", "compact",
     ):
         tp = tsub.add_parser(tcmd)
         tp.add_argument("path")
@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
         if tcmd == "maintain":
             tp.add_argument("--max-files-per-bucket", type=int, default=8)
             tp.add_argument("--max-delete-files", type=int, default=16)
+        if tcmd == "compact":
+            tp.add_argument("--buckets", default=None,
+                            help="comma-separated bucket ids "
+                            "(default: every bucket over threshold)")
+            tp.add_argument("--max-files-per-bucket", type=int, default=1)
     args = parser.parse_args(argv)
 
     if args.cmd == "table":
@@ -233,6 +238,20 @@ def _table_cmd(args) -> int:
     elif args.tcmd == "drop-generated":
         v = mf.drop_generated_column(spark, args.path, args.column)
         print(f"generated rule on {args.column} dropped -> version {v}")
+    elif args.tcmd == "compact":
+        ids = (
+            [int(b) for b in args.buckets.split(",") if b.strip()]
+            if args.buckets
+            else None
+        )
+        v = mf.compact_buckets(
+            spark, args.path, bucket_ids=ids,
+            max_files_per_bucket=args.max_files_per_bucket,
+        )
+        print(
+            f"compacted -> version {v}" if v is not None
+            else "within thresholds; nothing to do"
+        )
     elif args.tcmd == "maintain":
         v = mf.maintain_table(
             spark, args.path,

@@ -905,6 +905,18 @@ def q_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.bloom_skip_scan_query(spark, sf_dir)
 
 
+@query(
+    "incremental_compaction",
+    oracle=manifest_sink.INCREMENTAL_COMPACTION_SQL,
+)
+def q_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket-wise compaction: small-file debt rewrites ONLY the
+    # offending buckets (untouched dirs carry by path); the emitted op
+    # column pins that the incremental 'compact' path ran
+    ensure_engine_conf(spark)
+    return manifest_sink.incremental_compaction_query(spark, sf_dir)
+
+
 @query("generated_columns", oracle=manifest_sink.GENERATED_COLUMNS_SQL)
 def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GENERATED ALWAYS AS: batches omitting the column get it computed
@@ -1756,9 +1768,10 @@ _PINNED_HEAD = [
     # column mapping also rewired every manifest read edge, so its
     # flagship plus the batch-scan flagship above re-check first
     "bloom_skip_scan", "column_mapping",
-    # r10 session 2 (later): CDF image pairs and write-edge generated
-    # columns (the latter touches every upsert's pre-commit path)
-    "cdf_preimages", "generated_columns",
+    # r10 session 2 (later): CDF image pairs, write-edge generated
+    # columns (touches every upsert's pre-commit path), and the
+    # incremental bucket-wise compaction maintain now prefers
+    "cdf_preimages", "generated_columns", "incremental_compaction",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

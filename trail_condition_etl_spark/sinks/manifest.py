@@ -2632,6 +2632,176 @@ def _collision_rescale(
     return None
 
 
+def compact_buckets(
+    spark: SparkSession,
+    table_path: str,
+    bucket_ids: list[int] | None = None,
+    max_files_per_bucket: int = 1,
+) -> int | None:
+    """INCREMENTAL compaction: rewrite ONLY the named buckets (or,
+    with `bucket_ids=None`, exactly the buckets holding more than
+    `max_files_per_bucket` data files or any pending MoR delete file),
+    carrying every other bucket by reference — IO proportional to the
+    OFFENDING buckets, never the table. `optimize_table` is the full
+    rewrite (clustering, rescale, physical-name normalization, dropped
+    -column purge all need the whole table); at 100 TB a streaming
+    sink's small-file debt lives in a handful of recently-touched
+    buckets, and paying a full-table rewrite for those is the
+    difference between a viable maintenance job and none. Compacted
+    buckets materialize their pending deletes (the delete files drop
+    out, swept by vacuum) and refresh their stats/bloom bitmaps; their
+    per-file (ZORDER) stats drop — re-cluster with `optimize_table`
+    when range reads matter, same contract as an upsert rewrite.
+    Returns the new version, or None when nothing is over threshold."""
+    token = acquire_table_lease(table_path)
+
+    def attempt() -> int | None:
+        check_fence(table_path, token)
+        mf = read_manifest(table_path)
+        if mf is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {table_path}"
+            )
+        if bucket_ids is not None:
+            targets = {str(b) for b in bucket_ids}
+            unknown = targets - set(mf["buckets"])
+            if unknown:
+                raise ValueError(
+                    f"bucket(s) {sorted(unknown)} not in the current "
+                    f"layout of {table_path} "
+                    f"(have: {sorted(mf['buckets'])})"
+                )
+        else:
+            targets = set()
+            for b, d in mf["buckets"].items():
+                try:
+                    n_files = sum(
+                        1
+                        for fn in os.listdir(os.path.join(table_path, d))
+                        if fn.endswith(".parquet")
+                    )
+                except OSError:
+                    continue
+                if n_files > max_files_per_bucket:
+                    targets.add(b)
+            targets |= set(mf.get("deletes", {}))
+        if not targets:
+            return None
+        dirs = [
+            os.path.join(table_path, mf["buckets"][b])
+            for b in sorted(targets)
+            if b in mf["buckets"]
+        ]
+        cur = _apply_deletes(
+            spark,
+            _read_segments(spark, mf, dirs),
+            table_path,
+            mf,
+            sorted(targets),
+        )
+        merged = _with_bucket(cur, mf["keys"], mf["n_buckets"]).repartition(
+            max(1, len(targets)), "pk_bucket"
+        )
+        seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
+        seg_abs = os.path.join(table_path, seg)
+        _to_physical_frame(merged, _mapping(mf)).write.partitionBy(
+            "pk_bucket"
+        ).mode("overwrite").parquet(seg_abs)
+        buckets = {
+            b: d for b, d in mf["buckets"].items() if b not in targets
+        }
+        written = set()
+        for e in os.listdir(seg_abs):
+            if e.startswith("pk_bucket="):
+                b = e.split("=", 1)[1]
+                buckets[b] = os.path.join(seg, e)
+                written.add(b)
+        # an all-deleted target bucket writes nothing and drops out of
+        # the map entirely — same semantics as an upsert rewrite
+        carried = set(mf["buckets"]) - targets
+        stat_cols = [
+            _physical_name(mf, c)
+            for c in _stat_columns(_data_schema(mf))
+        ]
+        seg_stats, seg_counts = _collect_segment_stats(
+            spark, seg_abs, stat_cols
+        )
+        stats = {
+            b: v
+            for b, v in mf.get("stats", {}).items()
+            if b in carried
+        }
+        stats.update(seg_stats)
+        row_counts = {
+            b: v
+            for b, v in mf.get("row_counts", {}).items()
+            if b in carried
+        }
+        row_counts.update(seg_counts)
+        blooms = {
+            b: v
+            for b, v in mf.get("blooms", {}).items()
+            if b in carried
+        }
+        blooms.update(
+            _collect_blooms(spark, seg_abs, mf.get("bloom", {}))
+        )
+        manifest = {
+            "version": mf["version"] + 1,
+            "token": token,
+            "n_buckets": mf["n_buckets"],
+            "keys": mf["keys"],
+            "schema": mf["schema"],
+            "buckets": buckets,
+            "stats": stats,
+            # compacted buckets lose clustering; carried keep theirs
+            "file_stats": {
+                b: v
+                for b, v in mf.get("file_stats", {}).items()
+                if b in carried
+            },
+            "row_counts": row_counts,
+            "deletes": {
+                b: v
+                for b, v in mf.get("deletes", {}).items()
+                if b in carried
+            },
+            "delete_counts": {
+                b: v
+                for b, v in mf.get("delete_counts", {}).items()
+                if b in carried
+            },
+            "bloom": mf.get("bloom", {}),
+            "blooms": blooms,
+            "column_mapping": _mapping(mf),
+            "retired_physical": mf.get("retired_physical", []),
+            "generated": mf.get("generated", {}),
+            "constraints": mf.get("constraints", {}),
+            "txns": mf.get("txns", {}),
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": "compact",
+            "op_metrics": {
+                "buckets_written": len(written),
+                "buckets_carried": len(carried),
+                "buckets_targeted": len(targets),
+                "rows_written": sum(seg_counts.values()),
+            },
+        }
+        _publish_manifest(table_path, manifest, token)
+        return manifest["version"]
+
+    try:
+        version = retry_with_backoff(
+            attempt,
+            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+        )
+        if version is not None:
+            record_commit(table_path, token)
+        return version
+    finally:
+        release_table_lease(table_path, token)
+
+
 def maintain_table(
     spark: SparkSession,
     table_path: str,
@@ -2741,6 +2911,14 @@ def maintain_table(
         and n_delete_files <= max_delete_files
     ):
         return None
+    if rescale_to is None and not cluster_by:
+        # small-file / delete-file debt with no layout change needed:
+        # compact ONLY the offending buckets (r10) — IO proportional to
+        # the debt, not the table. Rescales and clustered layouts still
+        # take the full optimize below (both are whole-table concerns).
+        return compact_buckets(
+            spark, table_path, max_files_per_bucket=max_files_per_bucket
+        )
     return optimize_table(
         spark, table_path, cluster_by=cluster_by, n_buckets=rescale_to
     )
@@ -3468,6 +3646,53 @@ SELECT doc_id, 'update' AS change_type, source,
        CAST(n_chars AS BIGINT) * 2 AS n_chars
 FROM documents
 WHERE doc_id % 6 = 0 AND n_chars <> 0
+"""
+
+
+def incremental_compaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental bucket-wise compaction as an oracle-checked
+    query: docs %3==0 land and a full optimize leaves one file per
+    bucket; docs %3==1 then upsert multi-task (small-file debt in
+    exactly the touched buckets); `compact_buckets` rewrites ONLY those
+    buckets (untouched dirs carry by path — pinned in
+    test_compaction.py). The emitted `op` column comes off the LIVE
+    manifest, so the oracle also pins that the incremental path (a
+    'compact' commit, not a full 'optimize') is what ran."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 0),
+            ["doc_id"], n_buckets=8,
+        )
+        optimize_table(spark, table)
+        manifest_upsert(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") % 3 == 1).repartition(5),
+            ["doc_id"],
+        )
+        compact_buckets(spark, table)
+
+    table = _fixture_table(docs, "manifest_compact", build)
+    op = read_manifest(table)["operation"]
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("op", F.lit(op))
+    )
+
+
+INCREMENTAL_COMPACTION_SQL = """
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       'compact' AS op
+FROM documents
+WHERE doc_id % 3 <> 2
+GROUP BY source
 """
 
 
