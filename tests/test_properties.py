@@ -513,6 +513,10 @@ _mops = st.lists(
         # column's logical name mid-sequence — every later op, read
         # path, optimize-normalize, and the CDC replay must follow it
         st.tuples(st.just("rename"), st.just(None)),
+        # incremental bucket-wise compaction (r10): must be
+        # state-preserving like optimize — materializes pending MoR
+        # deletes for the buckets it touches, carries the rest by path
+        st.tuples(st.just("compact"), st.just(None)),
     ),
     min_size=1,
     max_size=6,
@@ -595,6 +599,8 @@ def test_manifest_table_matches_model_under_any_op_sequence(
             new_vc = "v_r" if vc == "v" else "v"
             mfm.rename_column(spark, table, vc, new_vc)
             vc = new_vc
+        elif kind == "compact" and committed:
+            mfm.compact_buckets(spark, table)
         elif kind == "vacuum" and committed:
             mfm.vacuum(table, keep_last=1)
     if not committed:
