@@ -737,6 +737,9 @@ _w_ops = st.lists(
             # (the mapping rolls back WITH the schema), optimizes (the
             # mapping normalizes away), fenced steals, and epochs
             st.tuples(st.just("rename"), st.just(None)),
+            # incremental compaction racing the other writer's DML and
+            # forged lease steals — state-preserving, versions intact
+            st.tuples(st.just("compact"), st.just(None)),
             # RESTORE: the one manifest DML verb the model previously
             # never issued — a metadata-only rollback to a recorded
             # snapshot (the arg indexes into the snapshots taken so
@@ -866,6 +869,8 @@ def test_two_writers_with_lease_steals_converge(
             mfm.rename_column(
                 spark, table, vc, "v_r" if vc == "v" else "v"
             )
+        elif kind == "compact":
+            mfm.compact_buckets(spark, table)
         elif kind == "restore":
             tgt_v, tgt_model = snapshots[arg % len(snapshots)]
             mfm.restore_table(spark, table, version=tgt_v)

@@ -344,6 +344,26 @@ def check_fence(table_path: str, token: int) -> None:
             f"writer token {token} lost its lease to token {owner} on "
             f"{table_path}; aborting before publishing stale output"
         )
+    if owner is None:
+        # nobody holds the lock, so this writer's own lease is gone
+        # (released, or stolen and since released). If ANY newer token
+        # was issued meanwhile, this caller is a zombie: fencing is
+        # issue-ordered, not commit-ordered — a newer writer may be
+        # about to act on state the zombie never saw. (Found by the
+        # two-writer hypothesis model: a replayed epoch raises before
+        # record_commit, so the commit-ordered check alone let the
+        # released-but-never-committed token through.)
+        try:
+            with open(_fence_path(table_path)) as f:
+                issued = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            issued = None
+        if issued is not None and issued > token:
+            raise WriterFencedError(
+                f"writer token {token} is stale: token {issued} has "
+                f"since been issued for {table_path} and the lease is "
+                "released; aborting the zombie write"
+            )
 
 
 def record_commit(table_path: str, token: int) -> None:
