@@ -220,6 +220,12 @@ SCALE_QUERIES = [
     "decontaminate",
     "semantic_dedup",
     "incremental_near_dup",
+    # round-11 additions (VERDICT r10 directive 7): the r10 metadata
+    # queries join the ratio pass — bloom probes are metadata-bound
+    # (driver bitmap arithmetic + pruned read), and bucket-wise
+    # compaction's cost should track the DIRTY buckets, not the table
+    "bloom_skip_scan",
+    "incremental_compaction",
 ]
 
 

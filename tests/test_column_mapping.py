@@ -201,6 +201,75 @@ def test_table_changes_across_rename_boundary(spark, table):
     assert ch[0].change_type == "update"
 
 
+def test_table_changes_across_rename_then_optimize(spark, table):
+    """r11 regression (advisor): optimize must PRESERVE assigned
+    physical names. CDF/table_changes align old/new sides by physical
+    identity, so a rewrite that re-keyed a renamed column back to its
+    logical name would read the old side as NULL and emit EVERY row as
+    a phantom update with NULL preimages across the optimize."""
+    rename_column(spark, table, "chars", "n_chars")
+    v1 = read_manifest(table)["version"]
+    optimize_table(spark, table)
+    manifest_upsert(
+        spark, table,
+        _frame(spark, 5, 6).withColumnRenamed("chars", "n_chars")
+        .withColumn("n_chars", F.lit(777).cast("long")),
+        ["doc_id"],
+    )
+    ch = table_changes(spark, table, v1).collect()
+    assert len(ch) == 1 and ch[0].doc_id == 5 and ch[0].n_chars == 777
+    assert ch[0].change_type == "update"
+    # physical name survived the rewrite: files still say 'chars'
+    assert "chars" in _seg_files_schema_names(table)
+    assert read_manifest(table)["column_mapping"] == {"n_chars": "chars"}
+
+
+def test_cdc_stream_span_crossing_optimize(spark, table, tmp_path):
+    """r11 regression (advisor): the CDC stream reader anchors one
+    mapping for every file in the span — sound only because physical
+    names are immutable, including across an optimize mid-span. A
+    re-keying rewrite would NULL-fill the renamed column for
+    pre-optimize versions."""
+    register_manifest_sources(spark)
+    rename_column(spark, table, "chars", "n_chars")
+    baseline = read_manifest(table)["version"]
+    manifest_upsert(
+        spark, table,
+        _frame(spark, 300, 302).withColumnRenamed("chars", "n_chars"),
+        ["doc_id"],
+    )
+    optimize_table(spark, table)
+    manifest_upsert(
+        spark, table,
+        _frame(spark, 302, 304).withColumnRenamed("chars", "n_chars"),
+        ["doc_id"],
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .option("path", table)
+        .option("startingVersion", str(baseline))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    ins = {
+        r.doc_id: r.n_chars
+        for r in got.filter(F.col("change_type") == "insert").collect()
+    }
+    # inserts from BOTH sides of the optimize carry real values
+    assert ins[300] == 600 and ins[303] == 606
+    # the optimize itself is a no-op to CDC: no phantom updates
+    upd = got.filter(F.col("change_type").isin("update", "delete"))
+    assert upd.count() == 0
+
+
 def test_restore_and_clone_carry_mapping(spark, table, tmp_path):
     rename_column(spark, table, "chars", "n_chars")
     v_renamed = read_manifest(table)["version"]
@@ -297,9 +366,14 @@ def test_reader_feature_gate(spark, table, tmp_path):
     assert set(read_manifest(table)["required_reader_features"]) == {
         "column-mapping", "merge-on-read-deletes",
     }
-    # optimize materializes deletes AND normalizes the mapping away:
-    # the gate drops back to nothing
+    # optimize materializes deletes (that gate drops) but PRESERVES
+    # physical names (r11: CDF aligns by physical identity across a
+    # rewrite), so column-mapping persists until the rename is undone
     optimize_table(spark, table)
+    assert read_manifest(table)["required_reader_features"] == [
+        "column-mapping"
+    ]
+    rename_column(spark, table, "n_chars", "chars")
     assert read_manifest(table)["required_reader_features"] == []
     # a future feature this build doesn't know: every read path refuses
     v = read_manifest(table)["version"]
@@ -314,3 +388,36 @@ def test_reader_feature_gate(spark, table, tmp_path):
     register_manifest_sources(spark)
     with pytest.raises(Exception, match="deletion-vectors-v9"):
         spark.read.format("manifest").load(table).collect()
+
+
+def test_bloom_survives_rename_of_indexed_column(spark, table):
+    """r11 directive: bloom config keys by PHYSICAL name precisely so
+    a later logical rename keeps pruning — index FIRST, rename AFTER,
+    probe under the NEW name."""
+    add_bloom_index(spark, table, "src")
+    rename_column(spark, table, "src", "source_tag")
+    mf = read_manifest(table)
+    assert set(mf["bloom"]) == {"src"}  # still the physical name
+    # probe under the new logical name: prunes absents, finds presents
+    assert read_manifest_table(
+        spark, table, skip=[("source_tag", "=", "zzz")]
+    ).inputFiles() == []
+    df = read_manifest_table(
+        spark, table, skip=[("source_tag", "=", "s1")]
+    )
+    assert df.count() == 33
+
+
+def test_drop_column_removes_its_bloom(spark, table):
+    """Dropping a bloomed column removes both its config and every
+    bucket's bitmaps for it — dead index bytes must not ride the
+    manifest forever (manifest.py drop_column's bloom sweep)."""
+    add_bloom_index(spark, table, "src")
+    mf = read_manifest(table)
+    assert "src" in mf["bloom"]
+    drop_column(spark, table, "src")
+    mf = read_manifest(table)
+    assert mf["bloom"] == {}
+    assert not any(
+        "src" in cols for cols in mf.get("blooms", {}).values()
+    )

@@ -122,3 +122,74 @@ def test_dataframe_writer_append_computes(spark, table):
     )
     rows = {r.k: r.deca for r in read_manifest_table(spark, table).collect()}
     assert rows[61] == 61 * 7 // 10
+
+
+def test_merge_update_of_dependency_recomputes(spark, table):
+    """r11 regression (advisor): a merge whose UPDATE clause changes a
+    generated column's input used to carry the TARGET's stale generated
+    value into the batch, and the write-edge row-for-row validation
+    rejected the whole commit. The merge now recomputes the rule over
+    its batch, mirroring update_where."""
+    from trail_condition_etl_spark.sinks.manifest import merge_into
+
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("chars")
+    )
+    merge_into(spark, table, src, when_matched_update={
+        "chars": F.col("src.chars")
+    })
+    rows = {r.k: (r.chars, r.deca) for r in
+            read_manifest_table(spark, table).collect()}
+    assert rows[3] == (3000, 300)
+    assert rows[20] == (140, 14)  # untouched row keeps its values
+
+
+def test_merge_insert_from_narrow_source_recomputes(spark, table):
+    """r11 regression: insert rows from a source lacking the generated
+    column are NULL-filled by the union with the update branch — the
+    rule must be recomputed for them, not validated against NULL."""
+    from trail_condition_etl_spark.sinks.manifest import merge_into
+
+    src = spark.range(38, 45).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("chars")
+    )
+    merge_into(spark, table, src, when_matched_update={
+        "chars": F.col("src.chars")
+    }, insert_not_matched=True)
+    rows = {r.k: r.deca for r in read_manifest_table(spark, table).collect()}
+    assert len(rows) == 45 and rows[42] == 42 * 7 // 10
+
+
+def test_merge_refuses_explicit_set_of_generated(spark, table):
+    """Delta's stance: a generated column cannot be SET in a merge
+    clause — it is always engine-computed."""
+    from trail_condition_etl_spark.sinks.manifest import merge_into
+
+    src = spark.range(0, 3).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("chars")
+    )
+    with pytest.raises(ValueError, match="cannot SET generated column"):
+        merge_into(spark, table, src, when_matched_update={
+            "deca": F.lit(0)
+        })
+
+
+def test_merge_delete_with_nullsafe_expr_commits(spark, tmp_path):
+    """Tombstone (delete) rows are key-only and NULL-filled; an
+    expression non-null on NULL inputs (coalesce) must not wedge a
+    merge containing deletes — tombstones are excluded from the
+    write-edge validation."""
+    from trail_condition_etl_spark.sinks.manifest import merge_into
+
+    t = str(tmp_path / "t3")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("chars")
+    ).withColumn("g", F.coalesce(F.col("chars"), F.lit(0)))
+    manifest_upsert(spark, t, df, ["k"], n_buckets=4)
+    add_generated_column(spark, t, "g", "coalesce(chars, 0)")
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("chars")
+    )
+    merge_into(spark, t, src, when_matched_delete=F.lit(True),
+               insert_not_matched=False)
+    assert read_manifest_table(spark, t).count() == 15

@@ -159,6 +159,42 @@ def test_restore_carries_snapshot_bitmaps(spark, table):
     ).inputFiles() == []
 
 
+def test_restore_across_index_reconfigure_never_false_negative(
+    spark, table
+):
+    """r11 regression (advisor): restore pairs the CURRENT bloom config
+    with the RESTORED snapshot's bitmaps. Bitmaps are only
+    interpretable under the (m, k) they were packed with — if the index
+    was dropped and re-added with different params in between, probing
+    old bitmaps under the new config computes positions they never set
+    and silently prunes buckets that HOLD the value. The restore must
+    drop such bitmaps (absent = unprunable = sound) instead."""
+    v1 = read_manifest(table)["version"]  # bitmaps packed (8192, 3)
+    drop_bloom_index(spark, table, "tag")
+    add_bloom_index(spark, table, "tag", m=8192, k=5)  # same m, new k
+    restore_table(spark, table, version=v1)
+    mf = read_manifest(table)
+    # config carried from current; uninterpretable bitmaps dropped
+    assert mf["bloom"] == {"tag": [8192, 5]}
+    assert not any("tag" in cols for cols in mf.get("blooms", {}).values())
+    # the present value MUST still be found (no wrong pruning)
+    df = read_manifest_table(spark, table, skip=[("tag", "=", "t42")])
+    assert [r.doc_id for r in df.collect()] == [42]
+
+
+def test_restore_same_config_keeps_bitmaps(spark, table):
+    """Counterpart: when the config did NOT change across the restore
+    span, the snapshot's bitmaps stay interpretable and keep pruning."""
+    v1 = read_manifest(table)["version"]
+    manifest_upsert(spark, table, _frame(spark, 200, 240), ["doc_id"])
+    restore_table(spark, table, version=v1)
+    mf = read_manifest(table)
+    assert all("tag" in cols for cols in mf["blooms"].values())
+    assert read_manifest_table(
+        spark, table, skip=[("tag", "=", "zzz")]
+    ).inputFiles() == []
+
+
 def test_clone_carries_index(spark, table, tmp_path):
     dst = str(tmp_path / "clone")
     clone_table(spark, table, dst)
@@ -228,3 +264,70 @@ def test_exhaustive_no_false_negative_over_all_keys(spark, table):
     tags = [f"t{i}" for i in range(200)]
     df = read_manifest_table(spark, table, skip=[("tag", "in", tags)])
     assert df.count() == 200
+
+
+def test_backfill_over_segments_predating_the_column(spark, tmp_path):
+    """r11 regression (advisor): add_bloom_index backfill reads every
+    segment root — segments written before the column existed (additive
+    schema evolution) lack it entirely, and an inferred-schema select
+    raised AnalysisException (pointlessly retried under the lease).
+    The explicit-schema read NULL-fills it: missing column = all NULL =
+    no bits, sound. Probes on real values still find their rows."""
+    t = str(tmp_path / "tbl2")
+    manifest_upsert(
+        spark, t,
+        spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("int").alias("grp"),
+        ),
+        ["doc_id"], n_buckets=4,
+    )
+    # additive evolution: only doc_ids 0..9 rewrite with the new column
+    manifest_upsert(
+        spark, t,
+        spark.range(0, 10).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("int").alias("grp"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        ),
+        ["doc_id"],
+    )
+    add_bloom_index(spark, t, "url")
+    # present value found (no false negative through the NULL-fill)
+    df = read_manifest_table(spark, t, skip=[("url", "=", "u7")])
+    assert [r.doc_id for r in df.collect()] == [7]
+    # absent value: buckets whose only 'url' bytes are NULL have no
+    # bitmap entry (unprunable — sound); buckets rewritten WITH the
+    # column prune normally
+    assert read_manifest_table(
+        spark, t, skip=[("url", "=", "nope")]
+    ).count() == 0
+
+
+def test_rescale_recomputes_bitmaps_per_new_bucket(spark, table):
+    """r11 directive 6: after optimize_table(n_buckets=...) every
+    bitmap must be recomputed against the NEW bucket layout — a bitmap
+    carried by reference would key stale bucket ids and prune buckets
+    that DO hold the probed value. Exhaustive no-false-negative sweep
+    after an UNALIGNED shrink (8 -> 6) and an aligned grow (6 -> 12),
+    with a fresh upsert between to mix carried and rewritten buckets."""
+    optimize_table(spark, table, n_buckets=6)  # unaligned rescale
+    mf = read_manifest(table)
+    assert mf["n_buckets"] == 6 and set(mf["blooms"]) == set(mf["buckets"])
+    tags = [f"t{i}" for i in range(200)]
+    assert read_manifest_table(
+        spark, table, skip=[("tag", "in", tags)]
+    ).count() == 200
+    assert read_manifest_table(
+        spark, table, skip=[("tag", "=", "nope")]
+    ).inputFiles() == []
+    manifest_upsert(spark, table, _frame(spark, 200, 230), ["doc_id"])
+    optimize_table(spark, table, n_buckets=12)  # aligned grow
+    mf = read_manifest(table)
+    assert mf["n_buckets"] == 12 and set(mf["blooms"]) == set(mf["buckets"])
+    tags = [f"t{i}" for i in range(230)]
+    assert read_manifest_table(
+        spark, table, skip=[("tag", "in", tags)]
+    ).count() == 230
+    df = read_manifest_table(spark, table, skip=[("tag", "=", "t215")])
+    assert [r.doc_id for r in df.collect()] == [215]

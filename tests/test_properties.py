@@ -757,6 +757,23 @@ _w_ops = st.lists(
                     ),
                 ),
             ),
+            # r11 DDL alphabet (VERDICT r10 directive 3):
+            # bloom index toggle on the value column — metadata + one
+            # bounded backfill, bitmaps carried by reference on
+            # untouched buckets, racing compaction and lease steals
+            st.tuples(st.just("bloom"), st.just(None)),
+            # add (additive evolution) / drop (tombstoned physical)
+            # the extra column g; a re-add gets a fresh physical name
+            st.tuples(
+                st.just("colflip"),
+                st.dictionaries(
+                    st.integers(0, 20), st.integers(-50, 50),
+                    min_size=1, max_size=4,
+                ),
+            ),
+            # GENERATED ALWAYS AS toggle on g (rule = 2x the value
+            # column): write-edge compute/validate racing everything
+            st.tuples(st.just("genrule"), st.just(None)),
         ),
         st.booleans(),  # forge a crashed-writer lease before this op
     ),
@@ -802,12 +819,16 @@ def test_two_writers_with_lease_steals_converge(
     spark, tmp_path_factory, ops
 ):
     """ANY interleaving of upsert/delete/update/optimize/maintain/
-    stream-epoch ops issued by two writer identities — with crashed
-    leases forged between ops so the survivor must steal — ends with
-    the table equal to the dict model, versions contiguous 1..latest,
-    every recorded intermediate version still time-travel readable,
-    and the crashed writer's stale fencing token REJECTED on its late
-    publish attempt."""
+    rename/compact/restore/stream-epoch ops — plus the r11 DDL
+    alphabet: bloom-index add/drop (bitmaps carried by reference),
+    column add/drop/re-add (fresh physical name), and GENERATED ALWAYS
+    AS add/drop (write-edge recompute) — issued by two writer
+    identities with crashed leases forged between ops so the survivor
+    must steal, ends with the table equal to the dict model (value AND
+    g columns), versions contiguous 1..latest, every recorded
+    intermediate version still time-travel readable (both columns), no
+    bloom false negatives, and the crashed writer's stale fencing
+    token REJECTED on its late publish attempt."""
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     table = str(tmp_path_factory.mktemp("two_writers") / "t")
@@ -817,8 +838,12 @@ def test_two_writers_with_lease_steals_converge(
         ["k"], n_buckets=4,
     )
     model[0] = 0
+    # g-column model: None = column absent; else {k: value-or-None}
+    # (None entries are rows g never touched — they read NULL)
+    gmodel = None
+    rule_active = False  # GENERATED ALWAYS AS rule standing on g
     last_epoch: dict[str, int] = {}
-    snapshots = [(mfm.read_manifest(table)["version"], dict(model))]
+    snapshots = [(mfm.read_manifest(table)["version"], dict(model), None)]
     stale_tokens = []
 
     def vcol() -> str:
@@ -827,7 +852,7 @@ def test_two_writers_with_lease_steals_converge(
         return next(
             f.name
             for f in mfm._data_schema(mfm.read_manifest(table)).fields
-            if f.name != "k"
+            if f.name not in ("k", "g")
         )
 
     for writer, (kind, arg), forge in ops:
@@ -841,6 +866,16 @@ def test_two_writers_with_lease_steals_converge(
                 list(arg.items()), f"k int, {vc} long"
             )
             mfm.manifest_upsert(spark, table, df, ["k"])
+            # upsert = whole-row replace: batch rows lose g (NULL)
+            # unless the standing rule recomputes it at the write edge
+            if rule_active:
+                if gmodel is None:
+                    gmodel = {k: None for k in model}
+                for k, v2 in arg.items():
+                    gmodel[k] = 2 * v2
+            elif gmodel is not None:
+                for k in arg:
+                    gmodel[k] = None
             model.update(arg)
         elif kind == "delete":
             df = spark.createDataFrame(
@@ -851,6 +886,8 @@ def test_two_writers_with_lease_steals_converge(
             )
             for k in arg:
                 model.pop(k, None)
+                if gmodel is not None:
+                    gmodel.pop(k, None)
         elif kind == "update":
             mfm.update_where(
                 spark, table, F.col("k").isin(sorted(arg)),
@@ -859,6 +896,8 @@ def test_two_writers_with_lease_steals_converge(
             for k in arg:
                 if k in model:
                     model[k] += 100
+                    if rule_active:
+                        gmodel[k] = 2 * model[k]
         elif kind == "optimize":
             mfm.optimize_table(
                 spark, table, cluster_by=[vc] if arg else None
@@ -866,15 +905,73 @@ def test_two_writers_with_lease_steals_converge(
         elif kind == "maintain":
             mfm.maintain_table(spark, table, max_bucket_bytes=4096)
         elif kind == "rename":
-            mfm.rename_column(
-                spark, table, vc, "v_r" if vc == "v" else "v"
-            )
+            try:
+                mfm.rename_column(
+                    spark, table, vc, "v_r" if vc == "v" else "v"
+                )
+            except ValueError:
+                # the standing g-rule references vc: refusal is the
+                # contract, state untouched
+                assert rule_active
         elif kind == "compact":
             mfm.compact_buckets(spark, table)
         elif kind == "restore":
-            tgt_v, tgt_model = snapshots[arg % len(snapshots)]
-            mfm.restore_table(spark, table, version=tgt_v)
-            model = dict(tgt_model)
+            tgt_v, tgt_model, tgt_gmodel = snapshots[arg % len(snapshots)]
+            try:
+                mfm.restore_table(spark, table, version=tgt_v)
+            except ValueError:
+                # carried g-rule does not resolve against the restored
+                # schema (e.g. it names the other vc spelling): refusal
+                # leaves the table untouched
+                assert rule_active
+            else:
+                model = dict(tgt_model)
+                gmodel = (
+                    dict(tgt_gmodel) if tgt_gmodel is not None else None
+                )
+        elif kind == "bloom":
+            mf_now = mfm.read_manifest(table)
+            if mfm._physical_name(mf_now, vc) in mf_now.get("bloom", {}):
+                mfm.drop_bloom_index(spark, table, vc)
+            else:
+                mfm.add_bloom_index(spark, table, vc, m=64, k=2)
+        elif kind == "colflip":
+            if gmodel is None:
+                df = spark.createDataFrame(
+                    [(k, v2, 2 * v2) for k, v2 in arg.items()],
+                    f"k int, {vc} long, g long",
+                )
+                mfm.manifest_upsert(spark, table, df, ["k"])
+                prev_keys = set(model)
+                model.update(arg)
+                gmodel = {k: None for k in prev_keys}
+                gmodel.update({k: 2 * v2 for k, v2 in arg.items()})
+            else:
+                try:
+                    mfm.drop_column(spark, table, "g")
+                except ValueError:
+                    assert rule_active  # rule depends on g: refused
+                else:
+                    gmodel = None
+        elif kind == "genrule":
+            if rule_active:
+                mfm.drop_generated_column(spark, table, "g")
+                rule_active = False
+            elif gmodel is not None:
+                # normalize g so every existing row satisfies the rule,
+                # then record it (add validates the whole table first)
+                mfm.update_where(
+                    spark, table, F.lit(True),
+                    {"g": (
+                        F.coalesce(F.col(vc), F.lit(0)) * 2
+                    ).cast("long")},
+                )
+                gmodel = {k: 2 * v2 for k, v2 in model.items()}
+                mfm.add_generated_column(
+                    spark, table, "g",
+                    f"cast(coalesce({vc}, 0) * 2 as bigint)",
+                )
+                rule_active = True
         elif kind == "epoch":
             eid, batch = arg
             app = f"stream-{writer}"
@@ -894,24 +991,60 @@ def test_two_writers_with_lease_steals_converge(
                     spark, table, df, ["k"], txn=(app, eid)
                 )
                 last_epoch[app] = eid
+                if rule_active:
+                    if gmodel is None:
+                        gmodel = {k: None for k in model}
+                    for k, v2 in batch.items():
+                        gmodel[k] = 2 * v2
+                elif gmodel is not None:
+                    for k in batch:
+                        gmodel[k] = None
                 model.update(batch)
         v = mfm.read_manifest(table)["version"]
         if v != snapshots[-1][0]:
-            snapshots.append((v, dict(model)))
+            snapshots.append((
+                v, dict(model),
+                dict(gmodel) if gmodel is not None else None,
+            ))
     # convergence: final table state equals the model (the value
     # column reads under whatever logical name the sequence left)
     fin = mfm.read_manifest_table(spark, table)
-    fvc = next(c for c in fin.columns if c != "k")
-    got = {r.k: getattr(r, fvc) for r in fin.collect()}
+    fvc = next(c for c in fin.columns if c not in ("k", "g"))
+    frows = fin.collect()
+    got = {r.k: getattr(r, fvc) for r in frows}
     assert got == model
+    # the g column's state matches its own model (absent, or value /
+    # NULL per row — rule recomputes, upserts null out, drops hide)
+    if gmodel is None:
+        assert "g" not in fin.columns
+    else:
+        assert {r.k: r.g for r in frows} == gmodel
+    # a standing bloom index must never false-negative: probe one real
+    # value (exact result) and one impossible value (zero files)
+    if mfm.read_manifest(table).get("bloom") and model:
+        tgt = next(iter(model.values()))
+        probe = mfm.read_manifest_table(
+            spark, table, skip=[(fvc, "=", tgt)]
+        )
+        assert {r.k: getattr(r, fvc) for r in probe.collect()} == {
+            k: v2 for k, v2 in model.items() if v2 == tgt
+        }
+        assert mfm.read_manifest_table(
+            spark, table, skip=[(fvc, "=", 10**6)]
+        ).count() == 0
     # no committed version lost: contiguous 1..latest, all readable
     versions = mfm.list_versions(table)
     assert versions == list(range(1, versions[-1] + 1))
-    for v, snap in snapshots:
+    for v, snap, gsnap in snapshots:
         tdf = mfm.read_manifest_table(spark, table, v)
-        tvc = next(c for c in tdf.columns if c != "k")
-        tv = {r.k: getattr(r, tvc) for r in tdf.collect()}
+        tvc = next(c for c in tdf.columns if c not in ("k", "g"))
+        trows = tdf.collect()
+        tv = {r.k: getattr(r, tvc) for r in trows}
         assert tv == snap, f"version {v} no longer matches its snapshot"
+        if gsnap is not None:
+            assert {r.k: r.g for r in trows} == gsnap, (
+                f"version {v} g-column no longer matches its snapshot"
+            )
     # the crashed writers' late publishes are all fenced
     for tok in stale_tokens:
         import pytest as _pt

@@ -761,6 +761,19 @@ def update_where(
     )
 
 
+def _blooms_under_config(
+    blooms: dict, keep: set[str]
+) -> dict:
+    """Filter per-bucket bloom bitmaps down to columns in `keep` —
+    the columns whose bitmaps remain interpretable under the manifest's
+    carried bloom config (see restore_table). Empty buckets drop."""
+    out = {
+        b: {c: h for c, h in cols.items() if c in keep}
+        for b, cols in blooms.items()
+    }
+    return {b: cols for b, cols in out.items() if cols}
+
+
 def restore_table(
     spark: SparkSession,
     table_path: str,
@@ -853,9 +866,23 @@ def restore_table(
             "deletes": old.get("deletes", {}),
             "delete_counts": old.get("delete_counts", {}),
             # bitmaps describe the restored DATA; the index CONFIG is
-            # table metadata and carries from current like constraints
+            # table metadata and carries from current like constraints.
+            # But bitmaps are only interpretable under the (m, k) they
+            # were packed with — if the index was dropped and re-added
+            # with different params between the two versions, probing
+            # old bitmaps under the new config computes positions they
+            # never set and wrongly prunes (false NEGATIVES). Keep a
+            # column's bitmaps only where the carried config equals the
+            # restored snapshot's; absent = unprunable = sound (r11).
             "bloom": cur.get("bloom", {}),
-            "blooms": old.get("blooms", {}),
+            "blooms": _blooms_under_config(
+                old.get("blooms", {}),
+                keep={
+                    c
+                    for c, v in cur.get("bloom", {}).items()
+                    if old.get("bloom", {}).get(c) == v
+                },
+            ),
             # mapping travels WITH the schema it names (both from the
             # restored snapshot); retired tombstones only ever grow —
             # union both sides so no physical name is ever reusable
@@ -1024,21 +1051,41 @@ def manifest_upsert(
             # supplies it must match the expression row-for-row
             # (null-safe) or the commit rejects — a silently divergent
             # "generated" value is wrong data
-            for gcol, gexpr in mf.get("generated", {}).items():
-                if gcol in ups.columns:
-                    bad = ups.filter(
-                        ~F.col(gcol).eqNullSafe(F.expr(gexpr))
-                    ).take(1)
-                    if bad:
-                        raise ValueError(
-                            f"generated column {gcol!r} = ({gexpr}) "
-                            f"violated by the incoming batch, e.g. "
-                            f"{bad[0].asDict()} ({table_path}); omit the "
-                            "column to have it computed, or supply "
-                            "matching values"
+            gen_rules = mf.get("generated", {})
+            if gen_rules:
+                # NULL-fill schema columns the narrow batch lacks so a
+                # rule referencing them resolves (a missing input IS a
+                # NULL input — the written row reads NULL there); the
+                # batch itself stays narrow except for the computed
+                # rule columns (r11: a delete-only merge batch is
+                # key-only and used to hit an unresolved-column error
+                # here, retried under the lease before surfacing)
+                out_cols = list(ups.columns)
+                have = set(out_cols)
+                filled = ups
+                for tf in _data_schema(mf).fields:
+                    if tf.name not in have:
+                        filled = filled.withColumn(
+                            tf.name, F.lit(None).cast(tf.dataType)
                         )
-                else:
-                    ups = ups.withColumn(gcol, F.expr(gexpr))
+                for gcol, gexpr in gen_rules.items():
+                    if gcol in have:
+                        bad = filled.filter(
+                            ~F.col(gcol).eqNullSafe(F.expr(gexpr))
+                        ).take(1)
+                        if bad:
+                            raise ValueError(
+                                f"generated column {gcol!r} = ({gexpr}) "
+                                f"violated by the incoming batch, e.g. "
+                                f"{bad[0].asDict()} ({table_path}); omit "
+                                "the column to have it computed, or "
+                                "supply matching values"
+                            )
+                    else:
+                        filled = filled.withColumn(gcol, F.expr(gexpr))
+                        out_cols.append(gcol)
+                        have.add(gcol)
+                ups = filled.select(*out_cols)
             # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
             # the incoming LIVE rows must satisfy every recorded
             # predicate, SQL CHECK semantics (violated only when the
@@ -1371,6 +1418,20 @@ def _merge_into_once(
     s, t = source.alias("src"), tgt.alias("tgt")
     joined = s.join(t, on=keys, how="inner")
     data_cols = [f.name for f in schema.fields if f.name not in keys]
+    # generated columns are ALWAYS engine-computed (Delta refuses
+    # UPDATE SET on them): an explicit SET would either silently
+    # diverge or reject the whole commit at the write edge
+    gen = mf.get("generated", {})
+    for gcol in gen:
+        if gcol in (when_matched_update or {}) or gcol in (
+            when_not_matched_by_source_update or {}
+        ):
+            raise ValueError(
+                f"cannot SET generated column {gcol!r} = "
+                f"({gen[gcol]}) in a merge clause ({table_path}): "
+                "generated columns are always recomputed by the "
+                "engine; drop the rule first to take manual control"
+            )
     delete_cond = (
         when_matched_delete
         if when_matched_delete is not None
@@ -1452,6 +1513,24 @@ def _merge_into_once(
     batch = parts[0]
     for p in parts[1:]:
         batch = batch.unionByName(p, allowMissingColumns=True)
+    # Recompute generated columns over the merged batch (r11,
+    # mirroring update_where): the update branch carries the TARGET's
+    # stale value while the clause may change its inputs, and insert
+    # rows from a narrow source get NULL-filled by the union — either
+    # way the write-edge row-for-row validation would reject the whole
+    # commit. Recomputing from the batch's own columns restores the
+    # invariant (tombstone rows are dropped before validation, so
+    # whatever the expression yields on their NULLs is irrelevant).
+    for gcol, gexpr in gen.items():
+        if gcol not in batch.columns:
+            continue  # write edge computes it for the whole batch
+        try:
+            batch = batch.withColumn(gcol, F.expr(gexpr))
+        except Exception:
+            # an input column is absent from every part (source
+            # supplied the generated value directly): leave it for
+            # the write edge's validation
+            pass
     return manifest_upsert(
         spark,
         table_path,
@@ -1634,10 +1713,27 @@ def add_bloom_index(
                 dir_abs
             )
         blooms = dict(mf.get("blooms", {}))
+        # explicit schema, not inference: segments written before the
+        # column existed (additive evolution) — or carried buckets
+        # whose files only hold a retired physical name — lack pcol
+        # entirely; an inferred-schema select would raise. The
+        # explicit schema NULL-fills it, and NULL sets no bits
+        # (missing column = all NULL = no bits — sound) (r11)
+        from pyspark.sql.types import IntegerType, StructField
+
+        ptype = next(
+            f.dataType for f in schema.fields if f.name == column
+        )
+        read_schema = StructType(
+            [
+                StructField(pcol, ptype, True),
+                StructField("pk_bucket", IntegerType(), False),
+            ]
+        )
         frames = [
             spark.read.option("basePath", root)
+            .schema(read_schema)
             .parquet(*dirs)
-            .select(pcol, "pk_bucket")
             for root, dirs in sorted(by_root.items())
         ]
         if frames:
@@ -1662,9 +1758,19 @@ def add_bloom_index(
         return manifest["version"]
 
     try:
+        from pyspark.errors import AnalysisException
+
         version = retry_with_backoff(
             attempt,
-            fatal=(WriterFencedError, ValueError, FileNotFoundError),
+            # AnalysisException is a plan bug, not a transient fault:
+            # retrying the backfill under the lease only delays the
+            # surface (r11)
+            fatal=(
+                WriterFencedError,
+                ValueError,
+                FileNotFoundError,
+                AnalysisException,
+            ),
         )
         record_commit(table_path, token)
         return version
@@ -1851,8 +1957,11 @@ def _data_schema(manifest: dict) -> StructType:
 # for the renamed ones (identity entries are omitted). Dropped columns
 # leave their bytes in place (`retired_physical` tombstones the name so
 # a re-added column gets a FRESH physical name and old bytes can never
-# resurrect); the next full rewrite (optimize) purges them and
-# re-normalizes physical == logical. Stats / file_stats / bloom config
+# resurrect); the next full rewrite (optimize) purges the dropped bytes
+# but PRESERVES live columns' physical names (stable field identity,
+# like Delta REORG keeping field IDs) — CDF and table_changes align
+# old/new sides by physical identity, so a rewrite between two CDF span
+# endpoints must never re-key a renamed column. Stats / file_stats / bloom config
 # are keyed by PHYSICAL name (they describe file contents); skip
 # conjuncts arrive logical and translate at the consult site.
 # ---------------------------------------------------------------------------
@@ -2387,7 +2496,9 @@ def optimize_table(
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         new_n = n_buckets if n_buckets is not None else mf["n_buckets"]
         current = read_manifest_table(spark, table_path)
-        stat_cols = _stat_columns(_data_schema(mf))
+        # stats/file_stats key by PHYSICAL name (they describe file
+        # contents) and the rewrite below writes physical-named files
+        stat_cols = _stat_columns(_physical_schema(mf))
         if cluster_by:
             types = {f.name: f.dataType for f in _data_schema(mf).fields}
             missing = [c for c in cluster_by if c not in types]
@@ -2460,9 +2571,16 @@ def optimize_table(
             ).repartition(new_n, "pk_bucket")
         seg = os.path.join("data", f"seg-{uuid.uuid4().hex[:12]}")
         seg_abs = os.path.join(table_path, seg)
-        merged.write.partitionBy("pk_bucket").mode("overwrite").parquet(
-            seg_abs
-        )
+        # Write under PHYSICAL names, preserving each column's assigned
+        # physical identity across the rewrite (Delta keeps field IDs
+        # stable through REORG). CDF/table_changes align old/new sides
+        # by physical identity, so an optimize between two CDF span
+        # endpoints must not re-key renamed columns. Dropped columns DO
+        # purge here (`current` carries only live logical columns), so
+        # retired_physical still clears below.
+        _to_physical_frame(merged, _mapping(mf)).write.partitionBy(
+            "pk_bucket"
+        ).mode("overwrite").parquet(seg_abs)
         buckets = {
             e.split("=", 1)[1]: os.path.join(seg, e)
             for e in os.listdir(seg_abs)
@@ -2478,12 +2596,9 @@ def optimize_table(
             if collect_stats and cluster_by
             else {}
         )
-        # bloom config keys follow the physical names, which this full
-        # rewrite just normalized back to logical
-        inv_map = {p: l for l, p in _mapping(mf).items()}
-        bloom_cfg = {
-            inv_map.get(c, c): v for c, v in mf.get("bloom", {}).items()
-        }
+        # bloom config keys by physical name and the rewrite preserved
+        # physical names, so the config carries through unchanged
+        bloom_cfg = dict(mf.get("bloom", {}))
         manifest = {
             "version": mf["version"] + 1,
             "token": token,
@@ -2500,11 +2615,11 @@ def optimize_table(
                 if collect_stats
                 else {}
             ),
-            # the full rewrite just landed LOGICAL column names on disk
-            # (`current` is a logical frame): physical == logical again,
-            # dropped columns physically purged — Delta's REORG ...
-            # APPLY (PURGE), folded into every optimize
-            "column_mapping": {},
+            # physical names survive the rewrite (stable field identity,
+            # like Delta REORG keeping field IDs); dropped columns are
+            # physically purged — APPLY (PURGE) folded into optimize —
+            # so their tombstones can retire
+            "column_mapping": _mapping(mf),
             "retired_physical": [],
             "generated": mf.get("generated", {}),
             "constraints": mf.get("constraints", {}),

@@ -91,10 +91,13 @@ def retry_with_backoff(
 #   is a LEASE: a holder that crashes mid-upsert leaves the dir behind,
 #   and any writer may steal a claim older than `LOCK_LEASE_TTL_S`.
 # * fence — each acquisition increments a monotone token
-#   (`table.fence`). A commit records its token (`table.commit`); a
-#   writer whose lease was stolen carries a SMALLER token than the last
-#   commit and must abort (`WriterFencedError`) instead of clobbering
-#   the newer state — last-writer-wins is DETECTED, never silent.
+#   (`table.fence`). Fencing is ISSUE-ordered, not only commit-ordered
+#   (docs/TABLE_FORMAT.md invariants, r10): a writer aborts
+#   (`WriterFencedError`) when a commit newer than its token exists,
+#   when another token holds the lease, OR — lease released — when any
+#   NEWER token was merely ISSUED since (a released-but-uncommitted
+#   zombie must not act on state a newer writer may be rewriting).
+#   Last-writer-wins is DETECTED, never silent.
 #
 # Race hardening (all paths tested in test_sinks.py):
 # * steals go through an atomic `os.rename(lock, lock.stale.<nonce>)` —
