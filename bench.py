@@ -194,6 +194,11 @@ HEADLINE = [
     # equality-probe shape min/max stats can never prune; steady =
     # the bitmap-pruned IN probe against the cached fixture
     "bloom_skip_scan",
+    # round-11 addition: sharded manifest metadata — a 256-bucket
+    # table whose per-bucket maps live in bucket-range sidecars;
+    # steady = the assembled read + two slim-manifest diffs (the
+    # fixture build pays the 256-dir writes, split via build_count)
+    "sidecar_metadata",
 ]
 
 #: one representative per family for the sf0.1 -> sf1.0 scaling ratio

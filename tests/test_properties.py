@@ -523,14 +523,14 @@ _mops = st.lists(
 )
 
 
-@given(ops=_mops)
+@given(ops=_mops, sharded=st.booleans())
 @settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_manifest_table_matches_model_under_any_op_sequence(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, ops, sharded
 ):
     """Model-based check: ANY interleaving of upserts, tombstone
     deletes, merge-on-read deletes, updates (each including absent
@@ -538,7 +538,21 @@ def test_manifest_table_matches_model_under_any_op_sequence(
     exactly equal to a dict that applied the same ops — and the
     stats-skip read, the metadata-only count, the Python DataSource
     batch read, and a CDC-replay reconstruction (oldest snapshot +
-    change feed) all agree with the model too."""
+    change feed) all agree with the model too. Half the examples run
+    with SIDECAR_RANGE forced to 2 (r11): the sharded metadata layout
+    must be invisible to every one of those surfaces."""
+    from trail_condition_etl_spark.sinks import manifest as mfm
+
+    prev_range = mfm.SIDECAR_RANGE
+    if sharded:
+        mfm.SIDECAR_RANGE = 2
+    try:
+        _run_manifest_model(spark, tmp_path_factory, ops)
+    finally:
+        mfm.SIDECAR_RANGE = prev_range
+
+
+def _run_manifest_model(spark, tmp_path_factory, ops):
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     table = str(tmp_path_factory.mktemp("prop_manifest") / "t")
@@ -809,14 +823,14 @@ def _fence_token(table: str) -> int:
         return 0
 
 
-@given(ops=_w_ops)
+@given(ops=_w_ops, sharded=st.booleans())
 @settings(
     max_examples=_MODEL_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_two_writers_with_lease_steals_converge(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, ops, sharded
 ):
     """ANY interleaving of upsert/delete/update/optimize/maintain/
     rename/compact/restore/stream-epoch ops — plus the r11 DDL
@@ -828,7 +842,20 @@ def test_two_writers_with_lease_steals_converge(
     g columns), versions contiguous 1..latest, every recorded
     intermediate version still time-travel readable (both columns), no
     bloom false negatives, and the crashed writer's stale fencing
-    token REJECTED on its late publish attempt."""
+    token REJECTED on its late publish attempt. Half the examples
+    force the sharded metadata layout (SIDECAR_RANGE=2, r11)."""
+    from trail_condition_etl_spark.sinks import manifest as mfm
+
+    prev_range = mfm.SIDECAR_RANGE
+    if sharded:
+        mfm.SIDECAR_RANGE = 2
+    try:
+        _run_two_writer_model(spark, tmp_path_factory, ops)
+    finally:
+        mfm.SIDECAR_RANGE = prev_range
+
+
+def _run_two_writer_model(spark, tmp_path_factory, ops):
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     table = str(tmp_path_factory.mktemp("two_writers") / "t")

@@ -934,6 +934,16 @@ def q_cdf_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.cdf_preimages_query(spark, sf_dir)
 
 
+@query("sidecar_metadata", oracle=manifest_sink.SIDECAR_METADATA_SQL)
+def q_sidecar_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sharded manifest metadata (r11): past SIDECAR_RANGE buckets the
+    # per-bucket maps live in bucket-range sidecar files; a 1-key
+    # commit rewrites exactly ONE of them (changed_ranges pinned at 1
+    # by the oracle), the rest carry by file reference
+    ensure_engine_conf(spark)
+    return manifest_sink.sidecar_metadata_query(spark, sf_dir)
+
+
 @query("column_mapping", oracle=manifest_sink.COLUMN_MAPPING_SQL)
 def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only RENAME/DROP COLUMN (Delta column mapping): rename
@@ -1772,6 +1782,9 @@ _PINNED_HEAD = [
     # columns (touches every upsert's pre-commit path), and the
     # incremental bucket-wise compaction maintain now prefers
     "cdf_preimages", "generated_columns", "incremental_compaction",
+    # r11: the sharded-metadata tier rewires _publish_manifest and
+    # read_manifest for EVERY table past the threshold — sample first
+    "sidecar_metadata",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

