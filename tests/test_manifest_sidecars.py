@@ -246,3 +246,55 @@ def test_point_lookup_parses_only_covering_sidecars(
     # and the slim-only call carries none
     mf0 = mfm.read_manifest(t, buckets=[])
     assert mf0["buckets"] == {} and mf0["n_buckets"] == 16
+
+
+def test_partial_read_uses_manifest_own_range_width(
+    spark, tmp_path, monkeypatch
+):
+    """r11: the bucket->range mapping must use the WIDTH THE MANIFEST
+    WAS WRITTEN WITH (`sidecar_range`), never the module constant — a
+    build upgrade that changes SIDECAR_RANGE would otherwise compute
+    wrong range starts for old manifests, silently skip their
+    sidecars, and return empty lookups."""
+    t = str(tmp_path / "wdt")
+    monkeypatch.setattr(mfm, "SIDECAR_RANGE", 2)
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    assert mfm._read_slim(t, 1)["sidecar_range"] == 2
+    # "upgrade": the reader now ships a different default width
+    monkeypatch.setattr(mfm, "SIDECAR_RANGE", 64)
+    row = mfm.read_manifest_lookup(spark, t, {"k": 21}).head()
+    assert row is not None and row["v"] == 42
+
+
+def test_cdc_stream_plans_from_changed_ranges_only(
+    spark, tmp_path, small_range
+):
+    """r11: the CDC stream planner diffs the two SLIM manifests'
+    sidecar indexes first — ranges with identical (path, hash) entries
+    provably changed nothing and their sidecars never load. A 1-key
+    commit on an 8-range table plans its trigger from one sidecar
+    pair, and the emitted change feed is exactly that key."""
+    from trail_condition_etl_spark.sources import manifest_source as msrc
+    from trail_condition_etl_spark.sinks.manifest import _data_schema
+
+    t = str(tmp_path / "cdcp")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    mfm.manifest_upsert(spark, t, _one_key(spark, 21, 777), ["k"])
+    schema = msrc.cdc_schema(_data_schema(mfm.read_manifest(t)))
+    rdr = msrc.ManifestCDCStreamReader(schema, {"path": t})
+    mfm._load_sidecar.cache_clear()
+    parts = rdr.partitions({"version": 1}, {"version": 2})
+    # metadata IO: one changed range at each span end = 2 sidecar
+    # parses (the v1 original + the v2 rewrite of that range)
+    assert mfm._load_sidecar.cache_info().misses == 2
+    import pyarrow as pa
+
+    rows = [
+        row
+        for p in parts
+        for b in rdr.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    ]
+    assert {(r["k"], r["v"], r["change_type"]) for r in rows} == {
+        (21, 777, "update")
+    }

@@ -221,6 +221,12 @@ def _shard_metadata(table_path: str, manifest: dict) -> dict:
         k: v for k, v in manifest.items() if k not in _SIDECAR_KEYS
     }
     slim["sidecars"] = sidecars
+    # the width the ranges were keyed with: readers MUST map bucket ->
+    # range with the manifest's own width, never the module constant —
+    # a build that ships a different SIDECAR_RANGE would otherwise
+    # compute wrong range starts for old manifests and silently skip
+    # their sidecars (missing buckets = wrong empty results)
+    slim["sidecar_range"] = SIDECAR_RANGE
     return slim
 
 
@@ -312,9 +318,9 @@ def read_manifest(
             "anyway would return wrong data — upgrade the reader"
         )
     if buckets is not None and "sidecars" in mf:
+        width = mf.get("sidecar_range", SIDECAR_RANGE)
         needed = {
-            str((int(b) // SIDECAR_RANGE) * SIDECAR_RANGE)
-            for b in buckets
+            str((int(b) // width) * width) for b in buckets
         }
         sidecars = mf.pop("sidecars")
         for k in _SIDECAR_KEYS:
