@@ -151,3 +151,41 @@ def test_table_cursor_path_rejects_bad_names():
         cdc.table_cursor_path("/t", "a/b")
     with pytest.raises(ValueError):
         cdc.table_cursor_path("/t", ".hidden")
+
+
+def test_table_changes_reads_only_changed_buckets(spark, tmp_path):
+    """r11: with the same bucket layout at both span ends, buckets
+    carried by reference (same segment dir + same delete files)
+    provably contribute no changes — the diff's plan must read ONLY
+    the changed buckets' files on both sides, O(change) not O(table)."""
+    import os
+
+    t = str(tmp_path / "prune")
+    base = spark.range(0, 200).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("string").alias("v"),
+    )
+    mf.manifest_upsert(spark, t, base, ["k"], n_buckets=8)
+    mf.manifest_upsert(spark, t, _df(spark, [(7, "CHANGED")]), ["k"])
+    m1, m2 = mf.read_manifest(t, 1), mf.read_manifest(t, 2)
+    changed_dirs = {
+        os.path.join(t, d)
+        for ver in (m1, m2)
+        for b, d in ver["buckets"].items()
+        if m1["buckets"].get(b) != m2["buckets"].get(b)
+    }
+    ch = mf.table_changes(spark, t, 1)
+    rows = {(r.k, r.v, r.change_type) for r in ch.collect()}
+    assert rows == {(7, "CHANGED", "update")}
+    read = set(ch.inputFiles())
+    assert read, "diff read no files but emitted a change"
+    for f in read:
+        assert any(d in f for d in changed_dirs), f  # f is a file: URI
+    # a rescale inside the span disables the pruning but stays exact
+    mf.optimize_table(spark, t, n_buckets=6)
+    mf.manifest_upsert(spark, t, _df(spark, [(9, "MOVED")]), ["k"])
+    rows = {
+        (r.k, r.change_type)
+        for r in mf.table_changes(spark, t, 1).collect()
+    }
+    assert rows == {(7, "update"), (9, "update")}

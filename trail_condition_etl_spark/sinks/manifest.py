@@ -3243,6 +3243,24 @@ def maintain_table(
     )
 
 
+def _snapshot_buckets(
+    spark: SparkSession, table_path: str, mf: dict, bucket_ids: list
+) -> DataFrame:
+    """A snapshot restricted to the given buckets: their segment dirs
+    read logically, their pending MoR deletes applied — the unit
+    `table_changes`' bucket-level pruning diffs."""
+    schema = _data_schema(mf)
+    paths = [
+        os.path.join(table_path, mf["buckets"][b])
+        for b in bucket_ids
+        if b in mf["buckets"]
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    df = _read_segments(spark, mf, paths)
+    return _apply_deletes(spark, df, table_path, mf, bucket_ids)
+
+
 def table_changes(
     spark: SparkSession,
     table_path: str,
@@ -3270,8 +3288,31 @@ def table_changes(
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     keys = mf_to["keys"]
     mf_from = read_manifest(table_path, from_version)
-    old = read_manifest_table(spark, table_path, from_version)
-    new = read_manifest_table(spark, table_path, mf_to["version"])
+    # Bucket-level pruning (r11): with the SAME bucket layout at both
+    # span ends, a key can never move buckets, so a bucket whose
+    # segment dir AND pending-delete file list are IDENTICAL (carried
+    # by reference) provably contributes only 'none' rows — both sides
+    # read ONLY the buckets that actually changed, making the diff
+    # O(change) in data IO instead of O(table). A rescale inside the
+    # span moves keys across buckets: full-snapshot diff, as before.
+    if mf_from is not None and mf_from["n_buckets"] == mf_to["n_buckets"]:
+        ob, nb = mf_from["buckets"], mf_to["buckets"]
+        odm = mf_from.get("deletes", {})
+        ndm = mf_to.get("deletes", {})
+        changed = sorted(
+            (
+                b
+                for b in set(ob) | set(nb)
+                if ob.get(b) != nb.get(b)
+                or odm.get(b, []) != ndm.get(b, [])
+            ),
+            key=int,
+        )
+        old = _snapshot_buckets(spark, table_path, mf_from, changed)
+        new = _snapshot_buckets(spark, table_path, mf_to, changed)
+    else:
+        old = read_manifest_table(spark, table_path, from_version)
+        new = read_manifest_table(spark, table_path, mf_to["version"])
     # column identity is PHYSICAL (column mapping): a rename between
     # the two versions is metadata-only and must not read as a change,
     # and a dropped-then-re-added column (fresh physical) must read as
