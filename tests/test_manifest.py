@@ -925,7 +925,7 @@ def test_pre_metadata_manifests_stay_readable(spark, tmp_path):
     with open(path) as f:
         m = _json.load(f)
     for k in ("committed_at", "operation", "op_metrics", "row_counts",
-              "file_stats", "stats"):
+              "file_stats", "stats", "total_rows"):
         m.pop(k, None)
     os.chmod(path, 0o644)
     with open(path, "w") as f:

@@ -345,6 +345,23 @@ def read_manifest(
     return _assemble(table_path, mf)
 
 
+def _total_rows(manifest: dict) -> int | None:
+    """Exact table row count from the per-bucket maps, or None when any
+    referenced bucket lacks a recorded count (collect_stats=False) or
+    any pending delete file lacks its key count — same contract as
+    manifest_row_count, computed once at publish."""
+    counts = manifest.get("row_counts", {})
+    if any(b not in counts for b in manifest.get("buckets", {})):
+        return None
+    dels = manifest.get("deletes", {})
+    dcnt = manifest.get("delete_counts", {})
+    if any(b not in dcnt for b in dels):
+        return None
+    return sum(counts[b] for b in manifest.get("buckets", {})) - sum(
+        dcnt[b] for b in dels
+    )
+
+
 def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
     """THE commit point: place the next manifest version atomically AND
     without clobbering — `os.link` fails with EEXIST if the version
@@ -357,6 +374,14 @@ def _publish_manifest(table_path: str, manifest: dict, token: int) -> None:
     # ASSEMBLED inline maps; any stale sidecar index from the source
     # dict must not survive into the new version
     manifest.pop("sidecars", None)
+    # precomputed exact COUNT(*) (r11): rides the slim manifest so a
+    # metadata count on a sharded table parses zero sidecars. None
+    # (omitted) when any bucket lacks a recorded count — the honest
+    # "must scan" manifest_row_count already returns.
+    manifest.pop("total_rows", None)
+    total = _total_rows(manifest)
+    if total is not None:
+        manifest["total_rows"] = total
     # stamp the reader feature gate from CONTENT, at the one choke
     # point every commit path funnels through — a manifest only ever
     # requires features it actually uses
@@ -2602,9 +2627,15 @@ def manifest_row_count(
     merge-on-read deletes subtract by their recorded per-bucket key
     counts — exact because `delete_where` matches against the current
     snapshot, so a key is counted in at most one delete file."""
-    mf = read_manifest(table_path, version)
+    # slim-first (r11): publish stamps the precomputed exact count
+    # into the slim manifest, so a sharded table's COUNT parses zero
+    # sidecars. Pre-r11 manifests fall through to the assembled maps.
+    mf = read_manifest(table_path, version, buckets=[])
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
+    if "total_rows" in mf:
+        return mf["total_rows"]
+    mf = read_manifest(table_path, version)
     counts = mf.get("row_counts", {})
     if any(b not in counts for b in mf["buckets"]):
         return None
