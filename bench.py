@@ -266,6 +266,11 @@ SCALE_QUERIES = [
     # compaction's cost should track the DIRTY buckets, not the table
     "bloom_skip_scan",
     "incremental_compaction",
+    # round-12 addition (VERDICT r11 directive 7): the r11 sharded-
+    # metadata probe gets a measured ratio — its whole claim is
+    # "metadata IO ∝ change size, not table size", so the sf1.0 run
+    # (10x rows, same bucket count per fixture rules) should be flat
+    "sidecar_metadata",
 ]
 
 

@@ -193,3 +193,23 @@ def test_merge_delete_with_nullsafe_expr_commits(spark, tmp_path):
     merge_into(spark, t, src, when_matched_delete=F.lit(True),
                insert_not_matched=False)
     assert read_manifest_table(spark, t).count() == 15
+
+
+def test_merge_insert_with_divergent_explicit_value_rejects(spark, table):
+    """r12 (ADVICE r11): an insert row whose SOURCE explicitly supplies
+    a generated column must match the rule row-for-row — the write
+    edge's contract; MERGE used to silently recompute over it. A
+    matching explicit value still commits."""
+    from trail_condition_etl_spark.sinks.manifest import merge_into
+
+    bad = spark.createDataFrame(
+        [(100, 70, 999)], "k long, chars long, deca long"
+    )
+    with pytest.raises(ValueError, match="violated by a merge insert"):
+        merge_into(spark, table, bad, insert_not_matched=True)
+    ok = spark.createDataFrame(
+        [(100, 70, 7)], "k long, chars long, deca long"
+    )
+    merge_into(spark, table, ok, insert_not_matched=True)
+    rows = {r.k: r.deca for r in read_manifest_table(spark, table).collect()}
+    assert rows[100] == 7 and len(rows) == 41

@@ -224,6 +224,26 @@ def test_lifecycle_parity_sharded_vs_inline(spark, tmp_path, small_range):
     both(lambda t: mfm.restore_table(spark, t, version=vs))
     fin = same()
     assert len(fin) > 0
+    # clone step (r12): fork both tables, read-compare, then write to
+    # each clone — the sharded side exercises carried-`base` assembly
+    # and the resolved-content carry on the clone's first commit
+    cs, ci = str(tmp_path / "shard_cl"), str(tmp_path / "inl_cl")
+    mfm.clone_table(spark, ts, cs)
+    with mock.patch.object(mfm, "SIDECAR_RANGE", 64):
+        mfm.clone_table(spark, ti, ci)
+    mfm.manifest_upsert(spark, cs, _one_key(spark, 5, 808), ["k"])
+    with mock.patch.object(mfm, "SIDECAR_RANGE", 64):
+        mfm.manifest_upsert(spark, ci, _one_key(spark, 5, 808), ["k"])
+    ca = {
+        (r.k, r.v, r.tag)
+        for r in mfm.read_manifest_table(spark, cs).collect()
+    }
+    cb = {
+        (r.k, r.v, r.tag)
+        for r in mfm.read_manifest_table(spark, ci).collect()
+    }
+    assert ca == cb and (5, 808, "t5") in ca
+    assert same() == fin  # sources untouched by clone writes
 
 
 def test_point_lookup_parses_only_covering_sidecars(
@@ -317,3 +337,166 @@ def test_metadata_count_parses_zero_sidecars(spark, tmp_path, small_range):
         spark, t, _one_key(spark, 200, 1), ["k"], collect_stats=False
     )
     assert mfm.manifest_row_count(t) is None  # honest must-scan
+
+
+def test_restore_rewrites_zero_sidecars(spark, tmp_path, small_range):
+    """r12 (VERDICT r11 directive 6): sidecar files are
+    CONTENT-ADDRESSED (`sc-<lo>-<hash>.json`, no version in the name),
+    so a restore — whose per-bucket content is byte-identical to the
+    restored version's — writes zero new sidecar files however far
+    back it reverts; the slim index simply points at the existing
+    files again."""
+    t = str(tmp_path / "rst")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    mfm.manifest_upsert(spark, t, _one_key(spark, 3, 999), ["k"])
+    before = _meta_files(t)
+    mfm.restore_table(spark, t, version=1)
+    assert _meta_files(t) == before  # not one new byte of metadata
+    # the restored slim index references EXACTLY version 1's files
+    assert mfm._read_slim(t, 3)["sidecars"] == mfm._read_slim(t, 1)["sidecars"]
+    got = {r.k: r.v for r in mfm.read_manifest_table(spark, t).collect()}
+    assert got[3] == 6 and len(got) == 80
+    # and vacuum keeps multi-version-shared files while both versions
+    # are retained (the sweep unions ALL retained refs)
+    mfm.vacuum(t, keep_last=2)
+    for v in mfm.list_versions(t):
+        assert mfm.read_manifest_table(spark, t, version=v).count() == 80
+
+
+def test_batch_table_changes_parses_changed_ranges_only(
+    spark, tmp_path, small_range
+):
+    """r12 (VERDICT r11 directive 2): batch `table_changes` resolves
+    its span through the SAME slim-index diff as the CDC stream
+    planner — a 1-key commit on an 8-range table parses exactly the
+    one changed range's sidecar pair (metadata IO O(change)), on top
+    of the r11 data-IO bucket pruning. Covers the preimage form too
+    (same span resolution)."""
+    t = str(tmp_path / "cdfp")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    mfm.manifest_upsert(spark, t, _one_key(spark, 21, 777), ["k"])
+    mfm._load_sidecar.cache_clear()
+    changes = mfm.table_changes(spark, t, 1, 2)
+    # one changed range at each span end = 2 sidecar parses
+    assert mfm._load_sidecar.cache_info().misses == 2
+    rows = {(r.k, r.v, r.change_type) for r in changes.collect()}
+    assert rows == {(21, 777, "update")}
+    pre = mfm.table_changes(spark, t, 1, 2, include_preimages=True)
+    assert {(r.k, r.v, r.change_type) for r in pre.collect()} == {
+        (21, 42, "update_preimage"),
+        (21, 777, "update_postimage"),
+    }
+    assert mfm._load_sidecar.cache_info().misses == 2  # still cached
+
+
+def test_clone_carries_sidecars_writing_zero_files(
+    spark, tmp_path, small_range
+):
+    """r12 (VERDICT r11 directive 4): a sharded source's clone carries
+    the source's sidecar FILES by absolute reference — each slim entry
+    keeps (path, hash) and gains `base` — so the zero-data-copy fork
+    is zero-METADATA-copy too: no `_meta/` files written at all (the
+    old path re-sharded every range, ~12.5k files at the sizing rule).
+    Reads, metadata count, and point lookups resolve through the
+    carried refs; the clone's first write re-shards ONLY the touched
+    range, the rest keep carrying."""
+    src = str(tmp_path / "src")
+    mfm.manifest_upsert(spark, src, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    dst = str(tmp_path / "dst")
+    mfm.clone_table(spark, src, dst)
+    assert _meta_files(dst) == set()  # zero sidecars written
+    slim = mfm._read_slim(dst, 1)
+    assert len(slim["sidecars"]) == 8
+    src_abs = os.path.abspath(src)
+    for ent in slim["sidecars"].values():
+        assert os.path.isabs(ent["path"]) and ent["base"] == src_abs
+    assert "sharded-metadata" in slim["required_reader_features"]
+    got = {r.k: r.v for r in mfm.read_manifest_table(spark, dst).collect()}
+    assert len(got) == 80 and got[21] == 42
+    assert mfm.manifest_row_count(dst) == 80  # slim total_rows carried
+    assert mfm.read_manifest_lookup(spark, dst, {"k": 21}).head()["v"] == 42
+    # first clone write: ONE clone-local sidecar, 7 ranges still carried
+    mfm.manifest_upsert(spark, dst, _one_key(spark, 21, 777), ["k"])
+    assert len(_meta_files(dst)) == 1
+    s2 = mfm._read_slim(dst, 2)["sidecars"]
+    assert sum(1 for e in s2.values() if e.get("base")) == 7
+    # write isolation both ways
+    assert {
+        r.v for r in mfm.read_manifest_table(spark, dst).filter("k = 21").collect()
+    } == {777}
+    assert {
+        r.v for r in mfm.read_manifest_table(spark, src).filter("k = 21").collect()
+    } == {42}
+
+
+def test_chained_clone_keeps_original_base(spark, tmp_path, small_range):
+    """Clone of a clone: carried entries keep the ORIGINAL owner as
+    `base` (the file's relative refs are relative to it), and both
+    clones read the grandparent's data correctly."""
+    a = str(tmp_path / "a")
+    mfm.manifest_upsert(spark, a, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    b = str(tmp_path / "b")
+    mfm.clone_table(spark, a, b)
+    c = str(tmp_path / "c")
+    mfm.clone_table(spark, b, c)
+    assert _meta_files(c) == set()
+    a_abs = os.path.abspath(a)
+    for ent in mfm._read_slim(c, 1)["sidecars"].values():
+        assert ent["base"] == a_abs
+    assert mfm.read_manifest_table(spark, c).count() == 80
+
+
+def test_source_vacuum_retains_clone_carried_sidecars(
+    spark, tmp_path, small_range
+):
+    """The source's vacuum must NOT sweep sidecar files a registered
+    clone still carries — unlike data segments (which survive by
+    carrying into kept manifests), a rewritten range's OLD sidecar
+    drops out of the source's kept refs immediately, so the clone pin
+    is its only keeper. After release_clone (+ clone materialize) the
+    files age out normally."""
+    src = str(tmp_path / "src")
+    mfm.manifest_upsert(spark, src, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    dst = str(tmp_path / "dst")
+    mfm.clone_table(spark, src, dst)
+    # source rewrites one range, then vacuums to latest-only: the old
+    # range sidecar is unreferenced by the source but carried by dst
+    mfm.manifest_upsert(spark, src, _one_key(spark, 21, 555), ["k"])
+    mfm.vacuum(src, keep_last=1)
+    assert mfm.read_manifest_table(spark, dst).count() == 80
+    assert {
+        r.v for r in mfm.read_manifest_table(spark, dst).filter("k = 21").collect()
+    } == {42}  # the clone still reads ITS pinned snapshot
+    # materialize + release: the carried refs disappear from dst's
+    # retained manifests, and the source's next vacuum sweeps freely
+    mfm.optimize_table(spark, dst)
+    mfm.vacuum(dst, keep_last=1)
+    mfm.release_clone(src, dst)
+    mfm.vacuum(src, keep_last=1)
+    kept = _meta_files(src)
+    referenced = {
+        os.path.basename(e["path"])
+        for e in mfm._read_slim(src, mfm.list_versions(src)[-1])[
+            "sidecars"
+        ].values()
+    }
+    assert kept == referenced
+    assert mfm.read_manifest_table(spark, dst).count() == 80
+
+
+def test_sharded_table_empties_and_refills(spark, tmp_path, small_range):
+    """Regression (r12, found by the two-writer hypothesis model under
+    a fresh seed): tombstoning EVERY row of a sharded table leaves an
+    empty sidecar index (`"sidecars": {}` — falsy), and `_assemble`
+    used to skip restoring the per-bucket maps, so every later read or
+    commit raised KeyError('buckets'). Empty is a value, not an
+    absence: the table must read as zero rows and accept new commits."""
+    t = str(tmp_path / "empty")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 8), ["k"], n_buckets=4)
+    allk = _frame(spark, 0, 8).withColumn("_del", F.lit(True))
+    mfm.manifest_upsert(spark, t, allk, ["k"], tombstone_col="_del")
+    assert mfm.read_manifest_table(spark, t).count() == 0
+    assert mfm.manifest_row_count(t) == 0
+    mfm.manifest_upsert(spark, t, _one_key(spark, 5, 55), ["k"])
+    got = {(r.k, r.v) for r in mfm.read_manifest_table(spark, t).collect()}
+    assert got == {(5, 55)}

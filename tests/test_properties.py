@@ -1110,15 +1110,32 @@ _clone_ops = st.lists(
 )
 
 
-@given(ops=_clone_ops)
+@given(ops=_clone_ops, sharded=st.booleans())
 @settings(
     max_examples=_MODEL_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_clone_chains_survive_any_vacuum_interleaving(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, ops, sharded
 ):
+    """Half the examples run with SIDECAR_RANGE forced to 2 (r12,
+    VERDICT r11 directive 3): deep clone chains racing vacuums is
+    exactly where a swept-but-still-carried sidecar would hide —
+    clones carry the source's sidecar FILES by reference, and vacuum's
+    `_meta/` sweep must honor those pins across any interleaving."""
+    from trail_condition_etl_spark.sinks import manifest as mfm
+
+    prev_range = mfm.SIDECAR_RANGE
+    if sharded:
+        mfm.SIDECAR_RANGE = 2
+    try:
+        _run_clone_model(spark, tmp_path_factory, ops)
+    finally:
+        mfm.SIDECAR_RANGE = prev_range
+
+
+def _run_clone_model(spark, tmp_path_factory, ops):
     from trail_condition_etl_spark.sinks import manifest as mfm
 
     root = tmp_path_factory.mktemp("clone_model")
@@ -1127,7 +1144,7 @@ def test_clone_chains_survive_any_vacuum_interleaving(
     mfm.manifest_upsert(
         spark, tables[0],
         spark.createDataFrame([(0, 0)], "k int, v long"),
-        ["k"], n_buckets=2,
+        ["k"], n_buckets=4,
     )
     for kind, arg in ops:
         if kind == "commit":

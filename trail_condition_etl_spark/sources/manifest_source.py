@@ -1055,52 +1055,17 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
 
     def _span_manifests(self, frm: int, to: int):
         """(new_mf, old_mf) for a CDC span, metadata-pruned on sharded
-        tables (r11): ranges whose sidecar (path, hash) entries are
-        IDENTICAL at both span ends provably changed nothing — their
-        buckets, delete refs, and stats are byte-equal — so only the
-        DIFFERING ranges' sidecars load and the per-bucket diff loop
-        below sees just their buckets. A 1-bucket commit on an
+        tables: delegates to the sink-side `_span_manifests` (r12 —
+        ONE slim-index diff shared with batch `table_changes`), which
+        loads only the ranges whose sidecar (path, hash) entries
+        differ at the two span ends. A 1-bucket commit on an
         800k-bucket table plans its trigger from the two slim
-        manifests + ONE sidecar pair instead of ~25k sidecar parses.
-        Falls back to full assembly when either end is inline, the
-        layouts disagree (rescale — the rescale planner needs every
-        bucket anyway), or the range widths differ across a build
-        upgrade."""
-        from ..sinks.manifest import _read_slim
+        manifests + ONE sidecar pair instead of ~25k sidecar parses;
+        inline tables, rescales, and width mismatches fall back to
+        full assembly."""
+        from ..sinks.manifest import _span_manifests
 
-        if frm > 0:
-            slim_new = _read_slim(self._table_path, to) or {}
-            slim_old = _read_slim(self._table_path, frm) or {}
-            sc_new = slim_new.get("sidecars")
-            sc_old = slim_old.get("sidecars")
-            if (
-                sc_new is not None
-                and sc_old is not None
-                and slim_new.get("n_buckets") == slim_old.get("n_buckets")
-                and slim_new.get("sidecar_range")
-                == slim_old.get("sidecar_range")
-            ):
-                width = slim_new["sidecar_range"]
-                changed = {
-                    lo
-                    for lo, ent in sc_new.items()
-                    if sc_old.get(lo) != ent
-                } | {lo for lo in sc_old if lo not in sc_new}
-                bucket_ids = [
-                    b
-                    for lo in changed
-                    for b in range(int(lo), int(lo) + width)
-                ]
-                return (
-                    read_manifest(self._table_path, to, buckets=bucket_ids),
-                    read_manifest(
-                        self._table_path, frm, buckets=bucket_ids
-                    ),
-                )
-        return (
-            read_manifest(self._table_path, to),
-            read_manifest(self._table_path, frm) if frm > 0 else None,
-        )
+        return _span_manifests(self._table_path, frm, to)
 
     def _rescale_partitions(
         self, old_mf: dict, new_mf: dict, old_dmap: dict, new_dmap: dict
