@@ -234,6 +234,12 @@ HEADLINE = [
     # directive 7 wants ratio_skipped empty) — steady = the cached
     # fixture's read-back, build pays the compact_buckets commit
     "incremental_compaction",
+    # round-12 additions: zero-metadata clone (carried sidecar refs,
+    # base-resolved assembly) and content-addressed restore — steady =
+    # the carried-ref read-back + slim-index diffs, build pays the
+    # 256-bucket source + clone/restore commits (split via build_count)
+    "clone_metadata",
+    "restore_metadata",
 ]
 
 #: one representative per family for the sf0.1 -> sf1.0 scaling ratio

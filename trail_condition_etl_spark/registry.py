@@ -944,6 +944,26 @@ def q_sidecar_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.sidecar_metadata_query(spark, sf_dir)
 
 
+@query("clone_metadata", oracle=manifest_sink.CLONE_METADATA_SQL)
+def q_clone_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zero-metadata shallow clone (r12): the fork carries the source's
+    # sidecar FILES by absolute reference (zero _meta/ writes, asserted
+    # in the build); its first commit re-shards exactly one range
+    # (local_ranges=1), the rest keep carrying (carried_ranges=3)
+    ensure_engine_conf(spark)
+    return manifest_sink.clone_metadata_query(spark, sf_dir)
+
+
+@query("restore_metadata", oracle=manifest_sink.RESTORE_METADATA_SQL)
+def q_restore_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-addressed restore (r12): sidecar names carry no version,
+    # so a revert's byte-identical ranges resolve to files already on
+    # disk — zero new sidecars (asserted in the build) and a slim
+    # index equal to v1's (restore_divergence=0)
+    ensure_engine_conf(spark)
+    return manifest_sink.restore_metadata_query(spark, sf_dir)
+
+
 @query("column_mapping", oracle=manifest_sink.COLUMN_MAPPING_SQL)
 def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only RENAME/DROP COLUMN (Delta column mapping): rename
@@ -1785,6 +1805,9 @@ _PINNED_HEAD = [
     # r11: the sharded-metadata tier rewires _publish_manifest and
     # read_manifest for EVERY table past the threshold — sample first
     "sidecar_metadata",
+    # r12: zero-metadata clones (carried sidecar refs + base
+    # resolution) and content-addressed restore are new surfaces
+    "clone_metadata", "restore_metadata",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

@@ -4455,6 +4455,143 @@ GROUP BY source
 """
 
 
+def clone_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Zero-metadata shallow clone (r12) as an oracle-checked
+    query. Build: docs %3==0 land in a 256-bucket SOURCE — sharded
+    into 4 bucket-range sidecars — which `clone_table` forks; the
+    clone's slim manifest carries all 4 sidecar FILES by absolute
+    reference (each entry gains `base`), so the fork writes ZERO
+    `_meta/` files (asserted in the build; the old path re-sharded
+    every range — ~12.5k files at the 800k-bucket sizing rule). One
+    key (doc_id 42, doubled) then upserts INTO THE CLONE: exactly one
+    range re-shards clone-locally, three keep carrying
+    (`carried_ranges`/`local_ranges` pinned by the oracle). The
+    aggregate reads the clone back through the standard path, so a
+    wrong `base` resolution hash-mismatches too. The reference has no
+    fork concept at all (singleton Redis JSON blobs,
+    categorize-trail-conditions/src/storage.py); [EXT] surface per
+    docs/TABLE_FORMAT.md."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        src = table + "_src"
+        manifest_upsert(
+            spark, src, docs.filter(F.col("doc_id") % 3 == 0),
+            ["doc_id"], n_buckets=256,
+        )
+        clone_table(spark, src, table)
+        try:
+            n_meta = len(os.listdir(_meta_dir(table)))
+        except OSError:
+            n_meta = 0
+        if n_meta != 0:
+            raise AssertionError(
+                f"clone wrote {n_meta} sidecar files; the carried-"
+                "reference fork must write zero"
+            )
+        manifest_upsert(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") == 42).withColumn(
+                "n_chars", F.col("n_chars") * 2
+            ),
+            ["doc_id"],
+        )
+
+    table = _fixture_table(docs, "manifest_clone_meta", build)
+    s2 = _read_slim(table, 2)["sidecars"]
+    carried = sum(1 for e in s2.values() if e.get("base"))
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("carried_ranges", F.lit(carried))
+        .withColumn("local_ranges", F.lit(len(s2) - carried))
+    )
+
+
+#: fixture-coupled literals, from `clone_metadata_query`'s build: 256
+#: buckets / SIDECAR_RANGE 64 = 4 ranges; the clone's single-key
+#: commit re-shards exactly the range doc 42's bucket falls in, so
+#: `3 AS carried_ranges, 1 AS local_ranges`.
+CLONE_METADATA_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id = 42 THEN n_chars * 2
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       3 AS carried_ranges, 1 AS local_ranges
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY source
+"""
+
+
+def restore_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Content-addressed restore (r12) as an oracle-checked
+    query. Build: v1 (docs %3==0, 256 buckets → 4 range sidecars), v2
+    doubles doc 42 (one range rewritten), v3 = RESTORE TO v1. Sidecar
+    files are content-addressed (`sc-<lo>-<hash>.json`, no version in
+    the name), so v3's per-range content — byte-identical to v1's —
+    resolves to files ALREADY on disk: the restore writes zero new
+    sidecar files (asserted in the build) and v3's slim index equals
+    v1's exactly (`restore_divergence` pinned at 0 by the oracle).
+    The aggregate reads latest — the restored v1 content — back
+    through the standard path. Delta's RESTORE rewrites a new JSON
+    action log entry but reuses data; this extends the reuse to the
+    metadata tier itself. [EXT] per docs/TABLE_FORMAT.md."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 0),
+            ["doc_id"], n_buckets=256,
+        )
+        manifest_upsert(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") == 42).withColumn(
+                "n_chars", F.col("n_chars") * 2
+            ),
+            ["doc_id"],
+        )
+        before = set(os.listdir(_meta_dir(table)))
+        restore_table(spark, table, version=1)
+        after = set(os.listdir(_meta_dir(table)))
+        if after != before:
+            raise AssertionError(
+                f"restore wrote {sorted(after - before)}; content-"
+                "addressed sidecars must make a revert write nothing"
+            )
+
+    table = _fixture_table(docs, "manifest_restore_meta", build)
+    s1 = _read_slim(table, 1)["sidecars"]
+    s3 = _read_slim(table, 3)["sidecars"]
+    divergence = sum(1 for lo, e in s3.items() if e != s1.get(lo))
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("restore_divergence", F.lit(divergence))
+    )
+
+
+#: the restored snapshot IS v1, so the aggregate is the plain %3==0
+#: slice and `0 AS restore_divergence` pins slim-index equality
+RESTORE_METADATA_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       0 AS restore_divergence
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY source
+"""
+
+
 def cdf_preimages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Delta CDF's update pre/post-image pair as an oracle-checked
     query: `table_changes(..., include_preimages=True)` over the shared
