@@ -500,3 +500,35 @@ def test_sharded_table_empties_and_refills(spark, tmp_path, small_range):
     mfm.manifest_upsert(spark, t, _one_key(spark, 5, 55), ["k"])
     got = {(r.k, r.v) for r in mfm.read_manifest_table(spark, t).collect()}
     assert got == {(5, 55)}
+
+
+def test_metadata_surfaces_parse_zero_sidecars(spark, tmp_path, small_range):
+    """r12: the metadata-only read surfaces — DESCRIBE HISTORY,
+    TIMESTAMP AS OF resolution, the CDC cursor poll, and the stream
+    source's latestOffset — need slim scalars only (operation,
+    timestamps, op metrics, total_rows, version, keys), so on a
+    sharded table they parse ZERO sidecars however many versions they
+    walk. Before r12 each walked version paid a full assembly."""
+    import datetime as dt
+
+    from trail_condition_etl_spark.sinks.manifest import _data_schema
+    from trail_condition_etl_spark.sources import manifest_source as msrc
+    from trail_condition_etl_spark.streaming.cdc import (
+        _write_change_cursor,
+        consume_table_changes,
+    )
+
+    t = str(tmp_path / "meta0")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    mfm.manifest_upsert(spark, t, _one_key(spark, 1, 11), ["k"])
+    mfm._load_sidecar.cache_clear()
+    hist = {r.version: r for r in mfm.describe_history(spark, t).collect()}
+    assert hist[2]["table_rows"] == 80 and hist[2]["operation"] == "upsert"
+    assert mfm.version_as_of(t, dt.datetime.now(dt.timezone.utc)) == 2
+    schema = msrc.cdc_schema(_data_schema(mfm.read_manifest(t, buckets=[])))
+    rdr = msrc.ManifestCDCStreamReader(schema, {"path": t})
+    assert rdr.latestOffset() == {"version": 2}
+    cur = str(tmp_path / "cursor")
+    _write_change_cursor(cur, 2)  # up-to-date consumer: pure poll
+    assert consume_table_changes(spark, t, cur, lambda *a: 0) == (2, 2)
+    assert mfm._load_sidecar.cache_info().misses == 0

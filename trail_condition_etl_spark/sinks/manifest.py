@@ -1134,7 +1134,10 @@ def restore_table(
 
     def attempt() -> int:
         check_fence(table_path, token)
-        cur = read_manifest(table_path)
+        # slim scalars suffice: the restore publishes OLD's per-bucket
+        # maps; from CURRENT it carries only constraints / generated /
+        # bloom config / tombstones / txns (r12)
+        cur = read_manifest(table_path, buckets=[])
         if cur is None:
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
@@ -2579,7 +2582,10 @@ def version_as_of(table_path: str, ts) -> int:
         ts = ts.replace(tzinfo=_dt.timezone.utc)
     best = None
     for v in list_versions(table_path):
-        stamp = (read_manifest(table_path, v) or {}).get("committed_at")
+        # committed_at is a slim scalar: zero sidecar parses (r12)
+        stamp = (
+            read_manifest(table_path, v, buckets=[]) or {}
+        ).get("committed_at")
         if stamp is None:
             continue
         if _dt.datetime.fromisoformat(stamp) <= ts:
@@ -2805,7 +2811,11 @@ def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
     surface with null operation/timestamp rather than being hidden."""
     rows = []
     for v in list_versions(table_path):
-        mf = read_manifest(table_path, v)
+        # slim scalars only (r12): operation / timestamp / metrics /
+        # total_rows all ride the slim manifest, so history on a
+        # sharded table parses ZERO sidecars however many versions it
+        # lists (manifest_row_count below is slim-first too)
+        mf = read_manifest(table_path, v, buckets=[])
         if mf is None:
             continue
         met = mf.get("op_metrics", {})
@@ -3629,7 +3639,7 @@ def clone_table(
             f"no committed manifest under {src_path}"
             + (f" at version {target}" if target is not None else "")
         )
-    if read_manifest(dst_path) is not None:
+    if list_versions(dst_path):
         raise ValueError(
             f"{dst_path} already has a committed manifest: clone into a "
             "fresh path (an existing table's history must not be "

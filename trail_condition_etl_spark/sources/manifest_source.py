@@ -376,7 +376,7 @@ def _commit_inputs(
     files = [m.path for m in messages if m is not None and m.path]
     keys = keys_opt
     if keys is None:
-        mf = read_manifest(table_path)
+        mf = read_manifest(table_path, buckets=[])  # keys: slim scalar
         if mf is None:
             raise ValueError(
                 'option "keys" is required to CREATE a manifest table '
@@ -474,7 +474,7 @@ class ManifestBatchWriter(DataSourceArrowWriter):
             if (
                 not files
                 and not self._overwrite
-                and read_manifest(self._table_path) is not None
+                and read_manifest(self._table_path, buckets=[]) is not None
             ):
                 return  # empty append to an existing table: no churn
             staged = _staged_df(spark, self._schema, files)
@@ -660,7 +660,7 @@ def _cdf_end_version(options: dict) -> int:
         return version_as_of(
             options["path"], _dt.datetime.fromisoformat(str(ets))
         )
-    mf = read_manifest(options["path"])
+    mf = read_manifest(options["path"], buckets=[])  # version: slim
     if mf is None:
         raise FileNotFoundError(
             f"no committed manifest under {options['path']}"
@@ -729,7 +729,9 @@ class ManifestDataSource(DataSource):
     def schema(self):
         if _cdf_requested(self.options):
             mf = read_manifest(
-                self.options["path"], _cdf_end_version(self.options)
+                self.options["path"],
+                _cdf_end_version(self.options),
+                buckets=[],  # schema + mapping: slim scalars
             )
             if mf is None:
                 raise FileNotFoundError(
@@ -741,7 +743,9 @@ class ManifestDataSource(DataSource):
         # the latest (later-added columns would otherwise appear — as
         # nulls at best, as a projection crash at worst)
         mf = read_manifest(
-            self.options["path"], _resolve_version(self.options)
+            self.options["path"],
+            _resolve_version(self.options),
+            buckets=[],  # schema + mapping: slim scalars
         )
         if mf is None:
             raise FileNotFoundError(
@@ -827,7 +831,9 @@ def _cdc_baseline_for_timestamp(table_path: str, ts) -> int:
     retained = list_versions(table_path)
     for v in retained:
         latest = max(latest, v)
-        stamp = (read_manifest(table_path, v) or {}).get("committed_at")
+        stamp = (
+            read_manifest(table_path, v, buckets=[]) or {}
+        ).get("committed_at")  # slim scalar
         if stamp is None:
             continue
         if _dt.datetime.fromisoformat(stamp) >= ts:
@@ -919,6 +925,7 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         mf0 = read_manifest(
             self._table_path,
             _cdf_end_version(options) if _cdf_requested(options) else None,
+            buckets=[],  # column mapping + schema: slim scalars
         )
         from ..sinks.manifest import _physical_name
 
@@ -984,7 +991,9 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
-        mf = read_manifest(self._table_path)
+        # POLLED every trigger: the newest version number is a slim
+        # scalar, so the poll parses zero sidecars (r12)
+        mf = read_manifest(self._table_path, buckets=[])
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {self._table_path}"
@@ -1306,7 +1315,7 @@ class ManifestCDCDataSource(DataSource):
         return "manifest_cdc"
 
     def schema(self):
-        mf = read_manifest(self.options["path"])
+        mf = read_manifest(self.options["path"], buckets=[])
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {self.options['path']}"

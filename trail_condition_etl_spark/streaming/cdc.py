@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sinks.manifest import (
+    list_versions,
     manifest_upsert,
     read_manifest,
     read_manifest_table,
@@ -100,7 +101,9 @@ def consume_table_changes(
     `apply_batch`. First consumption (cursor 0) emits the CURRENT
     snapshot as all-insert rows — the bootstrap a brand-new consumer
     needs, identical in shape to a later incremental batch."""
-    mf = read_manifest(table_path)
+    # version + keys are slim scalars: the per-trigger poll parses
+    # zero sidecars on a sharded table (r12)
+    mf = read_manifest(table_path, buckets=[])
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     latest = mf["version"]
@@ -133,7 +136,7 @@ def propagate_changes(
     outbox. Idempotent end-to-end (replaying a span converges), so the
     at-least-once cursor contract yields effectively-once table state."""
     def apply(changes: DataFrame, frm: int, to: int) -> None:
-        src_mf = read_manifest(src_table)
+        src_mf = read_manifest(src_table, buckets=[])  # keys: slim
         keys = src_mf["keys"]
         batch = changes.withColumn(
             "_cdc_deleted", F.col("change_type") == "delete"
@@ -148,7 +151,7 @@ def propagate_changes(
         manifest_upsert(
             spark, dst_table, batch, keys,
             n_buckets=(
-                None if read_manifest(dst_table) is not None
+                None if list_versions(dst_table)
                 else src_mf["n_buckets"]
             ),
             tombstone_col="_cdc_deleted",
