@@ -532,3 +532,40 @@ def test_metadata_surfaces_parse_zero_sidecars(spark, tmp_path, small_range):
     _write_change_cursor(cur, 2)  # up-to-date consumer: pure poll
     assert consume_table_changes(spark, t, cur, lambda *a: 0) == (2, 2)
     assert mfm._load_sidecar.cache_info().misses == 0
+
+
+def test_cdc_stream_over_clone_carried_metadata(spark, tmp_path, small_range):
+    """r12 composition: the CDC stream planner over a CLONE whose v1
+    carries the source's sidecars by reference — the slim-index diff
+    skips carried-vs-carried ranges (identical entries), the partial
+    read resolves the touched range through `base`, and the per-bucket
+    diff compares a source-absolute old dir against a clone-local new
+    dir. The emitted feed is exactly the clone's own write."""
+    import pyarrow as pa
+
+    from trail_condition_etl_spark.sinks.manifest import _data_schema
+    from trail_condition_etl_spark.sources import manifest_source as msrc
+
+    src = str(tmp_path / "src")
+    mfm.manifest_upsert(spark, src, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    dst = str(tmp_path / "dst")
+    mfm.clone_table(spark, src, dst)
+    mfm.manifest_upsert(spark, dst, _one_key(spark, 21, 777), ["k"])
+    schema = msrc.cdc_schema(_data_schema(mfm.read_manifest(dst, buckets=[])))
+    rdr = msrc.ManifestCDCStreamReader(schema, {"path": dst})
+    parts = rdr.partitions({"version": 1}, {"version": 2})
+    rows = [
+        row
+        for p in parts
+        for b in rdr.read(p)
+        for row in pa.Table.from_batches([b]).to_pylist()
+    ]
+    assert {(r["k"], r["v"], r["change_type"]) for r in rows} == {
+        (21, 777, "update")
+    }
+    # and the batch form agrees
+    got = {
+        (r.k, r.v, r.change_type)
+        for r in mfm.table_changes(spark, dst, 1, 2).collect()
+    }
+    assert got == {(21, 777, "update")}
