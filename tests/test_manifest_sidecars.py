@@ -569,3 +569,31 @@ def test_cdc_stream_over_clone_carried_metadata(spark, tmp_path, small_range):
         for r in mfm.table_changes(spark, dst, 1, 2).collect()
     }
     assert got == {(21, 777, "update")}
+
+
+def test_scalar_ddl_commits_parse_and_write_zero_sidecars(
+    spark, tmp_path, small_range
+):
+    """r12: metadata-only DDL (rename, constraint add/drop, generated-
+    rule drop) publishes through `_scalar_commit` — the new slim
+    carries the previous version's sidecar index VERBATIM, so the
+    commit parses zero sidecars and writes zero `_meta/` files (the
+    general publish path re-hashes every range to discover nothing
+    changed). Feature stamping survives: rename adds column-mapping,
+    content features carry."""
+    t = str(tmp_path / "ddl0")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    mfm.add_table_constraint(spark, t, "v_even", "v % 2 = 0")
+    before = _meta_files(t)
+    mfm._load_sidecar.cache_clear()
+    mfm.rename_column(spark, t, "tag", "label")
+    mfm.drop_table_constraint(spark, t, "v_even")
+    assert mfm._load_sidecar.cache_info().misses == 0
+    assert _meta_files(t) == before
+    slim = mfm._read_slim(t, mfm.list_versions(t)[-1])
+    assert "column-mapping" in slim["required_reader_features"]
+    assert "sharded-metadata" in slim["required_reader_features"]
+    assert slim["sidecars"] == mfm._read_slim(t, 1)["sidecars"]
+    got = mfm.read_manifest_table(spark, t).filter("k = 7").head()
+    assert got["label"] == "t7" and got["v"] == 14
+    assert mfm.manifest_row_count(t) == 80  # total_rows carried

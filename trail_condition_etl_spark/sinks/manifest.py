@@ -1911,6 +1911,43 @@ def _merge_into_once(
     )
 
 
+def _scalar_commit(table_path: str, manifest: dict, token: int) -> None:
+    """Publish a METADATA-ONLY commit (constraints, generated rules,
+    renames — the per-bucket maps are untouched by construction) in
+    O(1) metadata: on a sharded table the new slim carries the
+    PREVIOUS version's sidecar index verbatim — zero sidecar parses,
+    zero per-range serializations, zero file writes — instead of
+    assembling and re-hashing every range the way the general publish
+    path must. `manifest` is `{**mf, scalar changes}` over a
+    gate-checked `read_manifest(..., buckets=[])` read (slim scalars;
+    full assembly on inline tables, which publish through the standard
+    path unchanged — their per-bucket maps really are in `manifest`).
+
+    Feature stamping stays content-derived: the one scalar-derived
+    feature (column-mapping) recomputes from the NEW scalars; content-
+    derived ones (merge-on-read-deletes, or anything a future build
+    stamps) carry from the previous version — their content is
+    byte-identical by construction."""
+    prev = _read_slim(table_path, manifest["version"] - 1)
+    if not prev or "sidecars" not in prev:
+        _publish_manifest(table_path, manifest, token)
+        return
+    slim = {k: v for k, v in manifest.items() if k not in _SIDECAR_KEYS}
+    slim.pop("sidecars", None)
+    slim["sidecars"] = prev["sidecars"]
+    slim["sidecar_range"] = prev["sidecar_range"]
+    feats = {
+        f
+        for f in prev.get("required_reader_features", [])
+        if f != "column-mapping"
+    }
+    if manifest.get("column_mapping") or manifest.get("retired_physical"):
+        feats.add("column-mapping")
+    feats.add("sharded-metadata")
+    slim["required_reader_features"] = sorted(feats)
+    _publish_manifest(table_path, slim, token, preformed=True)
+
+
 def add_table_constraint(
     spark: SparkSession, table_path: str, name: str, expr: str
 ) -> int:
@@ -1925,7 +1962,7 @@ def add_table_constraint(
 
     def attempt() -> int:
         check_fence(table_path, token)
-        mf = read_manifest(table_path)
+        mf = read_manifest(table_path, buckets=[])  # scalars suffice
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
@@ -1954,7 +1991,7 @@ def add_table_constraint(
             "operation": "add-constraint",
             "op_metrics": {"constraint": name, "expr": expr},
         }
-        _publish_manifest(table_path, manifest, token)
+        _scalar_commit(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -1976,7 +2013,7 @@ def drop_table_constraint(
 
     def attempt() -> int:
         check_fence(table_path, token)
-        mf = read_manifest(table_path)
+        mf = read_manifest(table_path, buckets=[])  # scalars suffice
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
@@ -1997,7 +2034,7 @@ def drop_table_constraint(
             "operation": "drop-constraint",
             "op_metrics": {"constraint": name, "expr": dropped},
         }
-        _publish_manifest(table_path, manifest, token)
+        _scalar_commit(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -2213,7 +2250,7 @@ def add_generated_column(
 
     def attempt() -> int:
         check_fence(table_path, token)
-        mf = read_manifest(table_path)
+        mf = read_manifest(table_path, buckets=[])  # scalars suffice
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
@@ -2257,7 +2294,7 @@ def add_generated_column(
             "operation": "add-generated-column",
             "op_metrics": {"column": column, "expr": expr},
         }
-        _publish_manifest(table_path, manifest, token)
+        _scalar_commit(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -2280,7 +2317,7 @@ def drop_generated_column(
 
     def attempt() -> int:
         check_fence(table_path, token)
-        mf = read_manifest(table_path)
+        mf = read_manifest(table_path, buckets=[])  # scalars suffice
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
@@ -2301,7 +2338,7 @@ def drop_generated_column(
             "operation": "drop-generated-column",
             "op_metrics": {"column": column, "expr": dropped},
         }
-        _publish_manifest(table_path, manifest, token)
+        _scalar_commit(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -2416,7 +2453,7 @@ def rename_column(
 
     def attempt() -> int:
         check_fence(table_path, token)
-        mf = read_manifest(table_path)
+        mf = read_manifest(table_path, buckets=[])  # scalars suffice
         if mf is None:
             raise FileNotFoundError(
                 f"no committed manifest under {table_path}"
@@ -2471,7 +2508,7 @@ def rename_column(
             "operation": "rename-column",
             "op_metrics": {"column": old, "to": new, "physical": phys},
         }
-        _publish_manifest(table_path, manifest, token)
+        _scalar_commit(table_path, manifest, token)
         return manifest["version"]
 
     try:
