@@ -625,6 +625,16 @@ def _run_manifest_model(spark, tmp_path_factory, ops):
     }
     assert got == model
     assert mfm.manifest_row_count(table) == len(model)
+    # r13 delta-commit invariant: the incrementally-maintained agg
+    # scalars must equal a from-scratch recompute over the assembled
+    # maps after ANY op interleaving (general and delta commits mix
+    # freely — optimize/restore recompute, upsert/delete increment)
+    latest = mfm.list_versions(table)[-1]
+    slim = mfm._read_slim(table, latest)
+    if "agg" in slim:
+        assert slim["agg"] == mfm._bucket_agg(
+            mfm.read_manifest(table, latest)
+        ), "incremental agg drifted from recompute"
     skipped = mfm.read_manifest_table(spark, table, skip=[(vc, ">=", 0)])
     assert {r.k: getattr(r, vc) for r in skipped.collect()} == {
         k: v for k, v in model.items() if v >= 0

@@ -964,6 +964,20 @@ def q_restore_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_sink.restore_metadata_query(spark, sf_dir)
 
 
+@query(
+    "commit_delta_metadata",
+    oracle=manifest_sink.COMMIT_DELTA_METADATA_SQL,
+)
+def q_commit_delta_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delta-based DATA commits (r13): a 1-key upsert carries 3 of 4
+    # index entries VERBATIM (no parse, no serialization) and the
+    # incrementally-maintained agg/total_rows scalars equal a
+    # from-scratch recompute (agg_drift=0); shares sidecar_metadata's
+    # cached 256-bucket fixture
+    ensure_engine_conf(spark)
+    return manifest_sink.commit_delta_metadata_query(spark, sf_dir)
+
+
 @query("column_mapping", oracle=manifest_sink.COLUMN_MAPPING_SQL)
 def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only RENAME/DROP COLUMN (Delta column mapping): rename
@@ -1808,6 +1822,10 @@ _PINNED_HEAD = [
     # r12: zero-metadata clones (carried sidecar refs + base
     # resolution) and content-addressed restore are new surfaces
     "clone_metadata", "restore_metadata",
+    # r13: delta-based DATA commits rewired manifest_upsert's and
+    # delete_where's publish path for every sharded table — sample the
+    # incremental-scalars probe first
+    "commit_delta_metadata",
 ]
 
 # changed-but-already-covered surfaces re-sampled AFTER the never-green

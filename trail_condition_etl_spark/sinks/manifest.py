@@ -231,13 +231,37 @@ def _assemble(table_path: str, mf: dict) -> dict:
     return mf
 
 
+def _serialize_range(content: dict) -> tuple[str, str]:
+    """One sidecar range's canonical bytes and content hash — THE unit
+    of per-commit serialization work. Factored so tests can count calls:
+    the O(change) driver-CPU pin (r13) asserts a 1-bucket commit
+    serializes O(1) ranges, not all ~12.5k at the sizing rule."""
+    import hashlib
+
+    blob = json.dumps(content, sort_keys=True)
+    return blob, hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _write_sidecar(table_path: str, lo: int, blob: str, h: str) -> str:
+    """Persist one range's sidecar under its content-addressed name
+    (`sc-<lo>-<hash>.json` — no version: identical content across ANY
+    version distance is ONE file; a revert-shaped commit whose bytes
+    already exist writes nothing) and return the table-relative path."""
+    rel = os.path.join("_meta", f"sc-{lo:08d}-{h}.json")
+    dest = os.path.join(table_path, rel)
+    if not os.path.exists(dest):
+        tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, dest)  # same name => same content: idempotent
+    return rel
+
+
 def _shard_metadata(table_path: str, manifest: dict) -> dict:
     """Split the per-bucket maps into bucket-range sidecar files and
     return the slim manifest referencing them. A range whose content
     hash equals the previous version's carries that sidecar file by
     reference — zero bytes rewritten for untouched ranges."""
-    import hashlib
-
     prev = _read_slim(table_path, manifest["version"] - 1) or {}
     prev_sidecars = prev.get("sidecars", {})
     ranges: dict[int, dict] = {}
@@ -250,8 +274,7 @@ def _shard_metadata(table_path: str, manifest: dict) -> dict:
     sidecars: dict[str, dict] = {}
     os.makedirs(_meta_dir(table_path), exist_ok=True)
     for lo, content in sorted(ranges.items()):
-        blob = json.dumps(content, sort_keys=True)
-        h = hashlib.sha256(blob.encode()).hexdigest()[:16]
+        blob, h = _serialize_range(content)
         carried = prev_sidecars.get(str(lo))
         if carried:
             if carried["hash"] == h:
@@ -269,20 +292,13 @@ def _shard_metadata(table_path: str, manifest: dict) -> dict:
                 if resolved == content:
                     sidecars[str(lo)] = carried
                     continue
-        # content-addressed name (VERDICT r11 directive 6): the file is
-        # keyed by (range, hash) ALONE — no version — so identical
-        # content across ANY version distance is ONE file on disk. A
-        # restore (or any revert-shaped commit) whose range bytes
-        # already exist rewrites nothing; the version-1 carry above is
-        # just the fast path that skips even the hash-file probe.
-        rel = os.path.join("_meta", f"sc-{lo:08d}-{h}.json")
-        dest = os.path.join(table_path, rel)
-        if not os.path.exists(dest):
-            tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                f.write(blob)
-            os.replace(tmp, dest)  # same name => same content: idempotent
-        sidecars[str(lo)] = {"path": rel, "hash": h}
+        # content-addressed (VERDICT r11 directive 6): the version-1
+        # carry above is just the fast path that skips even the
+        # hash-file probe _write_sidecar does.
+        sidecars[str(lo)] = {
+            "path": _write_sidecar(table_path, lo, blob, h),
+            "hash": h,
+        }
     slim = {
         k: v for k, v in manifest.items() if k not in _SIDECAR_KEYS
     }
@@ -446,21 +462,28 @@ def _span_manifests(
     )
 
 
-def _total_rows(manifest: dict) -> int | None:
-    """Exact table row count from the per-bucket maps, or None when any
-    referenced bucket lacks a recorded count (collect_stats=False) or
-    any pending delete file lacks its key count — same contract as
-    manifest_row_count, computed once at publish."""
+def _bucket_agg(manifest: dict) -> dict:
+    """Whole-table scalars derived from the per-bucket maps, stamped
+    into every slim manifest so later DELTA commits (r13) can maintain
+    them INCREMENTALLY — subtract the dirty buckets' previous
+    contributions, add their new ones — without ever assembling the
+    full maps. `live`/`dels` are bucket counts (op metrics, the MoR
+    feature gate); `rows`/`drows` sum the recorded row/delete-key
+    counts; `uncounted`/`undel` count buckets MISSING a count
+    (collect_stats=False commits) — total_rows is exact iff both are
+    zero, the same contract manifest_row_count honors."""
     counts = manifest.get("row_counts", {})
-    if any(b not in counts for b in manifest.get("buckets", {})):
-        return None
+    bkts = manifest.get("buckets", {})
     dels = manifest.get("deletes", {})
     dcnt = manifest.get("delete_counts", {})
-    if any(b not in dcnt for b in dels):
-        return None
-    return sum(counts[b] for b in manifest.get("buckets", {})) - sum(
-        dcnt[b] for b in dels
-    )
+    return {
+        "live": len(bkts),
+        "rows": sum(counts[b] for b in bkts if b in counts),
+        "uncounted": sum(1 for b in bkts if b not in counts),
+        "dels": len(dels),
+        "drows": sum(dcnt[b] for b in dels if b in dcnt),
+        "undel": sum(1 for b in dels if b not in dcnt),
+    }
 
 
 def _publish_manifest(
@@ -490,11 +513,15 @@ def _publish_manifest(
     # precomputed exact COUNT(*) (r11): rides the slim manifest so a
     # metadata count on a sharded table parses zero sidecars. None
     # (omitted) when any bucket lacks a recorded count — the honest
-    # "must scan" manifest_row_count already returns.
+    # "must scan" manifest_row_count already returns. The agg scalars
+    # (r13) ride alongside so a later delta commit can maintain both
+    # incrementally.
     manifest.pop("total_rows", None)
-    total = _total_rows(manifest)
-    if total is not None:
-        manifest["total_rows"] = total
+    manifest.pop("agg", None)
+    agg = _bucket_agg(manifest)
+    manifest["agg"] = agg
+    if agg["uncounted"] == 0 and agg["undel"] == 0:
+        manifest["total_rows"] = agg["rows"] - agg["drows"]
     # stamp the reader feature gate from CONTENT, at the one choke
     # point every commit path funnels through — a manifest only ever
     # requires features it actually uses
@@ -527,6 +554,117 @@ def _atomic_publish(table_path: str, to_write: dict, version: int) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+
+
+def _delta_commit(
+    table_path: str,
+    token: int,
+    prev_slim: dict,
+    scalars: dict,
+    updates: dict[str, dict],
+    removed: set[str],
+) -> None:
+    """Publish a DATA commit as a DELTA over the previous slim manifest
+    (r13, VERDICT r12 directive 2 — the last O(n_buckets) driver cost):
+    untouched sidecar ranges carry their index entry VERBATIM — zero
+    parses, zero serializations — and only ranges holding a dirty
+    bucket are read, patched, re-serialized, and (content-addressed)
+    written. With the whole-table `agg` scalars maintained
+    incrementally, a 1-bucket commit on the sizing rule's ~12.5k-range
+    table costs O(1) sidecar parses + serializations of driver CPU,
+    matching the O(change) metadata IO the layout already had. The
+    general `_publish_manifest` path — which must assemble and re-hash
+    every range — remains for inline tables, layout changes, and
+    manifests predating the agg scalars.
+
+    Contract: `updates` maps each _SIDECAR_KEYS key to {bucket_id:
+    new_value} and `removed` lists bucket ids to drop. Every DIRTY
+    bucket (appearing anywhere in either) is first CLEARED from ALL
+    per-bucket maps, then its updates applied — so callers supply the
+    COMPLETE new per-bucket row for every bucket they touch (a
+    rewritten bucket's stale deletes/file_stats drop automatically,
+    exactly as the general path's carry comprehensions do). `scalars`
+    is the new manifest's scalar fields; sidecars, sidecar_range, agg,
+    total_rows, and required_reader_features are computed here."""
+    width = prev_slim["sidecar_range"]
+    prev_sidecars = prev_slim.get("sidecars", {})
+    by_lo: dict[str, set[str]] = {}
+    for m in updates.values():
+        for b in m:
+            by_lo.setdefault(str((int(b) // width) * width), set()).add(b)
+    for b in removed:
+        by_lo.setdefault(str((int(b) // width) * width), set()).add(b)
+    sidecars = {
+        lo: ent for lo, ent in prev_sidecars.items() if lo not in by_lo
+    }
+    agg = dict(prev_slim["agg"])
+    os.makedirs(_meta_dir(table_path), exist_ok=True)
+    for lo in sorted(by_lo, key=int):
+        content = {k: {} for k in _SIDECAR_KEYS}
+        ent = prev_sidecars.get(lo)
+        if ent is not None:
+            # ONE sidecar parse (usually cached); base-carried entries
+            # resolve to the absolute refs the assembled shape holds
+            _merge_sidecar(content, ent, table_path)
+        for b in by_lo[lo]:
+            # subtract the dirty bucket's previous contributions
+            if b in content["buckets"]:
+                agg["live"] -= 1
+                if b in content["row_counts"]:
+                    agg["rows"] -= content["row_counts"][b]
+                else:
+                    agg["uncounted"] -= 1
+            if b in content["deletes"]:
+                agg["dels"] -= 1
+                if b in content["delete_counts"]:
+                    agg["drows"] -= content["delete_counts"][b]
+                else:
+                    agg["undel"] -= 1
+            for k in _SIDECAR_KEYS:
+                content[k].pop(b, None)
+        for k in _SIDECAR_KEYS:
+            for b, v in updates.get(k, {}).items():
+                if b in by_lo[lo]:
+                    content[k][b] = v
+        for b in updates.get("buckets", {}):
+            if b not in by_lo[lo]:
+                continue
+            agg["live"] += 1
+            if b in updates.get("row_counts", {}):
+                agg["rows"] += updates["row_counts"][b]
+            else:
+                agg["uncounted"] += 1
+        for b in updates.get("deletes", {}):
+            if b not in by_lo[lo]:
+                continue
+            agg["dels"] += 1
+            if b in updates.get("delete_counts", {}):
+                agg["drows"] += updates["delete_counts"][b]
+            else:
+                agg["undel"] += 1
+        if not any(content[k] for k in _SIDECAR_KEYS):
+            continue  # a fully-emptied range leaves the index
+        blob, h = _serialize_range(content)
+        if ent is not None and ent["hash"] == h and not ent.get("base"):
+            sidecars[lo] = ent  # dirty but byte-identical: carry
+            continue
+        sidecars[lo] = {
+            "path": _write_sidecar(table_path, int(lo), blob, h),
+            "hash": h,
+        }
+    slim = dict(scalars)
+    slim["sidecars"] = sidecars
+    slim["sidecar_range"] = width
+    slim["agg"] = agg
+    if agg["uncounted"] == 0 and agg["undel"] == 0:
+        slim["total_rows"] = agg["rows"] - agg["drows"]
+    feats = {"sharded-metadata"}
+    if scalars.get("column_mapping") or scalars.get("retired_physical"):
+        feats.add("column-mapping")
+    if agg["dels"] > 0:
+        feats.add("merge-on-read-deletes")
+    slim["required_reader_features"] = sorted(feats)
+    _publish_manifest(table_path, slim, token, preformed=True)
 
 
 # ---------------------------------------------------------------------------
@@ -996,7 +1134,37 @@ def delete_where(
                 "mode": "merge-on-read",
             },
         }
-        _publish_manifest(table_path, manifest, token)
+        # a MoR delete touches ONLY the hit buckets: on a sharded table
+        # commit through the delta path (r13) — every other range's
+        # index entry carries verbatim instead of re-serializing all of
+        # them to discover they didn't change. The dirty buckets'
+        # complete rows come from the already-assembled snapshot.
+        slim_prev = _read_slim(table_path, mf["version"])
+        if (
+            slim_prev is not None
+            and slim_prev.get("sidecar_range") == SIDECAR_RANGE
+            and slim_prev.get("agg") is not None
+        ):
+            updates: dict[str, dict] = {k: {} for k in _SIDECAR_KEYS}
+            for e in hit:
+                b = e.split("=", 1)[1]
+                for k in _SIDECAR_KEYS:
+                    if b in manifest[k]:
+                        updates[k][b] = manifest[k][b]
+            _delta_commit(
+                table_path,
+                token,
+                slim_prev,
+                {
+                    k: v
+                    for k, v in manifest.items()
+                    if k not in _SIDECAR_KEYS
+                },
+                updates,
+                set(),
+            )
+        else:
+            _publish_manifest(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -1342,7 +1510,25 @@ def manifest_upsert(
     def attempt() -> int:
         check_fence(table_path, token)
         ups = upserts
-        mf = read_manifest(table_path)
+        # slim-scalar read first (zero sidecar parses on sharded
+        # tables; the full inline manifest below the threshold):
+        # validation, schema union, and mapping logic below are all
+        # scalar. Per-bucket maps load ONLY for the touched buckets.
+        mf = read_manifest(table_path, buckets=[])
+        # DELTA-commit eligibility (r13): previous version is sharded
+        # at THIS build's range width and carries the incremental agg
+        # scalars. Everything else (inline tables, a width change
+        # across builds, pre-agg manifests, replace=True where nothing
+        # carries anyway) publishes through the general path, which
+        # needs the fully-assembled maps.
+        delta_ok = (
+            not replace
+            and mf is not None
+            and mf.get("sidecar_range") == SIDECAR_RANGE
+            and mf.get("agg") is not None
+        )
+        if mf is not None and "sidecar_range" in mf and not delta_ok:
+            mf = read_manifest(table_path)
         if require_version is not None:
             found = mf["version"] if mf else 0
             if found != require_version:
@@ -1459,6 +1645,7 @@ def manifest_upsert(
             else (n_buckets if n_buckets is not None else DEFAULT_BUCKETS)
         )
         new_b = _with_bucket(ups, keys, buckets_n)
+        prev_touched: set[str] = set()
         if mf is None or replace:
             merged = new_b
             carried: dict[str, str] = {}
@@ -1470,22 +1657,41 @@ def manifest_upsert(
                 .distinct()
                 .collect()
             ]
-            old_dirs = [
-                os.path.join(table_path, mf["buckets"][str(b)])
-                for b in touched
-                if str(b) in mf["buckets"]
-            ]
-            carried = {
-                b: d
-                for b, d in mf["buckets"].items()
-                if int(b) not in set(touched)
+            # the per-bucket maps for exactly the touched ranges —
+            # O(change) sidecar parses on the delta path; `mf` already
+            # holds the full maps otherwise
+            src = (
+                read_manifest(table_path, buckets=touched)
+                if delta_ok
+                else mf
+            )
+            prev_touched = {
+                str(b) for b in touched if str(b) in src["buckets"]
             }
+            old_dirs = [
+                os.path.join(table_path, src["buckets"][b])
+                for b in sorted(prev_touched, key=int)
+            ]
+            # on the delta path nothing carries DRIVER-SIDE: untouched
+            # ranges carry at the sidecar-index level inside
+            # _delta_commit, so `carried` (and every carry
+            # comprehension below) stays empty and the manifest dict
+            # holds ONLY the touched buckets' new rows
+            carried = (
+                {}
+                if delta_ok
+                else {
+                    b: d
+                    for b, d in mf["buckets"].items()
+                    if int(b) not in set(touched)
+                }
+            )
             if old_dirs:
                 existing = _apply_deletes(
                     spark,
-                    _read_segments(spark, mf, old_dirs),
+                    _read_segments(spark, src, old_dirs),
                     table_path,
-                    mf,
+                    src,
                     touched,
                 )  # pending MoR deletes materialize into the rewrite
                 kept = existing.join(changed_keys, keys, "left_anti")
@@ -1604,13 +1810,36 @@ def manifest_upsert(
             "operation": operation,
             "op_metrics": {
                 "buckets_written": len(buckets) - len(carried),
-                "buckets_carried": len(carried),
+                # the delta path carries untouched buckets implicitly:
+                # their count comes from the previous agg scalars, not
+                # a driver-side map
+                "buckets_carried": (
+                    mf["agg"]["live"] - len(prev_touched)
+                    if delta_ok and mf is not None and not replace
+                    else len(carried)
+                ),
                 "rows_written": (
                     sum(seg_counts.values()) if collect_stats else None
                 ),
             },
         }
-        _publish_manifest(table_path, manifest, token)
+        if delta_ok and mf is not None and not replace:
+            _delta_commit(
+                table_path,
+                token,
+                _read_slim(table_path, mf["version"]),
+                {
+                    k: v
+                    for k, v in manifest.items()
+                    if k not in _SIDECAR_KEYS
+                },
+                {k: manifest[k] for k in _SIDECAR_KEYS},
+                # touched buckets that existed but got no new dir were
+                # fully tombstoned: drop them
+                prev_touched - set(manifest["buckets"]),
+            )
+        else:
+            _publish_manifest(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -1814,23 +2043,44 @@ def _merge_into_once(
         # (ADVICE r11; Delta likewise errors on a violating explicit
         # value). Inputs the source lacks validate as NULL, same as
         # the write edge.
-        for gcol, gexpr in gen.items():
-            if gcol not in ins.columns:
-                continue
+        supplied = [
+            (gcol, gexpr)
+            for gcol, gexpr in gen.items()
+            if gcol in ins.columns
+        ]
+        if supplied:
+            # the NULL-fill is loop-invariant and each rule is an
+            # independent predicate: build the frame once and OR the
+            # violations into ONE take(1) action instead of one full
+            # scan of the insert side per supplied column (ADVICE r12);
+            # a marker column names the first rule the row violates
             filled = ins
             for tf in schema.fields:
                 if tf.name not in ins.columns:
                     filled = filled.withColumn(
                         tf.name, F.lit(None).cast(tf.dataType)
                     )
-            bad = filled.filter(
-                ~F.col(gcol).eqNullSafe(F.expr(gexpr))
-            ).take(1)
+            viol = F.coalesce(
+                *[
+                    F.when(
+                        ~F.col(gcol).eqNullSafe(F.expr(gexpr)),
+                        F.lit(gcol),
+                    )
+                    for gcol, gexpr in supplied
+                ]
+            )
+            bad = (
+                filled.withColumn("__gen_violated", viol)
+                .filter(F.col("__gen_violated").isNotNull())
+                .take(1)
+            )
             if bad:
+                row = bad[0].asDict()
+                gcol = row.pop("__gen_violated")
                 raise ValueError(
                     f"generated column {gcol!r} = ({gen[gcol]}) "
                     f"violated by a merge insert row, e.g. "
-                    f"{bad[0].asDict()} ({table_path}); omit the "
+                    f"{row} ({table_path}); omit the "
                     "column to have it computed, or supply matching "
                     "values"
                 )
@@ -3528,8 +3778,10 @@ def table_changes(
     if mf_to is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     keys = mf_to["keys"]
-    if mf_from is None and from_version > 0:
-        mf_from = read_manifest(table_path, from_version)
+    # (no None fallback for from_version > 0: _span_manifests either
+    # returns a manifest or propagates FileNotFoundError from the
+    # explicit-version read — a vacuumed from_version fails loud there,
+    # per the CDC retention contract; ADVICE r12)
     # Bucket-level pruning (r11): with the SAME bucket layout at both
     # span ends, a key can never move buckets, so a bucket whose
     # segment dir AND pending-delete file list are IDENTICAL (carried
@@ -3740,6 +3992,7 @@ def clone_table(
         # below keeps the source's vacuum from sweeping these files,
         # exactly as it does for the data segments they describe.
         slim_src = _read_slim(src_abs, mf["version"]) or {}
+        carried_sidecars: dict[str, dict] = {}
         if slim_src.get("sidecars"):
             slim = {
                 k: v
@@ -3767,6 +4020,11 @@ def clone_table(
             )
             if "total_rows" in slim_src:
                 slim["total_rows"] = slim_src["total_rows"]
+            # same content, same whole-table scalars: carrying agg
+            # keeps the clone's own first write delta-eligible (r13)
+            if "agg" in slim_src:
+                slim["agg"] = slim_src["agg"]
+            carried_sidecars = slim["sidecars"]
             _publish_manifest(dst_path, slim, token, preformed=True)
         else:
             _publish_manifest(dst_path, manifest, token)
@@ -3786,10 +4044,27 @@ def clone_table(
         d for lst in manifest["deletes"].values() for d in lst
     ]
     owners: set[str] = set()
+    dst_abs = os.path.abspath(dst_path)
     for ref in refs:
         root = _owning_table_root(ref)
-        if root is not None and root != os.path.abspath(dst_path):
+        if root is not None and root != dst_abs:
             owners.add(root)
+    # carried sidecar FILES need their owners pinned too (ADVICE r12):
+    # data refs alone can miss a table. Example: C1 clones sharded O,
+    # then re-shards every range C1-LOCAL (add/drop bloom) while its
+    # bucket refs stay absolute into O — a clone of C1 carries C1's
+    # _meta files but owns no C1 data, so the data-ref loop computes
+    # owners={O} and C1's vacuum would sweep the _meta files this clone
+    # still reads (its clone_meta guard only honors REGISTERED clones).
+    # Pin the table holding each carried file's `_meta/` dir, and its
+    # `base` (whose data dirs the file's relative refs resolve into).
+    for ent in carried_sidecars.values():
+        root = _owning_meta_root(ent["path"])
+        if root is not None and root != dst_abs:
+            owners.add(root)
+        base = os.path.abspath(ent["base"])
+        if base != dst_abs:
+            owners.add(base)
     for owner in owners or {src_abs}:
         d = os.path.join(owner, "_clones")
         os.makedirs(d, exist_ok=True)
@@ -3818,6 +4093,20 @@ def _owning_table_root(seg_dir: str) -> str | None:
     if "data" not in parts:
         return None
     i = len(parts) - 1 - parts[::-1].index("data")
+    return os.sep.join(parts[:i]) or os.sep
+
+
+def _owning_meta_root(path: str) -> str | None:
+    """The table root an absolute sidecar-file ref points into: the
+    prefix before the LAST `_meta` path component (sidecars always live
+    at `<table>/_meta/sc-*.json`). Relative refs belong to the
+    enclosing table and return None."""
+    if not os.path.isabs(path):
+        return None
+    parts = path.split(os.sep)
+    if "_meta" not in parts:
+        return None
+    i = len(parts) - 1 - parts[::-1].index("_meta")
     return os.sep.join(parts[:i]) or os.sep
 
 
@@ -3974,32 +4263,78 @@ def _vacuum_locked(table_path: str, keep_last: int, force: bool = False) -> int:
         broken = {}
         for name, (v, dst) in pinned_clone_versions(table_path).items():
             needed: set[str] = set()
+            dst_abs = os.path.abspath(dst)
+            # O(change) clone walk (r13, VERDICT r12 "What's missing"
+            # #3): a sizing-rule clone with a long history used to cost
+            # O(versions × n_ranges) — a full assembly per retained
+            # clone version. The refs the guard needs live only in the
+            # clone's sidecar FILES, and those are content-addressed
+            # and heavily shared across versions: collect the UNIQUE
+            # set (initial carry + every range that ever diverged) from
+            # the slim indexes, then parse each file ONCE. Clone-local
+            # sidecars are included — a clone's rewritten range keeps
+            # ABSOLUTE refs into us for the buckets it didn't touch.
+            # Inline clone versions (below the sharding threshold)
+            # still assemble; they are O(their size) anyway.
+            unique: dict[str, str | None] = {}  # abs path -> base
             for cv in list_versions(dst):
                 cslim = _read_slim(dst, cv) or {}
-                for ent in cslim.get("sidecars", {}).values():
+                sc = cslim.get("sidecars")
+                if sc is None:
+                    try:
+                        cmf = read_manifest(dst, cv) or {}
+                    except OSError:
+                        continue  # already-broken clone version (a
+                        # prior force vacuum swept its metadata): it
+                        # has no honorable refs left
+                    refs = list(cmf.get("buckets", {}).values()) + [
+                        d
+                        for lst in cmf.get("deletes", {}).values()
+                        for d in lst
+                    ]
+                    for d in refs:
+                        if not os.path.isabs(d):
+                            continue  # clone-local dir, not ours
+                        rel = os.path.relpath(d, table_abs)
+                        if rel.startswith(".."):
+                            continue  # ref into some OTHER table
+                        needed.add(_segment_root(rel))
+                    continue
+                for ent in sc.values():
                     p = ent["path"]
-                    if not os.path.isabs(p):
-                        continue  # clone-local sidecar, not ours
-                    rel = os.path.relpath(p, table_abs)
-                    if not rel.startswith(".."):
-                        clone_meta.add(os.path.basename(p))
+                    if os.path.isabs(p):
+                        rel = os.path.relpath(p, table_abs)
+                        if not rel.startswith(".."):
+                            # keyed by BASENAME: sound because sidecar
+                            # names are content-addressed
+                            # (sc-<lo>-<hash>) — two distinct files in
+                            # one _meta/ dir can never share a name, so
+                            # a basename retains exactly one file
+                            clone_meta.add(os.path.basename(p))
+                    else:
+                        p = os.path.join(dst_abs, p)
+                    unique.setdefault(p, ent.get("base"))
+            for p, base in unique.items():
                 try:
-                    cmf = read_manifest(dst, cv) or {}
+                    sc_file = _load_sidecar(p)
                 except OSError:
-                    continue  # already-broken clone version (a prior
-                    # force vacuum swept its carried metadata): it has
-                    # no honorable refs left
-                refs = list(cmf.get("buckets", {}).values()) + [
-                    d
-                    for lst in cmf.get("deletes", {}).values()
-                    for d in lst
-                ]
-                for d in refs:
+                    continue  # swept by a prior force vacuum: the
+                    # ranges it described have no honorable refs left
+                for d in list(sc_file.get("buckets", {}).values()) + [
+                    x
+                    for lst in sc_file.get("deletes", {}).values()
+                    for x in lst
+                ]:
                     if not os.path.isabs(d):
-                        continue  # clone-local dir, not ours
+                        # relative refs resolve against the file's
+                        # owner: its `base` when carried, else the
+                        # clone itself (a clone-local dir is not ours)
+                        if base is None:
+                            continue
+                        d = os.path.join(base, d)
                     rel = os.path.relpath(d, table_abs)
                     if rel.startswith(".."):
-                        continue  # absolute ref into some OTHER table
+                        continue  # ref into some OTHER table
                     needed.add(_segment_root(rel))
             if needed - kept_roots:
                 broken[name] = (v, dst)
@@ -4633,6 +4968,83 @@ RESTORE_METADATA_SQL = """
 SELECT source, COUNT(*) AS n_rows,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        0 AS restore_divergence
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY source
+"""
+
+
+def commit_delta_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Delta-based DATA commits (r13, VERDICT r12 directive 2)
+    as an oracle-checked query, over the SAME cached fixture as
+    `sidecar_metadata_query` (identical build: v1 = docs %3==0 into
+    256 buckets → 4 range sidecars; v2 = a 1-key upsert doubling doc
+    42's n_chars). What THIS probe pins is the delta publish path's
+    bookkeeping: 3 of the 4 v2 index entries are the previous
+    version's entry dicts VERBATIM (`carried_verbatim` — carried
+    without a parse or serialization, the O(change) driver-CPU
+    contract `_delta_commit` implements), and the INCREMENTALLY
+    maintained whole-table scalars — `agg` and `total_rows` — equal a
+    from-scratch `_bucket_agg` recompute over the assembled manifest
+    (`agg_drift` pinned 0). The aggregate reads the assembled table
+    back through the standard path, so a wrong carry or a drifted
+    count hash-mismatches the oracle too. The reference has no
+    metadata tier (singleton Redis JSON blobs,
+    categorize-trail-conditions/src/storage.py); [EXT] per
+    docs/TABLE_FORMAT.md's sizing rule."""
+    docs = _docs_frame(spark, sf_dir)
+
+    def build(table: str) -> None:
+        manifest_upsert(
+            spark, table, docs.filter(F.col("doc_id") % 3 == 0),
+            ["doc_id"], n_buckets=256,
+        )
+        manifest_upsert(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") == 42).withColumn(
+                "n_chars", F.col("n_chars") * 2
+            ),
+            ["doc_id"],
+        )
+
+    # shared fixture kind with sidecar_metadata_query (same build):
+    # one 256-bucket construction per corpus snapshot serves both
+    table = _fixture_table(docs, "manifest_sidecar", build)
+    s1 = _read_slim(table, 1)
+    s2 = _read_slim(table, 2)
+    carried = sum(
+        1
+        for lo, e in s2["sidecars"].items()
+        if e == s1["sidecars"].get(lo)
+    )
+    recomputed = _bucket_agg(read_manifest(table, 2))
+    drift = int(
+        s2["agg"] != recomputed
+        or s2.get("total_rows")
+        != recomputed["rows"] - recomputed["drows"]
+    )
+    return (
+        read_manifest_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("carried_verbatim", F.lit(carried))
+        .withColumn("agg_drift", F.lit(drift))
+    )
+
+
+#: fixture-coupled literals (see the build closure above): 256 buckets
+#: / SIDECAR_RANGE 64 = 4 ranges, the 1-key v2 commit touches one →
+#: `3 AS carried_verbatim`; `0 AS agg_drift` pins the incremental
+#: scalars against the from-scratch recompute
+COMMIT_DELTA_METADATA_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id = 42 THEN n_chars * 2
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       3 AS carried_verbatim, 0 AS agg_drift
 FROM documents
 WHERE doc_id % 3 = 0
 GROUP BY source
