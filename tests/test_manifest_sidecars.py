@@ -350,10 +350,21 @@ def test_restore_rewrites_zero_sidecars(spark, tmp_path, small_range):
     mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
     mfm.manifest_upsert(spark, t, _one_key(spark, 3, 999), ["k"])
     before = _meta_files(t)
-    mfm.restore_table(spark, t, version=1)
+    serialized: list[int] = []
+    real = mfm._serialize_range
+    mfm._serialize_range = lambda c: serialized.append(1) or real(c)
+    try:
+        mfm.restore_table(spark, t, version=1)
+    finally:
+        mfm._serialize_range = real
     assert _meta_files(t) == before  # not one new byte of metadata
+    # r13: and not one range re-serialized — with the bloom config
+    # unchanged the restore carries version 1's sidecar index, agg
+    # scalars, and total_rows verbatim (O(1) publish CPU)
+    assert serialized == []
     # the restored slim index references EXACTLY version 1's files
     assert mfm._read_slim(t, 3)["sidecars"] == mfm._read_slim(t, 1)["sidecars"]
+    assert mfm._read_slim(t, 3)["agg"] == mfm._read_slim(t, 1)["agg"]
     got = {r.k: r.v for r in mfm.read_manifest_table(spark, t).collect()}
     assert got[3] == 6 and len(got) == 80
     # and vacuum keeps multi-version-shared files while both versions
@@ -828,3 +839,59 @@ def test_cdc_stream_over_chained_clone_carried_metadata(
         for r in mfm.table_changes(spark, leaf, 1, 2).collect()
     }
     assert got == {(21, 777, "update")}
+
+
+def test_merge_into_parses_only_touched_ranges(
+    spark, tmp_path, small_range
+):
+    """r13: MERGE's snapshot read is slim scalars + the touched
+    buckets' ranges — a 1-key merge on an 8-range table parses ONE
+    sidecar for its batch construction (the delta publish re-parses
+    from cache), never a full assembly."""
+    t = str(tmp_path / "mergedelta")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    mfm._load_sidecar.cache_clear()
+    src = _one_key(spark, 21, 0).select(
+        "k", (F.col("v") + 555).alias("v"), "tag"
+    )
+    mfm.merge_into(
+        spark,
+        t,
+        src,
+        when_matched_update={"v": F.col("src.v")},
+        insert_not_matched=True,
+    )
+    assert mfm._load_sidecar.cache_info().misses == 1
+    got = {r.k: r.v for r in mfm.read_manifest_table(spark, t).collect()}
+    assert len(got) == 80 and got[21] == 555
+
+
+def test_compact_serializes_only_target_ranges(
+    spark, tmp_path, small_range, monkeypatch
+):
+    """r13: bucket-wise compaction publishes as a delta — compacting
+    ONE bucket on an 8-range table re-serializes one range; the other
+    seven index entries carry verbatim and the incremental scalars
+    match a recompute."""
+    t = str(tmp_path / "compdelta")
+    mfm.manifest_upsert(spark, t, _frame(spark, 0, 80), ["k"], n_buckets=16)
+    # fragment one bucket with three single-key commits
+    for i, v in ((21, 1), (21, 2), (21, 3)):
+        mfm.manifest_upsert(spark, t, _one_key(spark, 21, v), ["k"])
+    mf = mfm.read_manifest(t)
+    b21 = next(
+        b
+        for b, d in mf["buckets"].items()
+        if spark.read.parquet(os.path.join(t, d)).filter("k = 21").count()
+    )
+    serialized: list[int] = []
+    real = mfm._serialize_range
+    monkeypatch.setattr(
+        mfm, "_serialize_range", lambda c: serialized.append(1) or real(c)
+    )
+    v = mfm.compact_buckets(spark, t, bucket_ids=[int(b21)])
+    assert v is not None and len(serialized) == 1
+    slim = mfm._read_slim(t, v)
+    assert slim["agg"] == mfm._bucket_agg(mfm.read_manifest(t, v))
+    got = {r.k: r.v for r in mfm.read_manifest_table(spark, t).collect()}
+    assert len(got) == 80 and got[21] == 3

@@ -1417,7 +1417,41 @@ def restore_table(
                 "buckets_carried": len(old["buckets"]),
             },
         }
-        _publish_manifest(table_path, manifest, token)
+        # O(1) publish CPU on sharded tables (r13): when the carried
+        # bloom CONFIG equals the restored snapshot's, the new
+        # per-bucket maps are the old version's bit-for-bit — carry its
+        # sidecar index, agg scalars, and total_rows VERBATIM instead
+        # of re-serializing every range to rediscover the hashes
+        # (content-addressing already made the WRITES zero; this makes
+        # the driver CPU zero too). A config mismatch filters bitmaps
+        # per-bucket, so that case re-shards through the general path.
+        old_slim = _read_slim(table_path, target)
+        if (
+            old_slim is not None
+            and "sidecars" in old_slim
+            and old_slim.get("sidecar_range") == SIDECAR_RANGE
+            and old_slim.get("agg") is not None
+            and cur.get("bloom", {}) == old.get("bloom", {})
+        ):
+            slim = {
+                k: v
+                for k, v in manifest.items()
+                if k not in _SIDECAR_KEYS
+            }
+            slim["sidecars"] = old_slim["sidecars"]
+            slim["sidecar_range"] = old_slim["sidecar_range"]
+            slim["agg"] = old_slim["agg"]
+            if "total_rows" in old_slim:
+                slim["total_rows"] = old_slim["total_rows"]
+            feats = {"sharded-metadata"}
+            if slim["column_mapping"] or slim["retired_physical"]:
+                feats.add("column-mapping")
+            if old_slim["agg"]["dels"] > 0:
+                feats.add("merge-on-read-deletes")
+            slim["required_reader_features"] = sorted(feats)
+            _publish_manifest(table_path, slim, token, preformed=True)
+        else:
+            _publish_manifest(table_path, manifest, token)
         return manifest["version"]
 
     try:
@@ -1949,7 +1983,10 @@ def _merge_into_once(
     not_matched_by_source_condition=None,
     when_not_matched_by_source_delete=None,
 ) -> int:
-    mf = read_manifest(table_path)
+    # slim scalars first (zero sidecar parses on sharded tables): the
+    # clause validation and batch construction below are all scalar;
+    # per-bucket maps load only for the touched buckets (r13)
+    mf = read_manifest(table_path, buckets=[])
     if mf is None:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     keys = mf["keys"]
@@ -1962,7 +1999,9 @@ def _merge_into_once(
         # unmatched target rows can live in ANY bucket: the read is
         # the whole table (Delta pays the same); the commit still
         # rewrites only buckets whose rows changed
+        mf = read_manifest(table_path)
         touched = [int(b) for b in mf["buckets"]]
+        snap = mf
     else:
         touched = [
             r.pk_bucket
@@ -1973,19 +2012,24 @@ def _merge_into_once(
             .distinct()
             .collect()
         ]
+        snap = (
+            read_manifest(table_path, buckets=touched)
+            if "sidecar_range" in mf
+            else mf
+        )
     dirs = [
-        os.path.join(table_path, mf["buckets"][str(b)])
+        os.path.join(table_path, snap["buckets"][str(b)])
         for b in touched
-        if str(b) in mf["buckets"]
+        if str(b) in snap["buckets"]
     ]
     tgt = (
-        _read_segments(spark, mf, dirs)
+        _read_segments(spark, snap, dirs)
         if dirs
         else spark.createDataFrame([], schema)
     )
     # a key with a pending MoR delete reads as NOT MATCHED (a matching
     # source row re-inserts it, never resurrects the old values)
-    tgt = _apply_deletes(spark, tgt, table_path, mf, touched)
+    tgt = _apply_deletes(spark, tgt, table_path, snap, touched)
     s, t = source.alias("src"), tgt.alias("tgt")
     joined = s.join(t, on=keys, how="inner")
     data_cols = [f.name for f in schema.fields if f.name not in keys]
@@ -3583,7 +3627,37 @@ def compact_buckets(
                 "rows_written": sum(seg_counts.values()),
             },
         }
-        _publish_manifest(table_path, manifest, token)
+        # the dirty set is exactly `targets` (rewritten or dropped):
+        # on a sharded table publish as a delta so only their ranges
+        # re-serialize (r13) — the small-file DISCOVERY above is
+        # honestly O(n_buckets) dir listings, but the commit need not
+        # be. The per-bucket maps here are full (the general read
+        # above), so the delta just slices the targets out of them.
+        slim_prev = _read_slim(table_path, mf["version"])
+        if (
+            slim_prev is not None
+            and slim_prev.get("sidecar_range") == SIDECAR_RANGE
+            and slim_prev.get("agg") is not None
+        ):
+            updates: dict[str, dict] = {k: {} for k in _SIDECAR_KEYS}
+            for b in targets:
+                for k in _SIDECAR_KEYS:
+                    if b in manifest[k]:
+                        updates[k][b] = manifest[k][b]
+            _delta_commit(
+                table_path,
+                token,
+                slim_prev,
+                {
+                    k: v
+                    for k, v in manifest.items()
+                    if k not in _SIDECAR_KEYS
+                },
+                updates,
+                targets - written,
+            )
+        else:
+            _publish_manifest(table_path, manifest, token)
         return manifest["version"]
 
     try:
