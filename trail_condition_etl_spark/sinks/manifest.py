@@ -1630,23 +1630,48 @@ def manifest_upsert(
                         filled = filled.withColumn(
                             tf.name, F.lit(None).cast(tf.dataType)
                         )
+                supplied = []
                 for gcol, gexpr in gen_rules.items():
                     if gcol in have:
-                        bad = filled.filter(
-                            ~F.col(gcol).eqNullSafe(F.expr(gexpr))
-                        ).take(1)
-                        if bad:
-                            raise ValueError(
-                                f"generated column {gcol!r} = ({gexpr}) "
-                                f"violated by the incoming batch, e.g. "
-                                f"{bad[0].asDict()} ({table_path}); omit "
-                                "the column to have it computed, or "
-                                "supply matching values"
-                            )
+                        supplied.append(gcol)
                     else:
                         filled = filled.withColumn(gcol, F.expr(gexpr))
                         out_cols.append(gcol)
                         have.add(gcol)
+                if supplied:
+                    # ONE Spark action for every supplied rule (r13,
+                    # mirroring the merge-insert fix): each take(1)
+                    # is a whole driver-side job at cluster scale, so
+                    # N rules must not cost N scans of the batch; a
+                    # marker column names the first rule violated.
+                    # Validating after the compute loop means rules
+                    # may reference other generated columns too.
+                    viol = F.coalesce(
+                        *[
+                            F.when(
+                                ~F.col(g).eqNullSafe(
+                                    F.expr(gen_rules[g])
+                                ),
+                                F.lit(g),
+                            )
+                            for g in supplied
+                        ]
+                    )
+                    bad = (
+                        filled.withColumn("__gen_violated", viol)
+                        .filter(F.col("__gen_violated").isNotNull())
+                        .take(1)
+                    )
+                    if bad:
+                        row = bad[0].asDict()
+                        g = row.pop("__gen_violated")
+                        raise ValueError(
+                            f"generated column {g!r} = "
+                            f"({gen_rules[g]}) violated by the "
+                            f"incoming batch, e.g. {row} "
+                            f"({table_path}); omit the column to have "
+                            "it computed, or supply matching values"
+                        )
                 ups = filled.select(*out_cols)
             # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
             # the incoming LIVE rows must satisfy every recorded
@@ -1663,16 +1688,31 @@ def manifest_upsert(
                         checked = checked.withColumn(
                             tf.name, F.lit(None).cast(tf.dataType)
                         )
-                for cname, cexpr in mf["constraints"].items():
-                    bad = checked.filter(
-                        ~F.coalesce(F.expr(cexpr), F.lit(True))
-                    ).take(1)
-                    if bad:
-                        raise ValueError(
-                            f"constraint {cname!r} ({cexpr}) violated by "
-                            f"the incoming batch, e.g. {bad[0].asDict()} "
-                            f"({table_path}); commit rejected"
+                # one action for ALL constraints (r13), same shape as
+                # the generated-rule validation above
+                viol = F.coalesce(
+                    *[
+                        F.when(
+                            ~F.coalesce(F.expr(cexpr), F.lit(True)),
+                            F.lit(cname),
                         )
+                        for cname, cexpr in mf["constraints"].items()
+                    ]
+                )
+                bad = (
+                    checked.withColumn("__ck_violated", viol)
+                    .filter(F.col("__ck_violated").isNotNull())
+                    .take(1)
+                )
+                if bad:
+                    row = bad[0].asDict()
+                    cname = row.pop("__ck_violated")
+                    raise ValueError(
+                        f"constraint {cname!r} "
+                        f"({mf['constraints'][cname]}) violated by "
+                        f"the incoming batch, e.g. {row} "
+                        f"({table_path}); commit rejected"
+                    )
         buckets_n = (
             mf["n_buckets"]
             if mf
@@ -1998,8 +2038,10 @@ def _merge_into_once(
     if by_source:
         # unmatched target rows can live in ANY bucket: the read is
         # the whole table (Delta pays the same); the commit still
-        # rewrites only buckets whose rows changed
-        mf = read_manifest(table_path)
+        # rewrites only buckets whose rows changed. Below the sharding
+        # threshold the slim read above WAS the full manifest.
+        if "sidecar_range" in mf:
+            mf = read_manifest(table_path)
         touched = [int(b) for b in mf["buckets"]]
         snap = mf
     else:
