@@ -130,7 +130,23 @@ def classify_trail_conditions(weather: DataFrame) -> DataFrame:
     )
     is_fcst = F.col("data_source") == "FORECAST"
     is_hist = F.col("data_source") == "HISTORICAL"
-    rows = weather.withColumn("rn", F.row_number().over(w))
+    # ONE exchange end to end (guide §2.4): hash-partition by city_id up
+    # front — hash(city_id) satisfies the window's (city_id, data_source)
+    # clustered distribution (a subset of the clustering keys), and the
+    # final groupBy("city_id") reuses the same partitioning, where the
+    # default plan paid Exchange(city, source) for the window and a
+    # SECOND Exchange(city) for the aggregate. Projecting to the five
+    # columns the rules read drops wind_speed_mps (computed upstream,
+    # never used — reference classifier.py:69-71 wind rule is a TODO)
+    # before the rows shuffle.
+    rows = weather.select(
+        "city_id",
+        "timestamp_utc",
+        "temperature_deg_c",
+        "rain_fall_total_mm",
+        "data_source",
+        "anchor_ts",
+    ).repartition("city_id").withColumn("rn", F.row_number().over(w))
 
     in_head24 = is_fcst & (F.col("rn") <= FORECAST_HEAD_ROWS)
     mud_start = F.col("anchor_ts") - F.expr(f"INTERVAL {MUD_DAYS} DAYS")
