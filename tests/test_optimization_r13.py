@@ -78,3 +78,58 @@ def test_stateful_sessions_staging_is_per_corpus_artifact(spark):
     )
     assert artifacts.build_count() == builds_after_first
     assert first == second
+
+
+# ---------------------------------------------------------------------------
+# batch 2: shuffle less, compute once, stay in codegen
+# ---------------------------------------------------------------------------
+
+
+# (a third rejected candidate — the unrolled element_at `_dot` chain —
+# is likewise documented in OPTIMIZATION_r13.md; _dot stays the fold.)
+
+
+def test_ann_recall_report_truth_join_is_broadcast(spark):
+    # the bounded truth side (QUERY_K*k rows) broadcasts into the hit
+    # joins — a SortMergeJoin means it is being shuffled+sorted again
+    from trail_condition_etl_spark import plans, registry
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = registry.queries()["ann_recall_report"](spark, sf)
+    p = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+# (two optimization candidates measured here and REJECTED — touched-
+# subgraph label propagation and the hashed-gid decontaminate cache —
+# are documented in OPTIMIZATION_r13.md; their pins were removed with
+# the reverts.)
+
+
+def test_cms_estimate_reuses_single_tokenize_exchange(spark):
+    # one tokenize pass: the counter build and the exact-count probe
+    # share the groupBy('tok') subtree, which the executed plan
+    # materializes once and reuses (ReusedExchange under AQE)
+    from trail_condition_etl_spark import plans, registry
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = registry.queries()["cms_estimate"](spark, sf)
+    df.collect()
+    assert "ReusedExchange" in plans.formatted_plan(df)
+
+
+def test_ivf_pq_encode_runs_once_not_duplicated(spark):
+    # the corpus encode UDF is marked nondeterministic so the optimizer
+    # cannot split it into one ArrowEvalPython for the join-key filter
+    # and a second for the code projection — exactly ONE python-eval
+    # node may touch the corpus
+    import re
+
+    from trail_condition_etl_spark import plans, registry
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = registry.queries()["ivf_pq_topk"](spark, sf)
+    p = plans.formatted_plan(df)
+    n = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython)", p))
+    assert n == 1

@@ -119,7 +119,13 @@ def decontaminate(
     grams = F.array_distinct(_word_ngrams(n))
     # the gram-array construction feeds THREE branches (benchmark ids,
     # train explode, per-doc totals) — lazily persist so it evaluates
-    # once per document, not three times
+    # once per document, not three times.
+    # MEASURED AND REJECTED (r13): caching 8-byte hashed gids instead of
+    # the gram strings (persist-narrow, guide §5.2) ran +22% SLOWER at
+    # sf0.1 — the hash must then run INSIDE transform(), an interpreted
+    # per-element higher-order function, while the post-explode form
+    # below hashes in WholeStageCodegen; the cached-byte savings never
+    # paid back the interpretation cost.
     with_g = documents.select("doc_id", grams.alias("grams")).persist()
     is_bench = (F.col("doc_id") % benchmark_mod) == 0
 

@@ -483,6 +483,13 @@ def dedup_clusters(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
+    # MEASURED AND REJECTED (r13): propagating over only the docs that
+    # appear in the pair graph (per-round frames O(edges) instead of
+    # O(corpus), untouched docs re-entering via a final broadcast left
+    # join) ran +60% SLOWER at sf0.1 — the extra distinct + final-join
+    # jobs cost more fixed overhead than the corpus-sized shuffles they
+    # replaced saved on this corpus. Revisit only with evidence from a
+    # scale where the label frame dwarfs the edge set.
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("canonical_doc_id")
     )

@@ -189,7 +189,16 @@ def _as_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+#: corpus embedding dimension (64 across every test SF)
+EMB_DIM = 64
+
+
 def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product. MEASURED AND REJECTED (r13): an
+    unrolled 64-term element_at chain (same IEEE order, pure codegen
+    arithmetic instead of the interpreted higher-order fold) was a wash
+    on cosine_topk and ~1.7x SLOWER inside ivf_topk's giant
+    CASE/size-guarded projection — the fold stays."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -733,7 +742,13 @@ def _encode_udf(
             out["cs"] = pd.Series(list(codes))
         return pd.DataFrame(out)
 
-    return enc
+    # asNondeterministic stops the optimizer DUPLICATING this expensive
+    # per-corpus encode (guide §4.4): the probed-cell join's implied
+    # isnotnull(cell) pushdown split it into TWO full ArrowEvalPython
+    # passes over the corpus (one for the filter, one for the code
+    # projection — see plans/r13/ivf_pq_topk_before.txt nodes 3+6). The
+    # function is pure, so results are unchanged; it just runs once.
+    return enc.asNondeterministic()
 
 
 def _probe_py(
@@ -770,7 +785,6 @@ def ivf_topk(
     cosine, top-k window — a single exchange (the window) end to end.
     At 100 TB: write the corpus bucketed by cell (`build_ivf_index`) so
     probes prune files too."""
-    base = with_norm(embeddings)
     sample = _collect_sample(embeddings)
     queries = sample[:QUERY_K]
     cents = _memo_train("ivf", embeddings, sample, _train_ivf_py)
@@ -788,13 +802,21 @@ def ivf_topk(
         schema="q_id long, cell long, q_e array<double>, q_norm double",
     )
     enc = _encode_udf(cents, None)
+    # keep the Python boundary NARROW (guide §4.1): enc sees only the
+    # raw embedding — emb_d/norm are derived AFTER the probed-cell join,
+    # for surviving candidates only. The nondeterministic encode pins
+    # operator placement, so the projection order here IS the plan: with
+    # emb_d in the pre-encode frame, 512 B/row of derived doubles would
+    # ride through the Arrow round trip as passthrough columns.
     sim = (
-        base.select(
-            "vec_id", "label", "emb_d", "norm",
+        embeddings.select(
+            "vec_id", "label", "embedding",
             enc("embedding")["cell"].alias("cell"),
         )
         .join(F.broadcast(qdf), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("emb_d", _as_double("embedding"))
+        .withColumn("norm", F.sqrt(_dot(F.col("emb_d"), F.col("emb_d"))))
         .select(
             "q_id",
             "vec_id",
@@ -1584,6 +1606,14 @@ def ann_recall_report(embeddings: DataFrame, k: int = 5) -> DataFrame:
     integers and the recall division is a single fixed-order IEEE op,
     so the full report (including both approximate pipelines and the
     exact baseline) is oracle-checked end to end."""
+    # truth is bounded at QUERY_K*k rows -> BROADCAST it into the hit
+    # joins: the SortMergeJoin (both sides shuffled+sorted, 4 exchanges)
+    # becomes a BroadcastHashJoin with zero exchanges on the approx side
+    # (guide §3.1). MEASURED AND REJECTED (r13): persisting truth so the
+    # exact-baseline subtree evaluates once instead of once per union
+    # arm — the cache-materialization barrier serialized the arms and
+    # ran slower (2.48 vs 1.89 s) than letting both duplicate subtrees
+    # run in parallel at bench scale.
     truth = cosine_topk(embeddings, k=k).select("q_id", "vec_id")
     methods = [
         ("lsh", ann_lsh_topk(embeddings, k=k)),
@@ -1593,9 +1623,8 @@ def ann_recall_report(embeddings: DataFrame, k: int = 5) -> DataFrame:
     n_q = F.lit(QUERY_K)
     for name, approx in methods:
         hits = (
-            truth.join(
-                approx.select("q_id", "vec_id"), ["q_id", "vec_id"]
-            )
+            approx.select("q_id", "vec_id")
+            .join(F.broadcast(truth), ["q_id", "vec_id"])
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(
                 F.lit(name).alias("method"),
@@ -1733,6 +1762,9 @@ def semantic_dedup(
     adj = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    # MEASURED AND REJECTED (r13): touched-subgraph propagation (see
+    # dedup.dedup_clusters) ran +72% slower here at sf0.1 — same
+    # fixed-overhead arithmetic.
     labels = embeddings.select(
         "vec_id", F.col("vec_id").alias("canonical_vec_id")
     )

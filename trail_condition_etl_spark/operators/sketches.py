@@ -132,8 +132,17 @@ def cms_estimate(documents: DataFrame) -> DataFrame:
     toks = documents.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
+    # ONE tokenize pass (guide §2.3/§2.4): both the counter build and
+    # the exact-count probe derive from the same per-token count — the
+    # shared groupBy('tok') subtree becomes a ReusedExchange instead of
+    # a second scan+split+explode of the whole corpus. The counters are
+    # unchanged: summing per-token counts into a (d, col) cell equals
+    # counting every occurrence routed to that cell, and the explode
+    # now emits CMS_D structs per DISTINCT token, not per occurrence.
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
     base = sha_prefix_hash(F.col("tok"))
-    cells = toks.select(
+    cells = tok_counts.select(
+        "tok_n",
         F.explode(
             F.array(
                 *[
@@ -143,13 +152,11 @@ def cms_estimate(documents: DataFrame) -> DataFrame:
                     for d in range(CMS_D)
                 ]
             )
-        ).alias("c")
-    ).select("c.d", "c.col")
-    counters = cells.groupBy("d", "col").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .filter(F.col("exact_n") >= CMS_MIN_EXACT)
+        ).alias("c"),
+    ).select("tok_n", "c.d", "c.col")
+    counters = cells.groupBy("d", "col").agg(F.sum("tok_n").alias("cnt"))
+    exact = tok_counts.filter(F.col("tok_n") >= CMS_MIN_EXACT).select(
+        "tok", F.col("tok_n").alias("exact_n")
     )
     probes = exact.select(
         "tok",

@@ -293,25 +293,27 @@ def ewma_daily(events: DataFrame) -> DataFrame:
         .rowsBetween(-(EWMA_SPAN - 1), 0)
     )
     lst = F.collect_list("vc").over(w)
+    # numerator s = sum_j lst[j] * 2^j as an UNROLLED chain of
+    # try_element_at terms instead of the struct-accumulator aggregate:
+    # the higher-order fold is interpreted per element (no codegen —
+    # guide §4.1), while these are native expressions; positions past
+    # the list's length contribute coalesce(NULL, 0) * 2^j = 0, and the
+    # sum is exact BIGINT arithmetic, so the value is identical for any
+    # window length. Denominator 2^L - 1 comes straight off size(lst).
     zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
-    fold = F.aggregate(
-        F.col("_lst"),
-        F.struct(zero.alias("s"), one.alias("w")),
-        lambda acc, x: F.struct(
-            (acc["s"] + x * acc["w"]).alias("s"), (acc["w"] * 2).alias("w")
-        ),
-    )
+    s_num: Column = zero
+    for j in range(EWMA_SPAN):
+        s_num = s_num + F.coalesce(
+            F.try_element_at("_lst", F.lit(j + 1)), zero
+        ) * F.lit(1 << j).cast("long")
+    den = (F.expr("shiftleft(1L, size(_lst))") - 1) * 100.0
     return (
         filled.withColumn("_lst", lst)
-        .withColumn("_fold", fold)
         .select(
             "user_id",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             (F.col("vc") / 100.0).alias("value_sum"),
-            F.round(
-                F.col("_fold.s") / ((F.col("_fold.w") - 1) * 100.0), 4
-            ).alias("ewma"),
+            F.round(s_num / den, 4).alias("ewma"),
         )
     )
 
