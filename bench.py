@@ -3,13 +3,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Output contract (VERDICT r5 directive 2 — the driver captures only the
-TAIL of stdout, so the LAST line must be genuinely compact, ~200 bytes):
+TAIL of stdout, ~2000 chars, and parses the LAST line):
 
 * line 1: {"plan_audit": {...}}           (also PLAN_AUDIT.json sidecar)
 * line 2: {"detail": {queries, cold, phases}}  (also BENCH_DETAIL.json)
-* line 3 (LAST): the compact headline the driver parses —
-  {"metric", "value", "unit", "sf", "runs", "cold_total",
-   "steady_above_cold_anomalies", "scale_smoke"} and nothing bulky.
+* line 3 (LAST): the headline the driver parses — {"metric", "value",
+  "unit", "sf", "runs", "queries", "cold_total",
+  "steady_above_cold_anomalies", "scale_smoke", ...}. Since r14
+  (VERDICT r13 directive 2) it carries the per-query steady medians
+  rounded to 10 ms: the driver's PERF diff reads ONLY this line, and
+  without the map it could never attribute a regression to a query
+  (PERF n_common was 0 every round). SIZE BUDGET: the whole line must
+  stay under ~1900 bytes so the tail capture never truncates its
+  opening brace (the BENCH_r05 failure mode) — 53 queries serialize to
+  ~1700 B; each headline addition costs ~25 B, so re-check the budget
+  when the list grows past ~60.
 
 Cross-round methodology (retired from judge-only prose, r5 directive 8):
 * `cold_total` (sum of each query's FIRST run) is THE round-over-round
@@ -121,14 +129,16 @@ Cross-round methodology (retired from judge-only prose, r5 directive 8):
   not a plan change; PLAN_AUDIT is unchanged).
 
 * r13 NOISE PROTOCOL CODIFIED (VERDICT r12 directive 4): the headline
-  line now carries `shared_total_vs_prev` (total over queries both this
+  line carries `shared_total_vs_prev` (total over queries both this
   run and the committed BENCH_DETAIL measured, same sf — the
-  round-over-round diff, computed by the tool) and `contended_run` —
-  true when >=3 of the CONTENTION_MARKERS quartet inflate >15%
-  together (the host-interference signature from r11-r12's same-code
-  run spreads) or any steady median exceeds its own cold time. Ship a
-  run with contended_run=false; a flagged run means re-measure, not
-  regression.
+  round-over-round diff, computed by the tool) and `contended_run`.
+  r14 (VERDICT r13 directive 2b): the contention test is now the
+  MEDIAN per-query inflation vs the committed detail over the FULL
+  shared set (`median_inflation_vs_prev` > 1.15), replacing the fixed
+  four-query marker quartet that missed broad-band windows (the r13
+  45.5 s run flew under it); any steady median above its own cold time
+  still flags too. Ship a run with contended_run=false; a flagged run
+  means re-measure, not regression.
 
 Each query is forced with a noop-format write (computes the full plan,
 collects nothing to the driver), timed after a warm-up pass of the
@@ -301,20 +311,40 @@ SCALE_QUERIES = [
     "commit_delta_metadata",
 ]
 
-#: the four queries that move TOGETHER under host contention (r11-r12:
-#: three same-code idle runs spanned 53.8/33.1/32.9 s and every
-#: inflated run concentrated its growth here while the manifest family
-#: stayed flat). >=3 of them inflating vs the committed BENCH_DETAIL
-#: flags the RUN as contended — ship a clean re-run instead of reading
-#: the numbers as regressions (the r13 codification of the
-#: ship-empty-anomalies protocol that previously lived in session
-#: memory).
-CONTENTION_MARKERS = [
-    "ivf_pq_topk",
-    "trail_classifier",
-    "region_volume",
-    "colocated_join",
-]
+#: host-contention threshold on the MEDIAN per-query inflation vs the
+#: committed BENCH_DETAIL (r14, VERDICT r13 directive 2b): the r11-r13
+#: contended windows inflated a BROAD band of queries together (the
+#: builder's 45.5 s r13 run slipped past the old fixed-quartet check
+#: because its growth landed outside the four markers), while a real
+#: regression concentrates in the touched queries and leaves the median
+#: flat. Median > 1.15 over the full shared set flags the RUN as
+#: contended — ship a clean re-run instead of reading its numbers as
+#: regressions.
+CONTENTION_MEDIAN_INFLATION = 1.15
+
+
+def compare_to_prev(
+    timings: dict[str, float], prev_q: dict[str, float]
+) -> tuple[dict | None, float | None]:
+    """Round-over-round comparison against the committed BENCH_DETAIL
+    (same sf): total over the queries BOTH runs measured (new queries
+    excluded, so headline growth never reads as a slowdown) and the
+    MEDIAN per-query inflation — the r14 contention statistic (a
+    contended window inflates a broad band; a real regression moves the
+    touched queries and leaves the median flat). Returns (None, None)
+    with no usable previous detail."""
+    from statistics import median as _median
+
+    shared = [n for n in timings if n in prev_q and prev_q[n] > 0]
+    if not shared:
+        return None, None
+    shared_vs_prev = {
+        "now": round(sum(timings[n] for n in shared), 3),
+        "prev": round(sum(prev_q[n] for n in shared), 3),
+        "n_shared": len(shared),
+    }
+    med = round(_median(timings[n] / prev_q[n] for n in shared), 3)
+    return shared_vs_prev, med
 
 
 def main() -> None:
@@ -449,26 +479,30 @@ def main() -> None:
     # never a real regression; re-run on an idle box instead of
     # shipping it.
     shared_vs_prev = None
-    marker_up: list[str] = []
+    median_inflation = None
     prev_q = prev_detail.get("queries", {})
-    if prev_q and prev_detail.get("sf", sf) == sf:
-        shared = [
-            n for n in timings if n in prev_q and prev_q[n] > 0
-        ]
-        if shared:
-            shared_vs_prev = {
-                "now": round(sum(timings[n] for n in shared), 3),
-                "prev": round(sum(prev_q[n] for n in shared), 3),
-                "n_shared": len(shared),
-            }
-        marker_up = [
-            n
-            for n in CONTENTION_MARKERS
-            if n in timings
-            and prev_q.get(n, 0) > 0
-            and timings[n] > 1.15 * prev_q[n]
-        ]
-    contended = len(marker_up) >= 3 or bool(anomalies)
+    # cpus guard (r14): the driver re-runs bench at a LOWER core count
+    # whose BENCH_DETAIL overwrite must not become the next 32-core
+    # run's comparison baseline (8-core runs are FASTER at this sf —
+    # task-launch overhead dominates — so a cross-core-count diff reads
+    # as phantom inflation; the r14 round-start run compared 48 s @32c
+    # against the committed 29 s @8c detail). Missing cpus in an older
+    # detail compares permissively, like sf.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if (
+        prev_q
+        and prev_detail.get("sf", sf) == sf
+        and str(prev_detail.get("cpus", cpus)) == str(cpus)
+    ):
+        # r14 (VERDICT r13 directive 2b): contention is a BROAD-band
+        # signature, so flag on the median per-query inflation over the
+        # full shared set — the old fixed-quartet check missed windows
+        # whose growth landed outside the four markers
+        shared_vs_prev, median_inflation = compare_to_prev(timings, prev_q)
+    contended = bool(anomalies) or (
+        median_inflation is not None
+        and median_inflation > CONTENTION_MEDIAN_INFLATION
+    )
 
     # Scaling-ratio pass (VERDICT r7 directive 4): measure ONE notch of
     # the scaling curve the "designed for 100 TB" claims rest on. Each
@@ -540,6 +574,7 @@ def main() -> None:
         {
             "detail": {
                 "sf": sf,
+                "cpus": cpus,
                 "queries": timings,
                 "cold": cold,
                 "phases": phases,
@@ -573,11 +608,20 @@ def main() -> None:
                 "sf": sf,
                 "runs": n_runs,
                 "n_queries": len(timings),
+                # r14 (VERDICT r13 directive 2a): the per-query steady
+                # medians ride the LAST line, rounded to 10 ms — the
+                # driver's PERF diff parses only this line, and the
+                # 3-decimal map on the detail line gets pushed out of
+                # its tail capture (PERF n_common was 0 every round).
+                # ~1.4 KB for 53 queries; with the other headline fields
+                # the line stays inside the ~2 KB tail window, and the
+                # full-precision map still lands in BENCH_DETAIL.json.
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "cold_total": round(sum(cold.values()), 3),
                 "steady_above_cold_anomalies": anomalies,
                 "shared_total_vs_prev": shared_vs_prev,
                 "contended_run": contended,
-                "contention_markers_up": marker_up,
+                "median_inflation_vs_prev": median_inflation,
                 "scale_smoke": scale_smoke,
                 "scale_ratio_max": (
                     max(scale_ratios.values()) if scale_ratios else None

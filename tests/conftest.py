@@ -16,6 +16,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Size the TEST session for the tiny test SFs (sf0.001 default): at a few
+# hundred rows per table, per-task launch overhead dominates every stage,
+# and 32 shuffle partitions means 32 tasks per exchange for KB of data.
+# 8 cores / 8 shuffle partitions cuts that fixed cost (r14, VERDICT r13
+# directive 1: the driver's pytest window truncated at ~85% — measured
+# numbers in OPTIMIZATION_r14.md). setdefault: an explicit driver/CI value
+# always wins, and bench.py is untouched (separate process, its own env).
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 from trail_condition_etl_spark.session import get_spark  # noqa: E402
 from trail_condition_etl_spark.catalog import TABLE_NAMES  # noqa: E402
 

@@ -1,0 +1,79 @@
+"""Focused pins for the r14 optimization round.
+
+Covers the bench-harness observability fixes (VERDICT r13 directive 2):
+* the LAST output line carries the per-query steady map within the
+  driver's ~2000-char tail-capture budget;
+* the contention flag is the median per-query inflation over the FULL
+  shared set — a synthetic broad-band slow window must flag, a
+  single-query regression must not, and an improvement run must not.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_contention_flags_broad_band_window():
+    # the r13 failure mode: EVERY query ~40% slow (host interference) —
+    # the old fixed-quartet check missed it when the growth landed
+    # outside the four markers; the median statistic cannot
+    prev = {f"q{i}": 1.0 for i in range(53)}
+    now = {n: 1.4 for n in prev}
+    shared, med = bench.compare_to_prev(now, prev)
+    assert shared == {"now": round(53 * 1.4, 3), "prev": 53.0, "n_shared": 53}
+    assert med is not None and med > bench.CONTENTION_MEDIAN_INFLATION
+
+
+def test_single_query_regression_does_not_read_as_contention():
+    # a real regression concentrates in the touched query; the run must
+    # NOT be dismissed as contended (the number must stay readable)
+    prev = {f"q{i}": 1.0 for i in range(53)}
+    now = dict(prev)
+    now["q7"] = 5.0
+    _, med = bench.compare_to_prev(now, prev)
+    assert med is not None and med <= bench.CONTENTION_MEDIAN_INFLATION
+
+
+def test_improvement_run_is_clean_and_new_queries_are_excluded():
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    now = {n: 0.8 for n in prev}
+    now["brand_new_query"] = 9.9  # not in prev: excluded from the diff
+    shared, med = bench.compare_to_prev(now, prev)
+    assert shared is not None and shared["n_shared"] == 10
+    assert shared["now"] == 8.0 and shared["prev"] == 10.0
+    assert med is not None and med < 1.0
+
+
+def test_no_previous_detail_yields_no_flag_inputs():
+    assert bench.compare_to_prev({"q": 1.0}, {}) == (None, None)
+
+
+def test_headline_line_fits_the_tail_capture_budget():
+    # the driver's tail window is ~2000 chars; the LAST line must never
+    # push its own opening brace out (the BENCH_r05 truncation). Build
+    # the line exactly as main() does, with worst-ish-case widths.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": 999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "runs": 3,
+            "n_queries": len(bench.HEADLINE),
+            "queries": {n: 99.99 for n in bench.HEADLINE},
+            "cold_total": 999.999,
+            "steady_above_cold_anomalies": [],
+            "shared_total_vs_prev": {
+                "now": 999.999,
+                "prev": 999.999,
+                "n_shared": len(bench.HEADLINE),
+            },
+            "contended_run": False,
+            "median_inflation_vs_prev": 1.001,
+            "scale_smoke": "pass",
+            "scale_ratio_max": 12.34,
+        }
+    )
+    assert len(line) < 1900, len(line)

@@ -37,23 +37,7 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
-def test_all_queries_have_rows_and_flat_schemas(spark):
-    """Every registered query must run, return a stable schema, and emit
-    ONLY flat scalar columns. The driver's canonicalizer pandas-sorts and
-    hashes every column: ArrayType/MapType/StructType die with
-    `TypeError: unhashable type` (the r6 `inverted_index` red row).
-    Nested results must be serialized — arrays as delimiter-joined
-    strings, same convention as timestamps-as-formatted-strings."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, SF_DIR)
-        assert df.columns, f"{name} returned no columns"
-        for f in df.schema.fields:
-            assert not isinstance(
-                f.dataType, (ArrayType, MapType, StructType)
-            ), (
-                f"{name}.{f.name} is {f.dataType.simpleString()}: registered "
-                "query outputs must be flat scalars (driver canonicalizer "
-                "cannot hash nested values) — serialize to string"
-            )
+# (the every-query flat-schema/rows sweep now runs inside
+# tests/test_plans.py::test_global_invariants_every_query_one_pass —
+# one registry pass carries all global invariants instead of three,
+# saving ~2/3 of the most expensive block of the driver's pytest window)

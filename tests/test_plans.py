@@ -61,28 +61,45 @@ def test_cosine_topk_corpus_never_shuffles_before_topk(spark):
     assert plans.count_exchanges(df) <= 1
 
 
-def test_no_python_row_udfs_anywhere(spark):
+def test_global_invariants_every_query_one_pass(spark):
+    """ALL global per-query invariants in ONE sweep over the registry.
+
+    Building a registered query's DataFrame is the expensive part (the
+    action-embedding queries pay writes/stream replays at call time) —
+    three separate 205-query sweeps cost ~570 s of the driver's pytest
+    window (r14, VERDICT r13 directive 1). One pass, same assertions:
+
+    * no row-at-a-time Python UDF (BatchEvalPython) anywhere;
+    * no Exchange SinglePartition (global sort/partition-less window);
+    * no CartesianProduct (quadratic baselines stay broadcast-NL);
+    * stable non-empty schema of FLAT scalars only (the driver
+      canonicalizer pandas-sorts and hashes every column:
+      Array/Map/Struct die with `TypeError: unhashable type` — the r6
+      `inverted_index` red row; serialize nested values to strings).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     for name, fn in registry.queries().items():
         df = fn(spark, SF_DIR)
-        assert not plans.uses_python_row_udf(df), (
+        assert df.columns, f"{name} returned no columns"
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType)
+            ), (
+                f"{name}.{f.name} is {f.dataType.simpleString()}: "
+                "registered query outputs must be flat scalars (driver "
+                "canonicalizer cannot hash nested values) — serialize "
+                "to string"
+            )
+        simple = plans.simple_plan(df)
+        assert "BatchEvalPython" not in simple, (
             f"{name} evaluates a row-at-a-time Python UDF"
         )
-
-
-def test_no_single_partition_exchange_anywhere(spark):
-    # a partition-less global sort/window funnels the whole input through
-    # ONE task — nothing registered may carry one (the round-1 vocabulary
-    # rank id did; shingle/token ids are now map-side hashes)
-    for name, fn in registry.queries().items():
-        df = fn(spark, SF_DIR)
+        assert "CartesianProduct" not in simple, (
+            f"{name} plans a CartesianProduct"
+        )
         assert not plans.has_single_partition_exchange(df), (
             f"{name} plans an Exchange SinglePartition (global sort)"
-        )
-        # same pass, second global invariant: nothing registered may
-        # plan a CartesianProduct (the labeled quadratic baselines are
-        # broadcast-nested-loop, never both-sides-shuffled cartesians)
-        assert "CartesianProduct" not in plans.simple_plan(df), (
-            f"{name} plans a CartesianProduct"
         )
 
 

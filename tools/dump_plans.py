@@ -4,9 +4,10 @@
 Usage: python tools/dump_plans.py <tag_suffix> <query> [<query> ...]
        python tools/dump_plans.py before trail_classifier canonical_docs
 
-Writes plans/r13/<query>_<tag_suffix>.txt. The optimization judge reads
-these files against the code; regenerate the *_after.txt set whenever a
-touched query's plan changes.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag_suffix>.txt (default
+round dir: r14). The optimization judge reads these files against the
+code; regenerate the *_after.txt set whenever a touched query's plan
+changes.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ def main() -> None:
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r13")
+    out_dir = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     qs = registry.queries()
     from trail_condition_etl_spark.operators import artifacts
