@@ -6,11 +6,20 @@ Covers the bench-harness observability fixes (VERDICT r13 directive 2):
 * the contention flag is the median per-query inflation over the FULL
   shared set — a synthetic broad-band slow window must flag, a
   single-query regression must not, and an improvement run must not.
+
+And the operator-side r14 changes:
+* AQE applies inside cached-plan execution (the bounded-round label
+  propagation win) — pinned on both session entry points;
+* stateful_sessions replays in exactly ONE micro-batch (VERDICT r13
+  directive 5 measured it as already-single; this keeps it that way);
+* a sub-32 SPARK_GRAFT_LIST_THRESHOLD can force distributed listing
+  for small path sets (ADVICE r13).
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -77,3 +86,76 @@ def test_headline_line_fits_the_tail_capture_budget():
         }
     )
     assert len(line) < 1900, len(line)
+
+
+def test_cached_plans_run_with_aqe(spark):
+    # the per-round persisted label frames must execute under AQE
+    # (coalesced shuffles) — the default disables AQE inside cached-plan
+    # execution, which ran every propagation round's shuffle at the full
+    # static partition count at any scale (see session.py)
+    from trail_condition_etl_spark.session import ensure_engine_conf
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    assert spark.conf.get(key) == "true"  # builder path (get_spark)
+    spark.conf.set(key, "false")
+    ensure_engine_conf(spark)  # driver-session path re-pins it
+    assert spark.conf.get(key) == "true"
+
+
+def test_stateful_sessions_replays_in_one_micro_batch(spark, monkeypatch):
+    # availableNow over the single-file staged input commits exactly one
+    # micro-batch — a staging change that splits the input into many
+    # files would silently multiply stream fixed costs per batch
+    import glob
+
+    from trail_condition_etl_spark.operators import artifacts
+    from trail_condition_etl_spark.streaming.stateful import (
+        stateful_sessions_query,
+    )
+
+    made: list[str] = []
+    orig = artifacts.scratch_dir
+
+    def spy(prefix: str) -> str:
+        p = orig(prefix)
+        made.append(p)
+        return p
+
+    monkeypatch.setattr(artifacts, "scratch_dir", spy)
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    stateful_sessions_query(spark, sf).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    run_root = [p for p in made if "stateful_sessions_" in p][-1]
+    commits = [
+        p
+        for p in glob.glob(os.path.join(run_root, "ckpt", "commits", "*"))
+        if not os.path.basename(p).startswith(".")
+    ]
+    assert len(commits) == 1, commits
+
+
+def test_sub32_listing_override_still_reads_small_path_sets(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r13: an env threshold below 32 used to be ignored for small
+    # path sets (the short-circuit compared against the literal 32);
+    # with the override honored, a 2-path read must still return every
+    # row through the distributed-listing branch
+    from pyspark.sql import functions as F
+
+    from trail_condition_etl_spark.sinks import manifest as mf
+
+    root = str(tmp_path / "two")
+    spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("b")
+    ).write.partitionBy("b").parquet(root)
+    dirs = sorted(
+        os.path.join(root, d) for d in os.listdir(root) if d.startswith("b=")
+    )
+    assert len(dirs) == 2
+    monkeypatch.setenv("SPARK_GRAFT_LIST_THRESHOLD", "1")
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    before = spark.conf.get(key)
+    assert mf._read_parquet_paths(spark, "id long", dirs).count() == 10
+    assert spark.conf.get(key) == before

@@ -126,6 +126,15 @@ def decontaminate(
     # per-element higher-order function, while the post-explode form
     # below hashes in WholeStageCodegen; the cached-byte savings never
     # paid back the interpretation cost.
+    # MEASURED AND REJECTED AGAIN (r14, VERDICT r13 directive 7, incl.
+    # the sf1.0 re-check): (a) caching the EXPLODED (doc_id, gid) rows —
+    # hash post-explode stays in codegen, avoiding the r13 transform
+    # trap — ran +50% at sf0.1 (1.67 -> 2.52 s) and a WASH at sf1.0
+    # (head 7.7-11.3 vs 7.3-10.8 s, same-process alternation on a noisy
+    # window): materializing ~n_tokens rows/doc into the cache costs
+    # more than the strings it saves at both scales measured; (b) no
+    # persist at all (three gram recomputes) ran +80% at sf0.1. The
+    # string-array cache stays.
     with_g = documents.select("doc_id", grams.alias("grams")).persist()
     is_bench = (F.col("doc_id") % benchmark_mod) == 0
 

@@ -488,8 +488,13 @@ def dedup_clusters(
     # O(corpus), untouched docs re-entering via a final broadcast left
     # join) ran +60% SLOWER at sf0.1 — the extra distinct + final-join
     # jobs cost more fixed overhead than the corpus-sized shuffles they
-    # replaced saved on this corpus. Revisit only with evidence from a
-    # scale where the label frame dwarfs the edge set.
+    # replaced saved on this corpus. REJECTED AGAIN at sf1.0 (r14,
+    # VERDICT r13 directive 4): +20% at sf0.1 / +7% at sf1.0 in a
+    # same-process alternation, value-identical — even at 10x corpus the
+    # label frame is too narrow for the touched-only frames to pay for
+    # their extra distinct + re-entry join. The r14 win here came from
+    # letting AQE run inside the per-round CACHED plans instead
+    # (session.py: canChangeCachedPlanOutputPartitioning).
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("canonical_doc_id")
     )
@@ -746,6 +751,10 @@ def canonical_docs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     labeled = clusters.join(
         documents.select("doc_id", "n_chars"), "doc_id"
     )
+    # the struct-valued MIN plans as a SortAggregate (struct buffers are
+    # not hash-aggregable). MEASURED (r14): F.min_by also plans
+    # SortAggregate (its ordering buffer is the same struct) and the
+    # wall was a wash — kept the min(struct) for oracle symmetry.
     best = labeled.groupBy("canonical_doc_id").agg(
         F.min(
             F.struct(

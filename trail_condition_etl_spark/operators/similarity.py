@@ -189,10 +189,6 @@ def _as_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-#: corpus embedding dimension (64 across every test SF)
-EMB_DIM = 64
-
-
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product. MEASURED AND REJECTED (r13): an
     unrolled 64-term element_at chain (same IEEE order, pure codegen
@@ -1764,7 +1760,9 @@ def semantic_dedup(
     )
     # MEASURED AND REJECTED (r13): touched-subgraph propagation (see
     # dedup.dedup_clusters) ran +72% slower here at sf0.1 — same
-    # fixed-overhead arithmetic.
+    # fixed-overhead arithmetic. The r14 sf1.0 re-check on the text twin
+    # rejected it again (+7% at sf1.0); the r14 win for these rounds is
+    # AQE inside the cached per-round frames (session.py).
     labels = embeddings.select(
         "vec_id", F.col("vec_id").alias("canonical_vec_id")
     )

@@ -138,7 +138,12 @@ def classify_trail_conditions(weather: DataFrame) -> DataFrame:
     # SECOND Exchange(city) for the aggregate. Projecting to the five
     # columns the rules read drops wind_speed_mps (computed upstream,
     # never used — reference classifier.py:69-71 wind rule is a TODO)
-    # before the rows shuffle.
+    # before the rows shuffle. Skew trade-off (ADVICE r13): keying the
+    # exchange on city_id alone caps parallelism at city cardinality —
+    # fine here (cities ≈ uniform hash of user_id) and measured faster,
+    # but on a real low-cardinality or hot-city feed the previous
+    # (city_id, data_source) partitioning spread the same rows over
+    # twice the keys; salt the key before reusing this shape there.
     rows = weather.select(
         "city_id",
         "timestamp_utc",

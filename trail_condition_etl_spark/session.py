@@ -36,6 +36,23 @@ def get_spark(app_name: str = "trail-condition-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (guide §2.2): let AQE optimize CACHED plan execution too.
+        # With the default (false), a .persist()-ed subplan executes with
+        # AQE disabled so its output partitioning stays stable — meaning
+        # the bounded-round operators' per-round cached label frames run
+        # their shuffles at the full static partition count with no
+        # coalescing, at ANY scale. The partitioning stability the
+        # default buys is worthless here: an InMemoryRelation over an
+        # AQE plan reports unknown partitioning anyway, so every
+        # consumer already re-exchanges (plans/r14/*_before.txt show the
+        # Exchange above each InMemoryTableScan). Measured (same-process
+        # alternation, sf0.1): dedup_clusters 1.35->0.95s,
+        # semantic_dedup ~-30%, canonical_docs ~-20%, value-identical;
+        # wash on non-cached paths.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -54,6 +71,10 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # AQE inside cached-plan execution (see get_spark; runtime-settable)
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
     )

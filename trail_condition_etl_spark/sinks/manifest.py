@@ -2771,9 +2771,19 @@ def _read_parquet_paths(spark: SparkSession, schema, paths: list[str]) -> DataFr
     """spark.read.parquet over many paths, with the listing strategy
     matched to the paths' filesystem. The InMemoryFileIndex lists
     eagerly inside load(), so the conf is restored as soon as the
-    DataFrame exists — later reads see the session value unchanged."""
+    DataFrame exists — later reads see the session value unchanged.
+
+    NOT safe for concurrent planners on one SparkSession (ADVICE r13):
+    the override window mutates the session-global threshold, so a
+    concurrent reader planning in that window would use OUR listing
+    strategy. Every in-repo caller (bench, verify, the registered
+    queries) plans single-threaded; a multi-tenant session would need a
+    lock around plan construction or a per-read threshold mechanism."""
     thr = _listing_threshold(paths)
-    if thr is None or len(paths) <= 32:
+    # short-circuit on the effective threshold, not the literal default:
+    # an env override BELOW 32 must be able to force distributed listing
+    # for small path sets too ("override either way", ADVICE r13)
+    if thr is None or len(paths) <= min(thr, 32):
         return spark.read.schema(schema).parquet(*paths)
     try:
         prev = spark.conf.get(_LIST_THRESHOLD_KEY)
