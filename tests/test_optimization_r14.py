@@ -135,6 +135,25 @@ def test_stateful_sessions_replays_in_one_micro_batch(spark, monkeypatch):
     assert len(commits) == 1, commits
 
 
+def test_spine_family_and_revenue_share_scan_the_fact_once(spark):
+    # r14: the date-spine operators fused the bounds+join into one pass
+    # (timeseries.filled_days) and revenue_share persists its bounded
+    # per-nation frame — each used to re-scan + re-aggregate the fact
+    # per consumer subtree (2-3 full fact passes at any scale)
+    from trail_condition_etl_spark import plans, registry
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    qs = registry.queries()
+    for name, token in [
+        ("gap_fill", "events.parquet"),
+        ("ewma_daily", "events.parquet"),
+        ("linear_interp", "events.parquet"),
+        ("revenue_share", "orders.parquet"),
+    ]:
+        df = qs[name](spark, sf)
+        assert plans.count_scans_of(df, token) == 1, name
+
+
 def test_sub32_listing_override_still_reads_small_path_sets(
     spark, tmp_path, monkeypatch
 ):

@@ -154,20 +154,16 @@ GROUP BY 1, 2
 def gap_fill_daily(events: DataFrame) -> DataFrame:
     """Time-series resampling: per-user daily value totals on a complete
     date spine (min..max active day per user), gaps forward-filled with
-    the last observed value. The spine is a per-row sequence+explode
-    (narrow); the fill is one `last(ignoreNulls)` window over the same
-    (user, day) clustering the daily agg produced — two shuffles total,
-    both on user_id.
+    the last observed value. The spine⟕daily join is the fused one-pass
+    form (timeseries.filled_days, r14): the fact aggregates ONCE and the
+    fill is one `last(ignoreNulls)` window over the same (user, day)
+    clustering.
     """
+    from .timeseries import filled_days
+
     daily = (
         events.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg((F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v"))
-    )
-    bounds = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    spine = bounds.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
     )
     from pyspark.sql import Window
 
@@ -177,7 +173,7 @@ def gap_fill_daily(events: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        spine.join(daily, ["user_id", "day"], "left")
+        filled_days(daily, "v")
         .withColumn("filled_v", F.last("v", ignorenulls=True).over(w))
         .select(
             "user_id",

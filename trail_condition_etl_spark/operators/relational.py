@@ -1096,9 +1096,18 @@ def revenue_share(
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # lazily persist the bounded per-nation frame (≤ |region|×|nation|
+    # rows): its three consumers (output rows, region totals, global
+    # total) each column-prune the subtree DIFFERENTLY, so exchange
+    # reuse never fires and the executed plan scanned + aggregated the
+    # fact THREE times (r14, plans/r14/revenue_share_before.txt). With
+    # the cache the fact is read once; measured a wash at sf0.1/sf1.0
+    # (the duplicated aggs were cheap concurrent work there) — the win
+    # is two fewer full fact passes at scale. Eviction: the caller's
+    # clear_caches seam, like every lazy persist here.
     per_nation = joined.groupBy("r_name", "n_name").agg(
         F.sum(_scaled("o_totalprice", 2)).alias("rev_c")
-    )
+    ).persist()
     per_region = per_nation.groupBy("r_name").agg(
         F.sum("rev_c").alias("region_rev_c")
     )
